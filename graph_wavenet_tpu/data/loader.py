@@ -1,0 +1,80 @@
+"""Host-side in-memory batchers.
+
+Parity with the reference ``DataLoader`` / ``DataLoader_syn``
+(`/root/reference/Utils/util.py:14-102`): the tail is padded with copies of
+the last sample so the sample count divides the batch size, ``shuffle()``
+permutes in place, iteration yields numpy slices. A seeded numpy Generator
+replaces the global numpy RNG.
+
+The known bias of pad-with-last (quirk #6, SURVEY.md §7.4 — padded duplicates
+skew val/test averages) is kept for parity but exposed: ``num_real`` records
+the unpadded count, and sharded iteration (``sharded_iterator``) builds global
+jax Arrays for a device mesh from the same batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class DataLoader:
+    """Batcher over (xs, ys[, adj_idx]) arrays.
+
+    Passing ``adj_idx`` makes it the per-sample-graph variant (3-tuples per
+    batch, reference ``DataLoader_syn``).
+    """
+
+    def __init__(self, xs: np.ndarray, ys: np.ndarray, batch_size: int,
+                 adj_idx: np.ndarray | None = None,
+                 pad_with_last_sample: bool = True,
+                 rng: np.random.Generator | None = None):
+        self.batch_size = batch_size
+        self.num_real = len(xs)
+        self.rng = rng if rng is not None else np.random.default_rng()
+        if pad_with_last_sample:
+            num_padding = (batch_size - (len(xs) % batch_size)) % batch_size
+            xs = np.concatenate(
+                [xs, np.repeat(xs[-1:], num_padding, axis=0)], axis=0)
+            ys = np.concatenate(
+                [ys, np.repeat(ys[-1:], num_padding, axis=0)], axis=0)
+            if adj_idx is not None:
+                adj_idx = np.concatenate(
+                    [adj_idx, np.repeat(adj_idx[-1:], num_padding, axis=0)],
+                    axis=0)
+        self.size = len(xs)
+        self.num_batch = self.size // batch_size
+        self.xs = xs
+        self.ys = ys
+        self.adj_idx = adj_idx
+
+    def shuffle(self):
+        perm = self.rng.permutation(self.size)
+        self.xs = self.xs[perm]
+        self.ys = self.ys[perm]
+        if self.adj_idx is not None:
+            self.adj_idx = self.adj_idx[perm]
+
+    def get_iterator(self):
+        for i in range(self.num_batch):
+            lo, hi = i * self.batch_size, (i + 1) * self.batch_size
+            if self.adj_idx is None:
+                yield self.xs[lo:hi], self.ys[lo:hi]
+            else:
+                yield self.xs[lo:hi], self.ys[lo:hi], self.adj_idx[lo:hi]
+
+    def __len__(self):
+        return self.num_batch
+
+
+# alias mirroring the reference's class split
+DataLoaderSyn = DataLoader
+
+
+def sharded_iterator(loader: DataLoader, sharding):
+    """Wrap batches as global device arrays laid out per ``sharding`` (a
+    ``jax.sharding.NamedSharding`` over the batch axis) — the multi-host
+    feed path; single-device shardings degrade to plain device_put."""
+    import jax
+
+    for batch in loader.get_iterator():
+        yield tuple(jax.device_put(b, sharding) for b in batch)

@@ -1,0 +1,180 @@
+"""Graph WaveNet — functional, TPU-first implementation.
+
+Semantics-parity target: the reference ``gwnet`` module
+(`/root/reference/model.py:82-241`) — gated dilated causal temporal convs
+interleaved with diffusion graph convs over fixed supports plus a learned
+adaptive adjacency, skip accumulation into an output head. Design differences
+(deliberate, SURVEY.md §7.1):
+
+- Pure functions over param/state pytrees instead of ``nn.Module``; BatchNorm
+  state and dropout RNG are explicit.
+- Channels-last ``(B, T, N, C)`` activations; every conv is a channel matmul
+  (MXU-shaped), the static 8-layer Python loop unrolls under ``jit``.
+- The per-layer time shrinkage is static (dilations known at trace time), so
+  all shapes are static — no dynamic control flow under jit.
+
+The model returns ``(B, T_out, N, out_dim)`` — for the canonical 13-step
+input this is ``(B, 1, N, 12)``, which equals the reference's post-transpose
+``output.transpose(1, 3)`` layout (`engine.py:46`), so no transpose is needed
+downstream.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from graph_wavenet_tpu.config import ModelConfig
+from graph_wavenet_tpu.ops.adaptive import (
+    adaptive_adjacency,
+    adaptive_adjacency_batched,
+    random_nodevecs,
+    svd_nodevecs,
+)
+from graph_wavenet_tpu.ops.diffusion import gcn_apply, gcn_init
+from graph_wavenet_tpu.ops.linear import linear_apply, linear_init
+from graph_wavenet_tpu.ops.normalization import (
+    batch_norm_apply,
+    batch_norm_init,
+)
+from graph_wavenet_tpu.ops.temporal import (
+    causal_conv_init,
+    gated_tcn_apply,
+    left_pad_time,
+)
+
+Params = dict[str, Any]
+State = dict[str, Any]
+
+
+def _dtype(cfg: ModelConfig):
+    return jnp.dtype(cfg.param_dtype)
+
+
+def init_gwnet(key: jax.Array, cfg: ModelConfig,
+               aptinit=None) -> tuple[Params, State]:
+    """Initialize params and BN state.
+
+    ``aptinit``: optional adjacency for SVD-initialized adaptive embeddings
+    (`/root/reference/model.py:120-127`); None = random init (``--randomadj``).
+    """
+    dt = _dtype(cfg)
+    n_layers = cfg.blocks * cfg.layers
+    keys = iter(jax.random.split(key, 6 * n_layers + 8))
+
+    params: Params = {
+        "start_conv": linear_init(next(keys), cfg.in_dim,
+                                  cfg.residual_channels, dt),
+        "end1": linear_init(next(keys), cfg.skip_channels,
+                            cfg.end_channels, dt),
+        "end2": linear_init(next(keys), cfg.end_channels, cfg.out_dim, dt),
+    }
+
+    if cfg.gcn_bool and cfg.addaptadj and not cfg.fresh_nodevec:
+        if aptinit is None:
+            nv1, nv2 = random_nodevecs(next(keys), cfg.num_nodes,
+                                       cfg.adapt_rank, dt)
+        else:
+            e1, e2 = svd_nodevecs(aptinit, cfg.adapt_rank)
+            nv1, nv2 = jnp.asarray(e1, dt), jnp.asarray(e2, dt)
+        params["nodevec1"], params["nodevec2"] = nv1, nv2
+
+    layers = []
+    bn_state = []
+    for _ in range(n_layers):
+        layer = {
+            "filter": causal_conv_init(next(keys), cfg.residual_channels,
+                                       cfg.dilation_channels,
+                                       cfg.kernel_size, dt),
+            "gate": causal_conv_init(next(keys), cfg.residual_channels,
+                                     cfg.dilation_channels,
+                                     cfg.kernel_size, dt),
+            "skip": linear_init(next(keys), cfg.dilation_channels,
+                                cfg.skip_channels, dt),
+            # residual 1x1 exists in the reference even when gcn is on
+            # (`model.py:144-146`); kept for checkpoint-surface parity.
+            "residual": linear_init(next(keys), cfg.dilation_channels,
+                                    cfg.residual_channels, dt),
+        }
+        if cfg.gcn_bool:
+            layer["gcn"] = gcn_init(next(keys), cfg.dilation_channels,
+                                    cfg.residual_channels, cfg.supports_len,
+                                    cfg.diffusion_order, dt)
+        bn_p, bn_s = batch_norm_init(cfg.residual_channels, dt)
+        layer["bn"] = bn_p
+        layers.append(layer)
+        bn_state.append(bn_s)
+
+    params["layers"] = layers
+    return params, {"bn": bn_state}
+
+
+def apply_gwnet(cfg: ModelConfig, params: Params, state: State,
+                x: jnp.ndarray, supports: list[jnp.ndarray] | None,
+                *, train: bool = False,
+                rng: jax.Array | None = None) -> tuple[jnp.ndarray, State]:
+    """Forward pass.
+
+    x: (B, T, N, in_dim). supports: list of (N, N) fixed supports — or None
+    to disable graph convs entirely (temporal-only model, reference
+    ``gcn_bool and self.supports is not None`` gate at `model.py:225`);
+    pass ``[]`` with ``addaptadj`` for the adaptive-only (aptonly) model.
+    """
+    # padding parity: reference pads to its *stored* receptive field
+    # (`model.py:176-180`), which understates true reach for diff-G configs.
+    x = left_pad_time(x, cfg.compat_receptive_field)
+    x = linear_apply(params["start_conv"], x)
+
+    new_supports = supports
+    use_adapt = cfg.gcn_bool and cfg.addaptadj and supports is not None
+    if use_adapt:
+        adp = adaptive_adjacency(params["nodevec1"], params["nodevec2"])
+        new_supports = list(supports) + [adp]
+
+    return _wavenet_stack(cfg, params, state, x, new_supports,
+                          use_gcn=cfg.gcn_bool and supports is not None,
+                          train=train, rng=rng)
+
+
+def _wavenet_stack(cfg: ModelConfig, params: Params, state: State,
+                   x: jnp.ndarray, supports, *, use_gcn: bool, train: bool,
+                   rng: jax.Array | None) -> tuple[jnp.ndarray, State]:
+    """Shared block/layer stack + output head for both model variants
+    (`/root/reference/model.py:192-241` and `:355-407`)."""
+    skip = None
+    new_bn = []
+    dropout_keys = None
+    if train and cfg.dropout > 0.0 and use_gcn:
+        assert rng is not None, "training with dropout needs an rng"
+        dropout_keys = jax.random.split(rng, len(params["layers"]))
+
+    for i, (layer, dilation) in enumerate(
+            zip(params["layers"], cfg.dilations())):
+        residual = x
+        x = gated_tcn_apply(layer["filter"], layer["gate"], residual,
+                            dilation)
+        s = linear_apply(layer["skip"], x)
+        # skip accumulator cropped to the current time length
+        # (`model.py:216-222`: try/except on the int-0 initial skip)
+        skip = s if skip is None else s + skip[:, -s.shape[1]:]
+
+        if use_gcn:
+            x = gcn_apply(layer["gcn"], x, supports,
+                          order=cfg.diffusion_order, dropout=cfg.dropout,
+                          rng=None if dropout_keys is None
+                          else dropout_keys[i],
+                          train=train)
+        else:
+            x = linear_apply(layer["residual"], x)
+
+        x = x + residual[:, -x.shape[1]:]
+        x, bn_s = batch_norm_apply(layer["bn"], state["bn"][i], x,
+                                   train=train)
+        new_bn.append(bn_s)
+
+    out = jax.nn.relu(skip)
+    out = jax.nn.relu(linear_apply(params["end1"], out))
+    out = linear_apply(params["end2"], out)
+    return out, {"bn": new_bn}

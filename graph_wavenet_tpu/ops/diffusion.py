@@ -1,0 +1,94 @@
+"""Diffusion graph convolution.
+
+The FLOP center of the model (SURVEY.md §3.5): K-hop diffusion over each
+support followed by a channel projection of the concatenated hops
+(`/root/reference/model.py:32-80`). The diffusion step ``nconv`` is the einsum
+``x[b,t,v,c], A[v,w] -> [b,t,w,c]`` — a (B*T*C, N) x (N, N) matmul, an ideal
+MXU shape.
+
+Two algebraically equivalent projection forms are provided:
+
+- ``concat``: materialize the ``(order*n_supports+1)*C`` concat then one
+  matmul — bitwise-parallel to the reference, used for parity tests.
+- ``fused`` (default): accumulate ``h += hop_k @ W_k`` with the projection
+  weight pre-split per hop, never materializing the concat — saves
+  ``(order*n_supports)*C`` channels of HBM traffic per layer; XLA fuses the
+  accumulation chain. Weight slices are taken in concat order, so the two
+  forms agree to float tolerance.
+
+Weight layout of the projection: ``w ((order*n_supports+1)*c_in, c_out)``,
+row-blocks ordered [x, s1 hop1, s1 hop2, ..., sS hop1, sS hop2] exactly like
+the reference's ``torch.cat(out, dim=1)`` (`model.py:41-55`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from graph_wavenet_tpu.ops.linear import linear_init
+
+
+def nconv(x: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:
+    """Graph diffusion step with a shared dense support
+    (reference einsum 'ncvl,vw->ncwl' at `model.py:13`)."""
+    return jnp.einsum("btvc,vw->btwc", x, A, preferred_element_type=x.dtype)
+
+
+def nconv_batched(x: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample-support diffusion step
+    (reference einsum 'ncvl,nvw->ncwl' at `model.py:21`)."""
+    return jnp.einsum("btvc,bvw->btwc", x, A, preferred_element_type=x.dtype)
+
+
+def diffusion_hops(x: jnp.ndarray, supports: list[jnp.ndarray],
+                   order: int) -> list[jnp.ndarray]:
+    """[x, A1 x, A1^2 x, ..., AS x, ..., AS^order x] in reference concat
+    order. Supports may be (N, N) or batched (B, N, N)."""
+    hops = [x]
+    for a in supports:
+        step = nconv_batched if a.ndim == 3 else nconv
+        xk = x
+        for _ in range(order):
+            xk = step(xk, a)
+            hops.append(xk)
+    return hops
+
+
+def gcn_init(key, c_in: int, c_out: int, n_supports: int, order: int = 2,
+             dtype=jnp.float32) -> dict:
+    """Projection params over the concatenated hops
+    (`model.py:36-37`: c_in_total = (order*n_supports+1)*c_in)."""
+    return linear_init(key, (order * n_supports + 1) * c_in, c_out, dtype)
+
+
+def gcn_apply(params: dict, x: jnp.ndarray, supports: list[jnp.ndarray],
+              order: int = 2, dropout: float = 0.0,
+              rng: jax.Array | None = None, train: bool = False,
+              mode: str = "fused") -> jnp.ndarray:
+    """Diffusion graph conv: hops -> projection -> dropout.
+
+    dropout follows torch ``F.dropout`` semantics (`model.py:54`): active only
+    in training, inverted scaling by 1/(1-p).
+    """
+    hops = diffusion_hops(x, supports, order)
+    c_in = x.shape[-1]
+    w, b = params["w"], params["b"]
+    assert w.shape[0] == len(hops) * c_in, (
+        f"gcn weight expects {w.shape[0] // c_in} hops, got {len(hops)}: "
+        "n_supports passed at init must match the supports list")
+    if mode == "concat":
+        h = jnp.concatenate(hops, axis=-1)
+        h = jnp.einsum("btnc,cf->btnf", h, w,
+                       preferred_element_type=x.dtype) + b
+    else:
+        h = b.astype(x.dtype)
+        for k, hop in enumerate(hops):
+            wk = jax.lax.dynamic_slice_in_dim(w, k * c_in, c_in, axis=0)
+            h = h + jnp.einsum("btnc,cf->btnf", hop, wk,
+                               preferred_element_type=x.dtype)
+    if train and dropout > 0.0:
+        assert rng is not None, "dropout in train mode needs an rng"
+        keep = jax.random.bernoulli(rng, 1.0 - dropout, h.shape)
+        h = jnp.where(keep, h / (1.0 - dropout), 0.0)
+    return h

@@ -1,0 +1,40 @@
+"""Channel-wise dense ("1x1 conv") op and torch-parity initializers.
+
+The reference's ``linear`` is a 1x1 ``nn.Conv2d`` (`/root/reference/
+model.py:24-30`). On TPU, with channels-last activations ``(B, T, N, C)``, a
+1x1 conv is exactly a matmul over the channel axis — one MXU contraction, no
+conv machinery needed.
+
+Initialization replicates torch's Conv2d reset (kaiming_uniform(a=sqrt(5)) for
+weights, U(±1/sqrt(fan_in)) for bias — which both reduce to
+U(±1/sqrt(fan_in))) so that training dynamics match the reference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def conv_uniform_init(key, shape: tuple, fan_in: int,
+                      dtype=jnp.float32) -> jnp.ndarray:
+    """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — torch Conv2d default for both
+    weight (kaiming_uniform with a=sqrt(5)) and bias."""
+    bound = 1.0 / (fan_in ** 0.5)
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def linear_init(key, c_in: int, c_out: int, dtype=jnp.float32) -> dict:
+    """Params for a channel-dense layer: w (c_in, c_out), b (c_out,)."""
+    kw, kb = jax.random.split(key)
+    return {
+        "w": conv_uniform_init(kw, (c_in, c_out), c_in, dtype),
+        "b": conv_uniform_init(kb, (c_out,), c_in, dtype),
+    }
+
+
+def linear_apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """y[..., f] = sum_c x[..., c] w[c, f] + b[f]."""
+    return jnp.einsum(
+        "...c,cf->...f", x, params["w"],
+        preferred_element_type=x.dtype) + params["b"]

@@ -1,0 +1,48 @@
+"""Batch normalization with explicit state.
+
+Parity target: ``nn.BatchNorm2d(residual_channels)`` applied to
+``(B, C, N, T)`` activations (`/root/reference/model.py:152,236`) — i.e.
+normalize per channel over all (batch, node, time) positions, momentum 0.1,
+eps 1e-5, affine; running var updated with the *unbiased* batch variance
+while normalization uses the biased one (torch semantics).
+
+TPU-native twist: under ``jit`` with a batch-sharded mesh, the ``jnp.mean``
+over the batch axis is a global reduction — GSPMD inserts the cross-device
+``all-reduce`` automatically, so distributed BN statistics match single-device
+semantics with no hand-written collectives (SURVEY.md §7.3 "BatchNorm under
+pjit").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def batch_norm_init(c: int, dtype=jnp.float32) -> tuple[dict, dict]:
+    """Returns (params, state): scale/bias and running mean/var."""
+    params = {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+    state = {"mean": jnp.zeros((c,), dtype), "var": jnp.ones((c,), dtype)}
+    return params, state
+
+
+def batch_norm_apply(params: dict, state: dict, x: jnp.ndarray,
+                     train: bool, momentum: float = 0.1,
+                     eps: float = 1e-5) -> tuple[jnp.ndarray, dict]:
+    """x: (B, T, N, C); stats per channel over (B, T, N)."""
+    reduce_axes = tuple(range(x.ndim - 1))
+    if train:
+        mean = jnp.mean(x, axis=reduce_axes)
+        var = jnp.mean((x - mean) ** 2, axis=reduce_axes)  # biased
+        n = x.size // x.shape[-1]
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    inv = jax.lax.rsqrt(var + eps)
+    y = (x - mean) * inv * params["scale"] + params["bias"]
+    return y, new_state

@@ -1,0 +1,95 @@
+"""Checkpointing: params + optimizer state + BN state + step + RNG.
+
+The reference saves only ``model.state_dict()`` per epoch
+(`/root/reference/train.py:206,295`) — no optimizer state, no mid-run resume
+(SURVEY.md §5). Here a checkpoint is the FULL ``TrainState`` pytree
+(flax msgpack serialization) plus a JSON sidecar with configs and the data
+scaler, so training resumes exactly; best-k retention replaces keep-everything.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict
+from typing import Any
+
+import jax
+import numpy as np
+from flax import serialization
+
+from graph_wavenet_tpu.config import ModelConfig, TrainConfig, from_dict
+from graph_wavenet_tpu.data.scaler import StandardScaler
+from graph_wavenet_tpu.train.engine import TrainState
+
+
+def _state_to_pytree(state: TrainState) -> dict:
+    return {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "model_state": state.model_state,
+        "step": state.step,
+        "rng": jax.random.key_data(state.rng),
+    }
+
+
+def save_checkpoint(path: str, state: TrainState,
+                    model_cfg: ModelConfig | None = None,
+                    train_cfg: TrainConfig | None = None,
+                    scaler: StandardScaler | None = None,
+                    extra: dict | None = None) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pytree = jax.device_get(_state_to_pytree(state))
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(pytree))
+    meta: dict[str, Any] = {"format": "graph_wavenet_tpu/v1"}
+    if model_cfg is not None:
+        meta["model_cfg"] = asdict(model_cfg)
+    if train_cfg is not None:
+        meta["train_cfg"] = asdict(train_cfg)
+    if scaler is not None:
+        meta["scaler"] = {"mean": scaler.mean, "std": scaler.std}
+    if extra:
+        meta["extra"] = extra
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def load_checkpoint(path: str, template: TrainState) -> TrainState:
+    """Restore into the structure of ``template`` (an initialized state)."""
+    with open(path, "rb") as f:
+        pytree = serialization.from_bytes(
+            jax.device_get(_state_to_pytree(template)), f.read())
+    return TrainState(
+        params=pytree["params"],
+        opt_state=pytree["opt_state"],
+        model_state=pytree["model_state"],
+        step=pytree["step"],
+        rng=jax.random.wrap_key_data(np.asarray(pytree["rng"])),
+    )
+
+
+def load_metadata(path: str) -> dict:
+    with open(path + ".json") as f:
+        meta = json.load(f)
+    if "model_cfg" in meta:
+        meta["model_cfg"] = from_dict(ModelConfig, meta["model_cfg"])
+    if "train_cfg" in meta:
+        meta["train_cfg"] = from_dict(TrainConfig, meta["train_cfg"])
+    if "scaler" in meta:
+        meta["scaler"] = StandardScaler(**meta["scaler"])
+    return meta
+
+
+def prune_checkpoints(save_dir: str, prefix: str, keep: int,
+                      scores: dict[str, float]) -> None:
+    """Keep the ``keep`` best (lowest-score) checkpoints, delete the rest.
+    ``scores``: checkpoint path -> validation loss. keep<=0 keeps all."""
+    if keep <= 0:
+        return
+    ranked = sorted(scores.items(), key=lambda kv: kv[1])
+    for path, _ in ranked[keep:]:
+        for p in (path, path + ".json"):
+            if os.path.exists(p):
+                os.remove(p)
+        scores.pop(path, None)

@@ -1,0 +1,275 @@
+"""Jitted training engine.
+
+Parity target: the reference ``trainer`` (`/root/reference/engine.py:9-181`)
+— Adam with L2 weight decay, global-norm gradient clipping at 5, masked-MAE
+on inverse-standardized predictions with ``null_val=0.0`` — re-designed for
+XLA:
+
+- one ``train_step`` = forward + grad + clip + Adam update, jitted with
+  donated state so params update in place on device;
+- metrics (loss/MAPE/RMSE) are returned as on-device scalars and accumulated
+  by the caller — no per-step ``.item()`` host syncs (the reference syncs
+  3x per step, `engine.py:56-58`);
+- the optimizer is an optax chain ordered exactly like torch's
+  ``clip_grad_norm_`` + ``Adam(weight_decay=...)``: clip first, then add
+  ``wd * p`` to the clipped gradient, then Adam moments on the sum.
+
+Variants:
+- :meth:`Engine.train_step` / :meth:`Engine.eval_step` — real datasets
+  (`engine.py:41-58,119-130`); note the reference's ``eval`` runs without
+  ``no_grad`` (quirk #1, SURVEY.md §7.4) — here eval is a separate pure
+  function, fixed by construction.
+- :meth:`Engine.train_step_syn` / :meth:`Engine.eval_step_syn` — synthetic
+  two-modality supervision (`engine.py:64-117,132-181`): the predicted fine
+  sequence is pooled into a temporally-coarse F̂ (block mean over F_t windows,
+  repeated back) and a spatially-coarse Ê (community-mean via a cluster-mean
+  projector matrix — the reference's in-place ragged scatter loop
+  (`engine.py:93-105`) becomes one diffusion matmul).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from graph_wavenet_tpu.config import ModelConfig, TrainConfig
+from graph_wavenet_tpu.data.scaler import StandardScaler
+from graph_wavenet_tpu.models.gwnet import apply_gwnet, init_gwnet
+from graph_wavenet_tpu.models.gwnet_diff_g import (
+    apply_gwnet_diff_g,
+    init_gwnet_diff_g,
+)
+from graph_wavenet_tpu.ops.diffusion import nconv, nconv_batched
+from graph_wavenet_tpu.train.metrics import (
+    masked_mae,
+    masked_mape,
+    masked_rmse,
+)
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """clip -> +wd*p -> adam moments -> -lr, matching torch semantics
+    (`/root/reference/engine.py:33,53-55`)."""
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale(-cfg.learning_rate),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    model_state: Any          # BN running stats
+    step: jnp.ndarray
+    rng: jax.Array
+
+
+def horizon_target(y: jnp.ndarray) -> jnp.ndarray:
+    """y (B, H, N, F) -> (B, 1, N, H) speed-channel target, the layout the
+    reference compares against (`engine.py:46-48`)."""
+    return jnp.transpose(y[..., 0], (0, 2, 1))[:, None]
+
+
+def modality_target(y: jnp.ndarray) -> jnp.ndarray:
+    """y (B, K, N, 2) -> (B, 2, N, K): channel 0 = F target, 1 = E target
+    (`engine.py:110` vs the data layout of `dataTools.py:137`)."""
+    return jnp.transpose(y, (0, 3, 2, 1))
+
+
+def pool_F(predict: jnp.ndarray, F_t: int) -> jnp.ndarray:
+    """Temporal block-mean over windows of F_t, repeated back to full rate
+    (`engine.py:87-92`). predict: (B, 1, N, K)."""
+    b, c, n, k = predict.shape
+    f = predict.reshape(b, c, n, k // F_t, F_t).mean(-1)
+    return jnp.repeat(f, F_t, axis=-1)
+
+
+def cluster_mean_projector(labels: np.ndarray,
+                           n_communities: int) -> np.ndarray:
+    """(N,) int labels -> (N, N) projector P with P[n, v] = 1/|c(n)| iff
+    v is in n's community: ``P @ x`` replaces the reference's in-place
+    per-cluster mean scatter (`engine.py:93-105`). Host-side, built once."""
+    labels = np.asarray(labels)
+    onehot = (labels[:, None] == np.arange(n_communities)[None, :]).astype(
+        np.float32)
+    counts = onehot.sum(0)
+    return (onehot / np.maximum(counts, 1.0)[None, :]) @ onehot.T
+
+
+def pool_E(predict: jnp.ndarray, projector: jnp.ndarray) -> jnp.ndarray:
+    """Community-mean pooling via the projector; shared (N, N) or per-sample
+    (B, N, N). predict: (B, 1, N, K) -> same shape."""
+    # projector mixes the node axis; reuse the diffusion einsum with P^T
+    # (nconv contracts x[..., v, :] with A[v, w]: out_w = sum_v x_v P[w, v]).
+    x = jnp.transpose(predict, (0, 3, 2, 1))        # (B, K, N, 1)
+    if projector.ndim == 3:
+        out = nconv_batched(x, jnp.swapaxes(projector, 1, 2))
+    else:
+        out = nconv(x, projector.T)
+    return jnp.transpose(out, (0, 3, 2, 1))
+
+
+class Engine:
+    """Builds jitted train/eval steps for either model variant.
+
+    Model selection mirrors the reference's type-dispatch
+    (`engine.py:14-31`): per-sample supports (diff_g=True) select the batched
+    variant. ``supports`` for the shared-graph model are captured as constants
+    of the jitted step.
+    """
+
+    def __init__(self, model_cfg: ModelConfig, train_cfg: TrainConfig,
+                 scaler: StandardScaler | None, diff_g: bool = False,
+                 seed: int | None = None):
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.scaler = scaler or StandardScaler(0.0, 1.0)
+        self.diff_g = diff_g
+        self.optimizer = make_optimizer(train_cfg)
+        seed = train_cfg.seed if seed is None else seed
+        key = jax.random.key(seed)
+
+        init = init_gwnet_diff_g if diff_g else init_gwnet
+        kp, kr = jax.random.split(key)
+        params, model_state = init(kp, model_cfg)
+        self.state = TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            model_state=model_state,
+            step=jnp.zeros((), jnp.int32),
+            rng=kr,
+        )
+
+    # ------------------------------------------------------------------
+    # forward plumbing shared by all steps
+    # ------------------------------------------------------------------
+
+    def _forward(self, params, model_state, x, supports, train, rng):
+        # engine-level left pad by one step (`engine.py:44,69,121,135`)
+        x = jnp.pad(x, ((0, 0), (1, 0), (0, 0), (0, 0)))
+        if self.diff_g:
+            out, new_ms = apply_gwnet_diff_g(
+                self.model_cfg, params, model_state, x, supports,
+                train=train, rng=rng)
+        else:
+            out, new_ms = apply_gwnet(
+                self.model_cfg, params, model_state, x, supports,
+                train=train, rng=rng)
+        predict = out * self.scaler.std + self.scaler.mean
+        return predict, new_ms
+
+    def _loss_real(self, params, model_state, x, y, supports, rng):
+        predict, new_ms = self._forward(params, model_state, x, supports,
+                                        True, rng)
+        real = horizon_target(y)
+        loss = masked_mae(predict, real, 0.0)
+        return loss, (predict, real, new_ms)
+
+    def _loss_syn(self, params, model_state, x, y, supports, projector,
+                  F_t, rng):
+        predict, new_ms = self._forward(params, model_state, x, supports,
+                                        True, rng)
+        real = modality_target(y)
+        f_hat = pool_F(predict, F_t)
+        e_hat = pool_E(predict, projector)
+        loss = masked_mae(jnp.concatenate([f_hat, e_hat], axis=1), real, 0.0)
+        return loss, (e_hat, real, new_ms)
+
+    def _update(self, state: TrainState, grads, new_ms) -> TrainState:
+        updates, new_opt = self.optimizer.update(grads, state.opt_state,
+                                                 state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(params=new_params, opt_state=new_opt,
+                          model_state=new_ms, step=state.step + 1,
+                          rng=state.rng)
+
+    # ------------------------------------------------------------------
+    # real-dataset steps (`engine.py:41-58,119-130`)
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: TrainState, x, y, supports):
+        rng = jax.random.fold_in(state.rng, state.step)
+        (loss, (predict, real, new_ms)), grads = jax.value_and_grad(
+            self._loss_real, has_aux=True)(
+                state.params, state.model_state, x, y, supports, rng)
+        new_state = self._update(state, grads, new_ms)
+        metrics = {
+            "loss": loss,
+            "mape": masked_mape(predict, real, 0.0),
+            "rmse": masked_rmse(predict, real, 0.0),
+        }
+        return new_state, metrics
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def eval_step(self, state: TrainState, x, y, supports):
+        predict, _ = self._forward(state.params, state.model_state, x,
+                                   supports, False, state.rng)
+        real = horizon_target(y)
+        return {
+            "loss": masked_mae(predict, real, 0.0),
+            "mape": masked_mape(predict, real, 0.0),
+            "rmse": masked_rmse(predict, real, 0.0),
+        }
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def predict_step(self, state: TrainState, x, supports):
+        """Raw (un-inverse-transformed) forward for the per-horizon test loop.
+
+        NB: the reference test loop calls the model with NO engine-level
+        1-step pad (`train.py:382-386`), unlike train/eval — the model's own
+        receptive-field pad covers the missing step. Replicated exactly.
+        """
+        apply = apply_gwnet_diff_g if self.diff_g else apply_gwnet
+        out, _ = apply(self.model_cfg, state.params, state.model_state, x,
+                       supports, train=False, rng=state.rng)
+        return out
+
+    # ------------------------------------------------------------------
+    # synthetic two-modality steps (`engine.py:64-117,132-181`)
+    # ------------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0, 6), donate_argnums=1)
+    def train_step_syn(self, state: TrainState, x, y, supports, projector,
+                       F_t: int):
+        rng = jax.random.fold_in(state.rng, state.step)
+        (loss, (e_hat, real, new_ms)), grads = jax.value_and_grad(
+            self._loss_syn, has_aux=True)(
+                state.params, state.model_state, x, y, supports, projector,
+                F_t, rng)
+        new_state = self._update(state, grads, new_ms)
+        # reference reports mape/rmse of the E-pooled prediction vs the full
+        # 2-channel target (`engine.py:115-116` uses `predict` post-pooling)
+        metrics = {
+            "loss": loss,
+            "mape": masked_mape(e_hat, real, 0.0),
+            "rmse": masked_rmse(e_hat, real, 0.0),
+        }
+        return new_state, metrics
+
+    @functools.partial(jax.jit, static_argnums=(0, 6))
+    def eval_step_syn(self, state: TrainState, x, y, supports, projector,
+                      F_t: int):
+        predict, _ = self._forward(state.params, state.model_state, x,
+                                   supports, False, state.rng)
+        real = modality_target(y)
+        f_hat = pool_F(predict, F_t)
+        e_hat = pool_E(predict, projector)
+        loss = masked_mae(jnp.concatenate([f_hat, e_hat], axis=1), real, 0.0)
+        return {
+            "loss": loss,
+            "mape": masked_mape(e_hat, real, 0.0),
+            "rmse": masked_rmse(e_hat, real, 0.0),
+            "pred_F": f_hat,
+            "pred_E": e_hat,
+        }

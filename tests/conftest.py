@@ -1,17 +1,30 @@
 """Test configuration: force an 8-device virtual CPU mesh so DP/TP/SP
-sharding paths run in CI without TPU hardware (SURVEY.md §4)."""
+sharding paths run in CI without TPU hardware (SURVEY.md §4).
+
+NB: the session environment may pre-import jax with a TPU platform selected
+(site customization), so setting JAX_PLATFORMS here is too late — we override
+via ``jax.config`` before any backend is initialized. XLA_FLAGS must also be
+set before first backend use for the host-device-count to apply.
+"""
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert jax.default_backend() == "cpu", (
+    "tests must run on the virtual CPU mesh, got "
+    f"{jax.default_backend()!r}")
+assert len(jax.devices()) == 8
 
 
 @pytest.fixture

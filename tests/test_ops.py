@@ -1,0 +1,184 @@
+"""Op-level parity tests vs torch primitives.
+
+Each op is checked against the corresponding torch building block configured
+the way the reference uses it (layouts adapted: ours is (B, T, N, C), torch's
+is (B, C, N, T))."""
+
+import numpy as np
+import pytest
+import torch
+
+from graph_wavenet_tpu.ops import adaptive, diffusion, linear, normalization
+from graph_wavenet_tpu.ops import temporal
+import jax
+import jax.numpy as jnp
+
+
+def to_torch_btnc(x):
+    """(B,T,N,C) -> torch (B,C,N,T)"""
+    return torch.tensor(np.asarray(x).transpose(0, 3, 2, 1))
+
+
+def from_torch(x):
+    """torch (B,C,N,T) -> (B,T,N,C)"""
+    return x.detach().numpy().transpose(0, 3, 2, 1)
+
+
+@pytest.fixture
+def x(rng):
+    return rng.normal(size=(3, 9, 11, 5)).astype(np.float32)
+
+
+def test_linear_matches_conv1x1(x, rng):
+    p = linear.linear_init(jax.random.key(0), 5, 7)
+    conv = torch.nn.Conv2d(5, 7, kernel_size=(1, 1))
+    with torch.no_grad():
+        conv.weight.copy_(torch.tensor(
+            np.asarray(p["w"]).T[:, :, None, None]))
+        conv.bias.copy_(torch.tensor(np.asarray(p["b"])))
+    want = from_torch(conv(to_torch_btnc(x)))
+    got = np.asarray(linear.linear_apply(p, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("dilation", [1, 2, 4])
+def test_causal_conv_matches_torch_dilated_conv(x, dilation):
+    p = temporal.causal_conv_init(jax.random.key(1), 5, 6, 2)
+    conv = torch.nn.Conv2d(5, 6, kernel_size=(1, 2), dilation=dilation)
+    w = np.asarray(p["w"])  # (k, c_in, c_out)
+    with torch.no_grad():
+        conv.weight.copy_(torch.tensor(
+            w.transpose(2, 1, 0)[:, :, None, :]))
+        conv.bias.copy_(torch.tensor(np.asarray(p["b"])))
+    want = from_torch(conv(to_torch_btnc(x)))
+    got = np.asarray(temporal.causal_conv_apply(p, jnp.asarray(x), dilation))
+    assert got.shape[1] == x.shape[1] - dilation
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_gated_tcn(x):
+    pf = temporal.causal_conv_init(jax.random.key(2), 5, 6, 2)
+    pg = temporal.causal_conv_init(jax.random.key(3), 5, 6, 2)
+    got = temporal.gated_tcn_apply(pf, pg, jnp.asarray(x), 2)
+    want = np.tanh(np.asarray(
+        temporal.causal_conv_apply(pf, jnp.asarray(x), 2))) * (
+        1 / (1 + np.exp(-np.asarray(
+            temporal.causal_conv_apply(pg, jnp.asarray(x), 2)))))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_left_pad_time(x):
+    y = temporal.left_pad_time(jnp.asarray(x), 13)
+    assert y.shape == (3, 13, 11, 5)
+    np.testing.assert_array_equal(np.asarray(y[:, :4]), 0)
+    np.testing.assert_array_equal(np.asarray(y[:, 4:]), x)
+    # no-op when already long enough
+    assert temporal.left_pad_time(jnp.asarray(x), 9).shape == x.shape
+
+
+def test_nconv_matches_reference_einsum(x, rng):
+    A = rng.random((11, 11)).astype(np.float32)
+    got = np.asarray(diffusion.nconv(jnp.asarray(x), jnp.asarray(A)))
+    # reference: einsum('ncvl,vw->ncwl') in (B,C,N,T) layout
+    want = np.einsum("ncvl,vw->ncwl", x.transpose(0, 3, 2, 1), A)
+    np.testing.assert_allclose(got.transpose(0, 3, 2, 1), want, atol=1e-5)
+
+
+def test_nconv_batched(x, rng):
+    A = rng.random((3, 11, 11)).astype(np.float32)
+    got = np.asarray(diffusion.nconv_batched(jnp.asarray(x), jnp.asarray(A)))
+    want = np.einsum("ncvl,nvw->ncwl", x.transpose(0, 3, 2, 1), A)
+    np.testing.assert_allclose(got.transpose(0, 3, 2, 1), want, atol=1e-5)
+
+
+def test_gcn_fused_equals_concat(x, rng):
+    supports = [jnp.asarray(rng.random((11, 11)).astype(np.float32))
+                for _ in range(3)]
+    p = diffusion.gcn_init(jax.random.key(4), 5, 8, n_supports=3, order=2)
+    a = diffusion.gcn_apply(p, jnp.asarray(x), supports, mode="concat")
+    b = diffusion.gcn_apply(p, jnp.asarray(x), supports, mode="fused")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_gcn_hop_structure(x, rng):
+    # identity support: hops equal x, so output = x @ (sum of weight blocks)
+    eye = jnp.eye(11)
+    p = diffusion.gcn_init(jax.random.key(5), 5, 4, n_supports=1, order=2)
+    got = diffusion.gcn_apply(p, jnp.asarray(x), [eye])
+    w = np.asarray(p["w"])
+    wsum = w[:5] + w[5:10] + w[10:]
+    want = np.einsum("btnc,cf->btnf", x, wsum) + np.asarray(p["b"])
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_gcn_dropout(x, rng):
+    supports = [jnp.eye(11)]
+    p = diffusion.gcn_init(jax.random.key(6), 5, 4, n_supports=1, order=2)
+    ref = diffusion.gcn_apply(p, jnp.asarray(x), supports)
+    drop = diffusion.gcn_apply(p, jnp.asarray(x), supports, dropout=0.5,
+                               rng=jax.random.key(7), train=True)
+    d = np.asarray(drop)
+    r = np.asarray(ref)
+    zeros = d == 0
+    assert 0.3 < zeros.mean() < 0.7
+    np.testing.assert_allclose(d[~zeros], (r / 0.5)[~zeros], atol=1e-4)
+    # eval mode: dropout inert even with rate set
+    same = diffusion.gcn_apply(p, jnp.asarray(x), supports, dropout=0.5,
+                               train=False)
+    np.testing.assert_allclose(np.asarray(same), r, atol=1e-6)
+
+
+def test_adaptive_adjacency_matches_torch(rng):
+    nv1 = rng.normal(size=(11, 10)).astype(np.float32)
+    nv2 = rng.normal(size=(10, 11)).astype(np.float32)
+    got = np.asarray(adaptive.adaptive_adjacency(jnp.asarray(nv1),
+                                                 jnp.asarray(nv2)))
+    want = torch.softmax(torch.relu(
+        torch.tensor(nv1) @ torch.tensor(nv2)), dim=1).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    np.testing.assert_allclose(got.sum(1), 1.0, atol=1e-5)
+
+
+def test_adaptive_adjacency_batched(rng):
+    nv1 = rng.normal(size=(4, 11, 10)).astype(np.float32)
+    nv2 = rng.normal(size=(4, 10, 11)).astype(np.float32)
+    got = np.asarray(adaptive.adaptive_adjacency_batched(
+        jnp.asarray(nv1), jnp.asarray(nv2)))
+    want = torch.softmax(torch.relu(
+        torch.tensor(nv1) @ torch.tensor(nv2)), dim=2).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_svd_nodevecs(rng):
+    A = rng.random((11, 11)).astype(np.float64)
+    e1, e2 = adaptive.svd_nodevecs(A, rank=10)
+    m, p, n = torch.svd(torch.tensor(A))
+    w1 = (m[:, :10] @ torch.diag(p[:10] ** 0.5)).numpy()
+    w2 = (torch.diag(p[:10] ** 0.5) @ n[:, :10].t()).numpy()
+    # SVD sign ambiguity: compare the products (what the model consumes)
+    np.testing.assert_allclose(e1 @ e2, w1 @ w2, atol=1e-4)
+
+
+def test_batch_norm_matches_torch(x):
+    p, s = normalization.batch_norm_init(5)
+    bn = torch.nn.BatchNorm2d(5)
+    xt = to_torch_btnc(x)
+
+    # train step
+    bn.train()
+    want = from_torch(bn(xt))
+    got, new_s = normalization.batch_norm_apply(p, s, jnp.asarray(x),
+                                                train=True)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(new_s["mean"]),
+                               bn.running_mean.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_s["var"]),
+                               bn.running_var.numpy(), atol=1e-4)
+
+    # eval step uses running stats
+    bn.eval()
+    want = from_torch(bn(xt))
+    got, s2 = normalization.batch_norm_apply(p, new_s, jnp.asarray(x),
+                                             train=False)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+    assert s2 is new_s
