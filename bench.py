@@ -1,0 +1,72 @@
+"""Benchmark: full-model training-step throughput on the flagship METR-LA
+configuration (207 nodes, batch 64, 12-step horizon, diffusion GCN +
+adaptive adjacency — BASELINE.json config #3).
+
+Metric: node-timesteps/s through the jitted train step
+(batch * num_nodes * seq_len per step). The reference publishes no timing
+(BASELINE.md); ``REF_BASELINE`` is an estimate of the reference PyTorch
+implementation's throughput on its GTX 1080 Ti (≈6.5 steps/s at batch 64 —
+~55 s/epoch over 375 iterations, consistent with community-reported epoch
+times for Graph WaveNet on METR-LA), i.e. ≈1.0e6 node-timesteps/s.
+``vs_baseline`` is measured/REF_BASELINE.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REF_BASELINE = 1.0e6  # node-timesteps/s, estimated reference 1080 Ti
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from graph_wavenet_tpu.config import ModelConfig, TrainConfig
+    from graph_wavenet_tpu.data.scaler import StandardScaler
+    from graph_wavenet_tpu.train.engine import Engine
+
+    cfg = ModelConfig(num_nodes=207, in_dim=2, out_dim=12,
+                      residual_channels=32, dilation_channels=32,
+                      skip_channels=256, end_channels=512, blocks=4,
+                      layers=2, gcn_bool=True, addaptadj=True, n_supports=2)
+    batch, seq = 64, 12
+    engine = Engine(cfg, TrainConfig(), StandardScaler(54.0, 20.0))
+
+    rng = np.random.default_rng(0)
+    a = rng.random((2, cfg.num_nodes, cfg.num_nodes)).astype(np.float32)
+    supports = [jnp.asarray(s / s.sum(-1, keepdims=True)) for s in a]
+    x = jnp.asarray(rng.normal(
+        size=(batch, seq, cfg.num_nodes, 2)).astype(np.float32))
+    y = jnp.asarray(rng.normal(
+        size=(batch, seq, cfg.num_nodes, 2)).astype(np.float32) + 50.0)
+
+    state = engine.state
+    # warmup / compile
+    for _ in range(3):
+        state, metrics = engine.train_step(state, x, y, supports)
+    jax.block_until_ready(metrics["loss"])
+
+    n_steps = 50
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = engine.train_step(state, x, y, supports)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    node_timesteps = batch * cfg.num_nodes * seq * n_steps / dt
+    print(json.dumps({
+        "metric": "train_step_node_timesteps_per_s",
+        "value": round(node_timesteps, 1),
+        "unit": "node-timesteps/s",
+        "vs_baseline": round(node_timesteps / REF_BASELINE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

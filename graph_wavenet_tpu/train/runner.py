@@ -1,0 +1,278 @@
+"""Experiment runner: epoch loops, checkpoint-per-epoch, best-model
+selection, per-horizon test evaluation.
+
+Parity target: the epoch loops that live in the reference CLI
+(`/root/reference/train.py:145-208,233-297`) and its test blocks
+(`train.py:300-404`). Differences (deliberate):
+
+- per-step metrics stay on device; host sync happens once per epoch
+  (the reference `.item()`s three scalars every step);
+- checkpoints carry full train state (see ``train.checkpoint``);
+- the diff-G test loop evaluates with the *test* graphs — the reference
+  evaluates state='test' against ``G['val']`` supports (quirk #3,
+  SURVEY.md §7.4), which we fix.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graph_wavenet_tpu.config import ModelConfig, TrainConfig
+from graph_wavenet_tpu.data.loader import DataLoader
+from graph_wavenet_tpu.train import checkpoint as ckpt
+from graph_wavenet_tpu.train.engine import Engine, cluster_mean_projector
+from graph_wavenet_tpu.train.metrics import metric
+
+
+def _epoch_mean(steps: list[dict]) -> dict:
+    """Average a list of on-device step-metric dicts with one host sync."""
+    if not steps:
+        return {}
+    stacked = {k: jnp.stack([s[k] for s in steps]) for k in steps[0]
+               if jnp.ndim(steps[0][k]) == 0}
+    host = jax.device_get(stacked)
+    return {k: float(np.mean(v)) for k, v in host.items()}
+
+
+@dataclass
+class EpochLog:
+    epoch: int
+    train: dict
+    valid: dict
+    train_time: float
+    valid_time: float
+
+
+@dataclass
+class RunResult:
+    history: list[EpochLog] = field(default_factory=list)
+    best_epoch: int = -1
+    best_val_loss: float = float("inf")
+    best_checkpoint: str = ""
+    test_metrics: dict = field(default_factory=dict)
+    per_horizon: list[tuple[float, float, float]] = field(
+        default_factory=list)
+
+
+class Runner:
+    """Drives an Engine over a dataset dict from the data layer."""
+
+    def __init__(self, engine: Engine, train_cfg: TrainConfig,
+                 log_fn=print):
+        self.engine = engine
+        self.cfg = train_cfg
+        self.log = log_fn
+        self._ckpt_scores: dict[str, float] = {}
+
+    # ------------------------------------------------------------------
+    # shared-graph datasets (METR-LA / PEMS-BAY / same-G synthetic)
+    # ------------------------------------------------------------------
+
+    def fit(self, data: dict, supports) -> RunResult:
+        """Epoch loop over ``train_loader``/``val_loader``
+        (`train.py:233-297`)."""
+        result = RunResult()
+        engine = self.engine
+        state = engine.state
+        supports = None if supports is None else [jnp.asarray(s)
+                                                  for s in supports]
+        for epoch in range(1, self.cfg.epochs + 1):
+            t1 = time.time()
+            data["train_loader"].shuffle()
+            steps = []
+            for it, (x, y) in enumerate(data["train_loader"].get_iterator()):
+                state, m = engine.train_step(state, jnp.asarray(x),
+                                             jnp.asarray(y), supports)
+                steps.append(m)
+                if it % self.cfg.print_every == 0:
+                    mm = _epoch_mean([m])
+                    self.log(f"Iter: {it:03d}, Train Loss: "
+                             f"{mm['loss']:.4f}, Train MAPE: "
+                             f"{mm['mape']:.4f}, Train RMSE: "
+                             f"{mm['rmse']:.4f}")
+            t2 = time.time()
+            train_m = _epoch_mean(steps)
+
+            s1 = time.time()
+            vsteps = [engine.eval_step(state, jnp.asarray(x),
+                                       jnp.asarray(y), supports)
+                      for x, y in data["val_loader"].get_iterator()]
+            s2 = time.time()
+            valid_m = _epoch_mean(vsteps)
+
+            log = EpochLog(epoch, train_m, valid_m, t2 - t1, s2 - s1)
+            result.history.append(log)
+            self.log(
+                f"Epoch: {epoch:03d}, Train Loss: {train_m['loss']:.4f}, "
+                f"Valid Loss: {valid_m['loss']:.4f}, Training Time: "
+                f"{log.train_time:.4f}/epoch")
+            self._save_epoch(state, epoch, valid_m["loss"], result)
+
+        engine.state = state
+        self._finalize_best(result)
+        return result
+
+    def test(self, data: dict, supports, result: RunResult | None = None,
+             scaler=None) -> RunResult:
+        """Per-horizon test evaluation (`train.py:377-404`): predictions are
+        truncated to the real (unpadded) test count, then inverse-transformed
+        and scored per horizon step."""
+        result = result or RunResult()
+        engine = self.engine
+        scaler = scaler or engine.scaler
+        supports = None if supports is None else [jnp.asarray(s)
+                                                  for s in supports]
+        outputs = []
+        for batch in data["test_loader"].get_iterator():
+            x = batch[0]
+            preds = engine.predict_step(engine.state, jnp.asarray(x),
+                                        supports)
+            outputs.append(preds[:, 0])          # (B, N, H)
+        yhat = jnp.concatenate(outputs, axis=0)
+        realy = jnp.asarray(
+            np.transpose(data["y_test"][..., 0], (0, 2, 1)))  # (n, N, H)
+        yhat = yhat[:realy.shape[0]]
+
+        horizon = yhat.shape[-1]
+        per_h = []
+        for h in range(horizon):
+            pred = scaler.inverse_transform(yhat[:, :, h])
+            real = realy[:, :, h]
+            mae, mape, rmse = jax.device_get(metric(pred, real))
+            per_h.append((float(mae), float(mape), float(rmse)))
+            self.log(f"Evaluate best model on test data for horizon "
+                     f"{h + 1:d}, Test MAE: {per_h[-1][0]:.4f}, Test MAPE: "
+                     f"{per_h[-1][1]:.4f}, Test RMSE: {per_h[-1][2]:.4f}")
+        result.per_horizon = per_h
+        result.test_metrics = {
+            "mae": float(np.mean([m[0] for m in per_h])),
+            "mape": float(np.mean([m[1] for m in per_h])),
+            "rmse": float(np.mean([m[2] for m in per_h])),
+        }
+        self.log("On average over seq_length horizons, Test MAE: "
+                 f"{result.test_metrics['mae']:.4f}, Test MAPE: "
+                 f"{result.test_metrics['mape']:.4f}, Test RMSE: "
+                 f"{result.test_metrics['rmse']:.4f}")
+        return result
+
+    # ------------------------------------------------------------------
+    # per-sample-graph synthetic datasets (diff-G)
+    # ------------------------------------------------------------------
+
+    def fit_syn(self, data: dict, supports_by_split: dict,
+                graphs_by_split: dict, F_t: int,
+                n_communities: int) -> RunResult:
+        """Epoch loop for the diff-G synthetic task (`train.py:145-208`):
+        per-batch gather of each sample's supports and cluster projector."""
+        result = RunResult()
+        engine = self.engine
+        state = engine.state
+        sup = {k: [jnp.asarray(s) for s in v]
+               for k, v in supports_by_split.items()}
+        proj = {k: jnp.asarray(np.stack(
+            [cluster_mean_projector(g.community_labels, n_communities)
+             for g in v])) for k, v in graphs_by_split.items()}
+
+        for epoch in range(1, self.cfg.epochs + 1):
+            t1 = time.time()
+            data["train_loader"].shuffle()
+            steps = []
+            for x, y, adj_idx in data["train_loader"].get_iterator():
+                idx = jnp.asarray(adj_idx)
+                batch_sup = [s[idx] for s in sup["train"]]
+                state, m = engine.train_step_syn(
+                    state, jnp.asarray(x), jnp.asarray(y), batch_sup,
+                    proj["train"][idx], F_t)
+                steps.append(m)
+            t2 = time.time()
+            train_m = _epoch_mean(steps)
+
+            s1 = time.time()
+            vsteps = []
+            for x, y, adj_idx in data["val_loader"].get_iterator():
+                idx = jnp.asarray(adj_idx)
+                batch_sup = [s[idx] for s in sup["val"]]
+                vsteps.append(engine.eval_step_syn(
+                    state, jnp.asarray(x), jnp.asarray(y), batch_sup,
+                    proj["val"][idx], F_t))
+            s2 = time.time()
+            valid_m = _epoch_mean(vsteps)
+
+            log = EpochLog(epoch, train_m, valid_m, t2 - t1, s2 - s1)
+            result.history.append(log)
+            self.log(
+                f"Epoch: {epoch:03d}, Train Loss: {train_m['loss']:.4f}, "
+                f"Valid Loss: {valid_m['loss']:.4f}, Training Time: "
+                f"{log.train_time:.4f}/epoch")
+            self._save_epoch(state, epoch, valid_m["loss"], result)
+
+        engine.state = state
+        self._finalize_best(result)
+        return result
+
+    def test_syn(self, data: dict, supports_by_split: dict,
+                 graphs_by_split: dict, F_t: int, n_communities: int,
+                 result: RunResult | None = None) -> RunResult:
+        """diff-G test loop (`train.py:329-361`), evaluated against the TEST
+        split's graphs (reference bug used val's — fixed). Returns pooled
+        predictions for sequence reconstruction."""
+        result = result or RunResult()
+        engine = self.engine
+        sup = [jnp.asarray(s) for s in supports_by_split["test"]]
+        proj = jnp.asarray(np.stack(
+            [cluster_mean_projector(g.community_labels, n_communities)
+             for g in graphs_by_split["test"]]))
+        steps, reals, pred_fs, pred_es = [], [], [], []
+        for x, y, adj_idx in data["test_loader"].get_iterator():
+            idx = jnp.asarray(adj_idx)
+            batch_sup = [s[idx] for s in sup]
+            ev = engine.eval_step_syn(engine.state, jnp.asarray(x),
+                                      jnp.asarray(y), batch_sup,
+                                      proj[idx], F_t)
+            steps.append({k: ev[k] for k in ("loss", "mape", "rmse")})
+            reals.append(np.asarray(y))
+            pred_fs.append(np.asarray(ev["pred_F"])[:, 0])
+            pred_es.append(np.asarray(ev["pred_E"])[:, 0])
+        result.test_metrics = _epoch_mean(steps)
+        result.test_metrics["pred_F"] = np.concatenate(pred_fs)
+        result.test_metrics["pred_E"] = np.concatenate(pred_es)
+        result.test_metrics["reals"] = np.concatenate(reals)
+        self.log("On average over seq_length horizons, Test MAE: "
+                 f"{result.test_metrics['loss']:.4f}")
+        return result
+
+    # ------------------------------------------------------------------
+
+    def _save_epoch(self, state, epoch: int, val_loss: float,
+                    result: RunResult):
+        os.makedirs(self.cfg.save_dir, exist_ok=True)
+        path = os.path.join(
+            self.cfg.save_dir,
+            f"exp{self.cfg.expid}_epoch_{epoch}_{round(val_loss, 2)}"
+            ".msgpack")
+        ckpt.save_checkpoint(path, state, self.engine.model_cfg, self.cfg,
+                             self.engine.scaler,
+                             extra={"epoch": epoch, "val_loss": val_loss})
+        self._ckpt_scores[path] = val_loss
+        ckpt.prune_checkpoints(self.cfg.save_dir, "",
+                               self.cfg.keep_checkpoints, self._ckpt_scores)
+        if val_loss < result.best_val_loss:
+            result.best_val_loss = val_loss
+            result.best_epoch = epoch
+            result.best_checkpoint = path
+
+    def _finalize_best(self, result: RunResult):
+        """Reload the best-val checkpoint before testing
+        (`train.py:302-309`)."""
+        if result.best_checkpoint and os.path.exists(result.best_checkpoint):
+            self.engine.state = ckpt.load_checkpoint(result.best_checkpoint,
+                                                     self.engine.state)
+            self.log(f"The valid loss on best model is "
+                     f"{round(result.best_val_loss, 4)}")
