@@ -1,0 +1,118 @@
+"""Standalone evaluation CLI.
+
+Parity surface: `/root/reference/test.py` — rebuild the model from a
+checkpoint, per-horizon test metrics, adaptive-adjacency heatmap export, and
+a predictions CSV for one node — minus its quirks (stale imports and the
+``load_dataset`` call that can't run, quirk #4 SURVEY.md §7.4). The model,
+scaler and configs come from the checkpoint's metadata sidecar, so flags
+can't drift from training (the reference re-specifies the architecture on
+the command line).
+
+Usage:
+  python -m graph_wavenet_tpu.cli.test --checkpoint garage/exp1_epoch_3_0.5.msgpack \
+      --data data/METR-LA --adjdata data/sensor_graph/adj_mx.pkl
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--checkpoint", type=str, required=True)
+    p.add_argument("--data", type=str, default="data/METR-LA")
+    p.add_argument("--adjdata", type=str,
+                   default="data/sensor_graph/adj_mx.pkl")
+    p.add_argument("--adjtype", type=str, default="doubletransition")
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--aptonly", action="store_true")
+    p.add_argument("--plotheatmap", type=str, default="True")
+    p.add_argument("--heatmap_out", type=str, default="emb.pdf")
+    p.add_argument("--csv_out", type=str, default="wave.csv")
+    p.add_argument("--csv_node", type=int, default=99,
+                   help="node whose horizon-3/12 predictions go to the CSV "
+                        "(reference exports node 99, `test.py:100-107`)")
+    return p
+
+
+def main(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+
+    from graph_wavenet_tpu.data.metr import load_dataset
+    from graph_wavenet_tpu.graphs.normalize import load_adj
+    from graph_wavenet_tpu.ops.adaptive import adaptive_adjacency
+    from graph_wavenet_tpu.train import checkpoint as ckpt
+    from graph_wavenet_tpu.train.engine import Engine
+    from graph_wavenet_tpu.train.runner import Runner
+
+    meta = ckpt.load_metadata(args.checkpoint)
+    model_cfg = meta["model_cfg"]
+    train_cfg = meta["train_cfg"]
+    scaler = meta.get("scaler")
+
+    engine = Engine(model_cfg, train_cfg, scaler)
+    engine.state = ckpt.load_checkpoint(args.checkpoint, engine.state)
+
+    _, _, adj = load_adj(args.adjdata, args.adjtype)
+    supports = None if args.aptonly else adj
+    data = load_dataset(args.data, args.batch_size)
+
+    runner = Runner(engine, train_cfg)
+    result = runner.test(data, supports, scaler=scaler)
+
+    out: dict = {"per_horizon": result.per_horizon,
+                 "test_metrics": result.test_metrics}
+
+    if args.plotheatmap == "True" and "nodevec1" in engine.state.params:
+        adp = np.asarray(adaptive_adjacency(
+            engine.state.params["nodevec1"],
+            engine.state.params["nodevec2"]))
+        out["adaptive_adjacency"] = adp
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(figsize=(6, 5))
+            im = ax.imshow(adp, cmap="RdYlBu", aspect="auto")
+            fig.colorbar(im, ax=ax)
+            ax.set_title("adaptive adjacency softmax(relu(E1·E2ᵀ))")
+            fig.savefig(args.heatmap_out, bbox_inches="tight")
+            plt.close(fig)
+            print(f"saved heatmap to {args.heatmap_out}")
+        except Exception as e:  # headless/mpl-less environments
+            print(f"heatmap skipped: {e}")
+
+    # node predictions CSV: real, horizon-3 pred, horizon-12 pred
+    if args.csv_out:
+        import jax.numpy as jnp
+
+        sup = None if supports is None else [jnp.asarray(s)
+                                             for s in supports]
+        preds = []
+        for batch in data["test_loader"].get_iterator():
+            p = engine.predict_step(engine.state, jnp.asarray(batch[0]), sup)
+            preds.append(np.asarray(p)[:, 0])
+        yhat = np.concatenate(preds)[:len(data["y_test"])]
+        real = np.transpose(data["y_test"][..., 0], (0, 2, 1))
+        node = min(args.csv_node, real.shape[1] - 1)
+        horizon = yhat.shape[-1]
+        cols = {"real12": real[:, node, min(11, horizon - 1)],
+                "pred3": scaler.inverse_transform(
+                    yhat[:, node, min(2, horizon - 1)]),
+                "pred12": scaler.inverse_transform(
+                    yhat[:, node, min(11, horizon - 1)])}
+        header = ",".join(cols)
+        table = np.stack(list(cols.values()), axis=1)
+        np.savetxt(args.csv_out, table, delimiter=",", header=header,
+                   comments="")
+        print(f"saved predictions to {args.csv_out}")
+
+    return out
+
+
+if __name__ == "__main__":
+    main()

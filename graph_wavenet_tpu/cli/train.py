@@ -1,0 +1,173 @@
+"""Training CLI.
+
+Flag surface mirrors `/root/reference/train.py:18-44` (data path, adjtype,
+gcn/aptonly/addaptadj/randomadj, seq_length, nhid, blocks/layers, batch size,
+lr, dropout, weight decay, epochs, save, expid) with the engine's channel
+multipliers (skip = nhid*8, end = nhid*16, `engine.py:24,30`). Unlike the
+reference ``__main__`` (which defaults to loading a pretrained pickle,
+quirk #5 SURVEY.md §7.4), this CLI trains by default.
+
+Usage examples (reference README parity):
+  python -m graph_wavenet_tpu.cli.train --gcn_bool --adjtype doubletransition \
+      --addaptadj --randomadj --num_nodes 207 --seq_length 12 --data data/METR-LA
+  python -m graph_wavenet_tpu.cli.train --gcn_bool --adjtype doubletransition \
+      --addaptadj --randomadj --num_nodes 80 --data syn --blocks 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data", type=str, default="data/METR-LA",
+                   help="data path, or 'syn' / 'crash'")
+    p.add_argument("--adjdata", type=str,
+                   default="data/sensor_graph/adj_mx.pkl")
+    p.add_argument("--adjtype", type=str, default="doubletransition")
+    p.add_argument("--gcn_bool", action="store_true")
+    p.add_argument("--aptonly", action="store_true")
+    p.add_argument("--addaptadj", action="store_true")
+    p.add_argument("--randomadj", action="store_true")
+    p.add_argument("--seq_length", type=int, default=48)
+    p.add_argument("--nhid", type=int, default=32)
+    p.add_argument("--in_dim", type=int, default=2)
+    p.add_argument("--num_nodes", type=int, default=80)
+    p.add_argument("--layers", type=int, default=2)
+    p.add_argument("--blocks", type=int, default=4)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--dropout", type=float, default=0.3)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--print_every", type=int, default=50)
+    p.add_argument("--save", type=str, default="./garage")
+    p.add_argument("--expid", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--same_g", action="store_true",
+                   help="synthetic: one shared graph instead of per-sample")
+    p.add_argument("--n_train", type=int, default=80,
+                   help="synthetic: number of training subjects")
+    p.add_argument("--n_valid", type=int, default=20)
+    p.add_argument("--n_test", type=int, default=4)
+    p.add_argument("--num_timestep", type=int, default=1000)
+    p.add_argument("--fresh_nodevec", action="store_true",
+                   help="replicate the reference diff-G quirk of fresh "
+                        "random node embeddings every forward")
+    return p
+
+
+def model_config(args, diff_g: bool):
+    from graph_wavenet_tpu.config import ModelConfig
+
+    return ModelConfig(
+        num_nodes=args.num_nodes, in_dim=args.in_dim,
+        out_dim=args.seq_length, residual_channels=args.nhid,
+        dilation_channels=args.nhid, skip_channels=args.nhid * 8,
+        end_channels=args.nhid * 16, blocks=args.blocks, layers=args.layers,
+        dropout=args.dropout, gcn_bool=args.gcn_bool,
+        addaptadj=args.addaptadj,
+        n_supports=0 if args.aptonly else 2,
+        start_dilation=4 if diff_g else 1,
+        fresh_nodevec=args.fresh_nodevec and diff_g)
+
+
+def main(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+
+    from graph_wavenet_tpu.config import DataConfig, TrainConfig
+    from graph_wavenet_tpu.train.engine import Engine
+    from graph_wavenet_tpu.train.runner import Runner
+
+    train_cfg = TrainConfig(
+        batch_size=args.batch_size, learning_rate=args.learning_rate,
+        weight_decay=args.weight_decay, epochs=args.epochs,
+        print_every=args.print_every, seed=args.seed, save_dir=args.save,
+        expid=args.expid)
+
+    t1 = time.time()
+    if args.data == "syn":
+        from graph_wavenet_tpu.data.synthetic import (
+            load_dataset_syn,
+            stack_support_splits,
+        )
+
+        data_cfg = DataConfig(
+            dataset="syn", adjtype=args.adjtype, num_nodes=args.num_nodes,
+            seq_length=args.seq_length, same_g=args.same_g,
+            n_train=args.n_train, n_valid=args.n_valid, n_test=args.n_test,
+            num_timestep=args.num_timestep)
+        data, adjs, F_t, G = load_dataset_syn(
+            data_cfg, args.batch_size, seed=args.seed)
+
+        if args.same_g:
+            cfg = model_config(args, diff_g=False)
+            engine = Engine(cfg, train_cfg, data["scaler"])
+            runner = Runner(engine, train_cfg)
+            supports = None if args.aptonly else adjs
+            result = runner.fit(data, supports)
+            runner.test(data, supports, result)
+        else:
+            cfg = model_config(args, diff_g=True)
+            engine = Engine(cfg, train_cfg, data["scaler"], diff_g=True)
+            runner = Runner(engine, train_cfg)
+            supports = stack_support_splits(adjs, data_cfg.n_train,
+                                            data_cfg.n_test)
+            if args.aptonly:
+                supports = {k: [] for k in supports}
+            result = runner.fit_syn(data, supports, G, F_t,
+                                    data_cfg.n_communities)
+            runner.test_syn(data, supports, G, F_t,
+                            data_cfg.n_communities, result)
+    elif args.data == "crash":
+        from graph_wavenet_tpu.data.crash import load_dataset_crash
+
+        data, supports, F_t, G = load_dataset_crash(
+            batch_size=args.batch_size, adjtype=args.adjtype,
+            seed=args.seed)
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            model_config(args, diff_g=True),
+            out_dim=data["K"], num_nodes=data["x_train"].shape[2])
+        engine = Engine(cfg, train_cfg, data["scaler"], diff_g=True)
+        runner = Runner(engine, train_cfg)
+        result = runner.fit_syn(data, supports, G, F_t,
+                                data["n_communities"])
+        runner.test_syn(data, supports, G, F_t, data["n_communities"],
+                        result)
+    else:
+        from graph_wavenet_tpu.data.metr import load_dataset
+        from graph_wavenet_tpu.graphs.normalize import load_adj
+
+        _, _, adj = load_adj(args.adjdata, args.adjtype)
+        data = load_dataset(args.data, args.batch_size, seed=args.seed)
+        cfg = model_config(args, diff_g=False)
+        aptinit = None if args.randomadj else adj[0]
+        supports = None if args.aptonly else adj
+
+        from graph_wavenet_tpu.models.gwnet import init_gwnet
+        import jax
+
+        engine = Engine(cfg, train_cfg, data["scaler"])
+        if aptinit is not None and cfg.gcn_bool and cfg.addaptadj:
+            params, mstate = init_gwnet(jax.random.key(args.seed), cfg,
+                                        aptinit=np.asarray(aptinit))
+            engine.state = engine.state.__class__(
+                params=params, opt_state=engine.optimizer.init(params),
+                model_state=mstate, step=engine.state.step,
+                rng=engine.state.rng)
+        runner = Runner(engine, train_cfg)
+        result = runner.fit(data, supports)
+        runner.test(data, supports, result)
+
+    print(f"Total time spent: {time.time() - t1:.4f}")
+    return {"result": result}
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,11 @@ class ModelConfig:
     # numerics
     dtype: str = "float32"       # activation dtype ("float32" | "bfloat16")
     param_dtype: str = "float32"
+    # kernels: use the fused Pallas TPU kernels (gated TCN + diffusion GCN)
+    # instead of the XLA reference ops; falls back to interpret mode off-TPU.
+    # Shared-graph supports only — the diff-G batched-support path stays XLA.
+    use_pallas: bool = False
+    pallas_row_block: int = 32   # rows of B*T per diffusion-kernel program
 
     @property
     def supports_len(self) -> int:

@@ -122,9 +122,13 @@ def apply_gwnet(cfg: ModelConfig, params: Params, state: State,
     ``gcn_bool and self.supports is not None`` gate at `model.py:225`);
     pass ``[]`` with ``addaptadj`` for the adaptive-only (aptonly) model.
     """
-    # padding parity: reference pads to its *stored* receptive field
-    # (`model.py:176-180`), which understates true reach for diff-G configs.
-    x = left_pad_time(x, cfg.compat_receptive_field)
+    # Pad to the TRUE receptive field. The reference pads to its *stored*
+    # receptive field (`model.py:176-180`), which understates true reach for
+    # diff-G configs (quirk #8, SURVEY.md §7.4) — inputs shorter than true
+    # reach crash it with negative conv lengths. For every input the
+    # reference handles, true rf == stored rf or the input already covers
+    # it, so this is parity-preserving; shorter inputs become valid.
+    x = left_pad_time(x, cfg.receptive_field)
     x = linear_apply(params["start_conv"], x)
 
     new_supports = supports
@@ -150,22 +154,52 @@ def _wavenet_stack(cfg: ModelConfig, params: Params, state: State,
         assert rng is not None, "training with dropout needs an rng"
         dropout_keys = jax.random.split(rng, len(params["layers"]))
 
+    # fused Pallas kernels: shared (N, N) supports only; batched (B, N, N)
+    # diff-G supports use the XLA path
+    fused = cfg.use_pallas and (not use_gcn or all(
+        getattr(a, "ndim", 2) == 2 for a in (supports or [])))
+    if fused:
+        from graph_wavenet_tpu.ops.pallas.diffusion import gcn_rows
+        from graph_wavenet_tpu.ops.pallas.gated_tcn import (
+            fused_gated_tcn,
+            pack_gate_params,
+        )
+
+        interpret = jax.default_backend() != "tpu"
+
     for i, (layer, dilation) in enumerate(
             zip(params["layers"], cfg.dilations())):
         residual = x
-        x = gated_tcn_apply(layer["filter"], layer["gate"], residual,
-                            dilation)
+        if fused:
+            w_gate, b_gate = pack_gate_params(layer["filter"],
+                                              layer["gate"])
+            x = fused_gated_tcn(residual, w_gate, b_gate, dilation,
+                                interpret)
+        else:
+            x = gated_tcn_apply(layer["filter"], layer["gate"], residual,
+                                dilation)
         s = linear_apply(layer["skip"], x)
         # skip accumulator cropped to the current time length
         # (`model.py:216-222`: try/except on the int-0 initial skip)
         skip = s if skip is None else s + skip[:, -s.shape[1]:]
 
         if use_gcn:
-            x = gcn_apply(layer["gcn"], x, supports,
-                          order=cfg.diffusion_order, dropout=cfg.dropout,
-                          rng=None if dropout_keys is None
-                          else dropout_keys[i],
-                          train=train)
+            if fused:
+                x = gcn_rows(x, list(supports), layer["gcn"],
+                             cfg.diffusion_order,
+                             row_block=cfg.pallas_row_block,
+                             interpret=interpret)
+                if train and cfg.dropout > 0.0:
+                    keep = jax.random.bernoulli(dropout_keys[i],
+                                                1.0 - cfg.dropout, x.shape)
+                    x = jnp.where(keep, x / (1.0 - cfg.dropout), 0.0)
+            else:
+                x = gcn_apply(layer["gcn"], x, supports,
+                              order=cfg.diffusion_order,
+                              dropout=cfg.dropout,
+                              rng=None if dropout_keys is None
+                              else dropout_keys[i],
+                              train=train)
         else:
             x = linear_apply(layer["residual"], x)
 

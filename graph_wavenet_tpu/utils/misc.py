@@ -1,0 +1,72 @@
+"""Misc runtime utilities.
+
+Parity surface: `/root/reference/Utils/miscTools.py` — filename mangling
+(`num2filename`, `:16-28`), RNG state save/restore (`saveSeed`/`loadSeed`,
+`:46-94`), and key=value experiment logging (`writeVarValues`, `:97-110`).
+RNG checkpointing here covers numpy Generators and JAX PRNG keys (the torch
+states of the reference have no meaning in this framework).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any
+
+import numpy as np
+
+
+def num2filename(x, d: str = "_") -> str:
+    """Render a number filename-safe: 0.1 -> '0_1', 2.0 -> '2'
+    (reference `miscTools.py:16-28`)."""
+    if x == int(x):
+        return str(int(x))
+    return str(x).replace(".", d)
+
+
+def save_seed(save_dir: str, rng_states: list[dict[str, Any]],
+              filename: str = "randomSeedUsed.pkl") -> None:
+    """Pickle a list of RNG state dicts; numpy Generators and JAX key arrays
+    are converted to picklable form."""
+    os.makedirs(save_dir, exist_ok=True)
+    serializable = []
+    for st in rng_states:
+        entry = dict(st)
+        if isinstance(entry.get("state"), np.random.Generator):
+            entry["state"] = entry["state"].bit_generator.state
+            entry["kind"] = "numpy"
+        elif entry.get("kind") == "jax":
+            import jax
+            entry["state"] = np.asarray(jax.random.key_data(entry["state"]))
+        serializable.append(entry)
+    with open(os.path.join(save_dir, filename), "wb") as f:
+        pickle.dump({"randomStates": serializable}, f)
+
+
+def load_seed(load_dir: str,
+              filename: str = "randomSeedUsed.pkl") -> list[dict[str, Any]]:
+    """Restore RNG states saved by :func:`save_seed`; numpy entries come back
+    as live Generators, jax entries as key arrays."""
+    with open(os.path.join(load_dir, filename), "rb") as f:
+        states = pickle.load(f)["randomStates"]
+    out = []
+    for entry in states:
+        entry = dict(entry)
+        if entry.get("kind") == "numpy":
+            gen = np.random.default_rng()
+            gen.bit_generator.state = entry["state"]
+            entry["state"] = gen
+        elif entry.get("kind") == "jax":
+            import jax
+            entry["state"] = jax.random.wrap_key_data(
+                np.asarray(entry["state"]))
+        out.append(entry)
+    return out
+
+
+def write_var_values(file_to_write: str, var_values: dict) -> None:
+    """Append key = value lines (reference `miscTools.py:97-110`)."""
+    with open(file_to_write, "a+") as f:
+        for key, value in var_values.items():
+            f.write(f"{key} = {value}\n")
+        f.write("\n")

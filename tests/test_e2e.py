@@ -1,0 +1,166 @@
+"""End-to-end smoke tests through the CLI entry points: METR-style training
++ standalone eval, synthetic diff-G training, CRASH pipeline, misc utils."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from graph_wavenet_tpu.utils import misc
+
+
+@pytest.fixture
+def metr_fixture(tmp_path, rng):
+    """A tiny METR-shaped dataset + adjacency pickle on disk."""
+    from graph_wavenet_tpu.data.traffic_etl import generate_train_val_test
+
+    n_nodes = 12
+    values = (rng.normal(size=(160, n_nodes)) * 5 + 60).astype(np.float32)
+    # sprinkle zeros to exercise the masked metrics
+    values[rng.random(values.shape) < 0.05] = 0.0
+    index = (np.datetime64("2012-03-01T00:00") +
+             np.arange(160) * np.timedelta64(5, "m"))
+    data_dir = tmp_path / "DATA"
+    generate_train_val_test(values, str(data_dir), index=index)
+
+    adj = (rng.random((n_nodes, n_nodes)) < 0.4).astype(np.float32)
+    np.fill_diagonal(adj, 1.0)
+    adj_path = tmp_path / "adj_mx.pkl"
+    with open(adj_path, "wb") as f:
+        pickle.dump(([str(i) for i in range(n_nodes)],
+                     {str(i): i for i in range(n_nodes)}, adj), f)
+    return str(data_dir), str(adj_path), n_nodes
+
+
+def test_cli_train_and_eval_metr(tmp_path, metr_fixture):
+    from graph_wavenet_tpu.cli import test as test_cli
+    from graph_wavenet_tpu.cli import train as train_cli
+
+    data_dir, adj_path, n_nodes = metr_fixture
+    save = str(tmp_path / "garage")
+    out = train_cli.main([
+        "--data", data_dir, "--adjdata", adj_path, "--gcn_bool",
+        "--addaptadj", "--randomadj", "--adjtype", "doubletransition",
+        "--num_nodes", str(n_nodes), "--seq_length", "12", "--nhid", "4",
+        "--blocks", "2", "--layers", "2", "--batch_size", "8", "--epochs",
+        "2", "--save", save])
+    result = out["result"]
+    assert len(result.history) == 2
+    assert result.best_checkpoint and os.path.exists(result.best_checkpoint)
+    assert len(result.per_horizon) == 12
+    assert np.isfinite(result.test_metrics["mae"])
+
+    ev = test_cli.main([
+        "--checkpoint", result.best_checkpoint, "--data", data_dir,
+        "--adjdata", adj_path, "--batch_size", "8",
+        "--heatmap_out", str(tmp_path / "emb.pdf"),
+        "--csv_out", str(tmp_path / "wave.csv")])
+    assert len(ev["per_horizon"]) == 12
+    # eval CLI reproduces the training-side test metrics from the checkpoint
+    assert ev["test_metrics"]["mae"] == pytest.approx(
+        result.test_metrics["mae"], rel=1e-4)
+    assert "adaptive_adjacency" in ev
+    assert os.path.exists(tmp_path / "wave.csv")
+
+
+def test_cli_train_syn_diff_g(tmp_path):
+    from graph_wavenet_tpu.cli import train as train_cli
+
+    out = train_cli.main([
+        "--data", "syn", "--gcn_bool", "--addaptadj", "--randomadj",
+        "--num_nodes", "15", "--seq_length", "24", "--nhid", "4",
+        "--blocks", "2", "--layers", "2", "--batch_size", "8",
+        "--epochs", "1", "--n_train", "3", "--n_valid", "2", "--n_test",
+        "2", "--num_timestep", "60", "--save", str(tmp_path / "g")])
+    result = out["result"]
+    assert len(result.history) == 1
+    assert np.isfinite(result.test_metrics["loss"])
+    assert result.test_metrics["pred_F"].shape[-1] == 24
+
+
+def test_cli_train_syn_same_g(tmp_path):
+    from graph_wavenet_tpu.cli import train as train_cli
+
+    out = train_cli.main([
+        "--data", "syn", "--same_g", "--gcn_bool", "--addaptadj",
+        "--randomadj", "--num_nodes", "15", "--seq_length", "12", "--nhid",
+        "4", "--blocks", "2", "--layers", "2", "--batch_size", "8",
+        "--epochs", "1", "--n_train", "4", "--n_valid", "2", "--n_test",
+        "2", "--num_timestep", "60", "--save", str(tmp_path / "g")])
+    assert np.isfinite(out["result"].test_metrics["mae"])
+
+
+def test_crash_pipeline(tmp_path):
+    from graph_wavenet_tpu.data import crash
+
+    data, sup, F_t, G = crash.load_dataset_crash(batch_size=4, seed=0)
+    assert data["K"] % F_t == 0
+    x, y, idx = next(iter(data["train_loader"].get_iterator()))
+    K = data["K"]
+    n_regions = x.shape[2]
+    assert x.shape == (4, K, n_regions, 2)
+    assert y.shape == x.shape
+    assert sup["train"][0].shape[1:] == (n_regions, n_regions)
+    assert len(G["train"]) == sup["train"][0].shape[0]
+    assert data["n_communities"] >= 2
+    # communities cover all regions
+    total = sum(len(v) for v in G["train"][0].assign_dict.values())
+    assert total == n_regions
+
+
+def test_crash_temporal_extension_no_drift():
+    from graph_wavenet_tpu.data.crash import temporal_extension
+
+    fmri = np.arange(10, dtype=np.float64)[:, None]
+    F_t = 582.4 / 150.0  # non-integer ratio
+    target = 1 + int(9 * F_t)
+    out = temporal_extension(fmri, F_t, target)
+    assert out.shape == (target, 1)
+    # each frame appears round((i+1)F_t)-round(iF_t) times; totals track iF_t
+    for i in range(9):
+        count = int((out[:, 0] == i).sum())
+        assert count == round((i + 1) * F_t) - round(i * F_t)
+
+
+def test_crash_cli(tmp_path):
+    from graph_wavenet_tpu.cli import train as train_cli
+
+    out = train_cli.main([
+        "--data", "crash", "--gcn_bool", "--addaptadj", "--randomadj",
+        "--nhid", "4", "--blocks", "2", "--layers", "2", "--batch_size",
+        "4", "--epochs", "1", "--save", str(tmp_path / "g")])
+    assert np.isfinite(out["result"].test_metrics["loss"])
+
+
+def test_misc_num2filename():
+    assert misc.num2filename(2.0) == "2"
+    assert misc.num2filename(0.1) == "0_1"
+    assert misc.num2filename(0.25, "-") == "0-25"
+
+
+def test_misc_seed_roundtrip(tmp_path):
+    import jax
+
+    gen = np.random.default_rng(42)
+    gen.random(5)
+    key = jax.random.key(7)
+    misc.save_seed(str(tmp_path), [
+        {"module": "numpy", "kind": "numpy", "state": gen},
+        {"module": "jax", "kind": "jax", "state": key},
+    ])
+    states = misc.load_seed(str(tmp_path))
+    want = gen.random(3)
+    got = states[0]["state"].random(3)
+    np.testing.assert_array_equal(got, want)
+    k2 = states[1]["state"]
+    np.testing.assert_array_equal(
+        jax.random.normal(k2, (3,)), jax.random.normal(key, (3,)))
+
+
+def test_misc_write_var_values(tmp_path):
+    path = str(tmp_path / "vars.txt")
+    misc.write_var_values(path, {"lr": 0.001, "epoch": 3})
+    with open(path) as f:
+        content = f.read()
+    assert "lr = 0.001" in content and "epoch = 3" in content
