@@ -50,14 +50,21 @@ def main() -> None:
     # warmup / compile
     for _ in range(3):
         state, metrics = engine.train_step(state, x, y, supports)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # full sync (block_until_ready alone can return
+    #                         early through tunneled device transports)
 
-    n_steps = 50
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, metrics = engine.train_step(state, x, y, supports)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+    def timed(n_steps: int) -> float:
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, metrics = engine.train_step(state, x, y, supports)
+        float(metrics["loss"])  # fetch forces real completion
+        return time.perf_counter() - t0
+
+    # differential timing cancels the fixed dispatch/fetch overhead
+    n1, n2 = 40, 120
+    dt = timed(n2) - timed(n1)
+    n_steps = n2 - n1
 
     node_timesteps = batch * cfg.num_nodes * seq * n_steps / dt
     print(json.dumps({

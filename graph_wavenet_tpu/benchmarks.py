@@ -1,0 +1,163 @@
+"""Benchmark suite: the five BASELINE.json configurations plus scaling
+harnesses.
+
+Configs (BASELINE.json "configs"):
+  1. temporal-only WaveNet, METR-LA shapes (no gcn)
+  2. METR-LA + diffusion GCN over fixed doubletransition supports
+  3. METR-LA full model (+ learned adaptive adjacency)      <- flagship
+  4. PEMS-BAY full model (325 nodes)
+  5. large synthetic graph (>=5k nodes), node-sharded diffusion
+
+Each benchmark jits the FULL train step (forward+backward+Adam) and reports
+node-timesteps/s. ``weak_scaling`` runs config 3 data-parallel across a mesh
+and reports per-device efficiency vs the 1-device run — on real multi-chip
+hardware this is the headline scaling number; on the CPU test mesh it
+validates the harness.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graph_wavenet_tpu.config import MeshConfig, ModelConfig, TrainConfig
+from graph_wavenet_tpu.data.scaler import StandardScaler
+from graph_wavenet_tpu.parallel import mesh as M
+from graph_wavenet_tpu.train.engine import Engine
+
+FLAGSHIP = ModelConfig(num_nodes=207, in_dim=2, out_dim=12,
+                       residual_channels=32, dilation_channels=32,
+                       skip_channels=256, end_channels=512, blocks=4,
+                       layers=2, gcn_bool=True, addaptadj=True, n_supports=2)
+
+CONFIGS: dict[str, ModelConfig] = {
+    "metr-la-temporal": replace(FLAGSHIP, gcn_bool=False, addaptadj=False),
+    "metr-la-gcn": replace(FLAGSHIP, addaptadj=False),
+    "metr-la-full": FLAGSHIP,
+    "pems-bay-full": replace(FLAGSHIP, num_nodes=325),
+    "syn-5k-nodes": replace(FLAGSHIP, num_nodes=5120, skip_channels=256,
+                            end_channels=512),
+}
+
+
+def _random_inputs(cfg: ModelConfig, batch: int, seq: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(batch, seq, cfg.num_nodes, 2)).astype(np.float32)
+    y = rng.normal(size=(batch, seq, cfg.num_nodes, 2)).astype(
+        np.float32) + 50.0
+    supports = None
+    if cfg.gcn_bool:
+        a = rng.random((cfg.n_supports, cfg.num_nodes,
+                        cfg.num_nodes)).astype(np.float32)
+        supports = [s / s.sum(-1, keepdims=True) for s in a]
+    return x, y, supports
+
+
+def bench_train_step(cfg: ModelConfig, batch: int = 64, seq: int = 12,
+                     steps: int = 50, warmup: int = 3,
+                     use_pallas: bool | None = None) -> dict:
+    """Throughput of the jitted train step for one config."""
+    if use_pallas is not None:
+        cfg = replace(cfg, use_pallas=use_pallas)
+    engine = Engine(cfg, TrainConfig(), StandardScaler(54.0, 20.0))
+    x, y, supports = _random_inputs(cfg, batch, seq)
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+    sup = None if supports is None else [jnp.asarray(s) for s in supports]
+
+    state = engine.state
+    for _ in range(warmup):
+        state, metrics = engine.train_step(state, xj, yj, sup)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = engine.train_step(state, xj, yj, sup)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return {
+        "steps_per_s": steps / dt,
+        "node_timesteps_per_s": batch * cfg.num_nodes * seq * steps / dt,
+        "step_ms": dt / steps * 1e3,
+    }
+
+
+def bench_sharded_train_step(cfg: ModelConfig, mesh_cfg: MeshConfig,
+                             batch: int = 64, seq: int = 12,
+                             steps: int = 20, warmup: int = 3) -> dict:
+    """Config-5 style: train step over a mesh with the requested shardings
+    (node-TP for the large graph, DP over the rest)."""
+    mesh = M.make_mesh(mesh_cfg)
+    engine = Engine(cfg, TrainConfig(), StandardScaler(54.0, 20.0))
+    state = M.shard_state(mesh, engine.state)
+    x, y, supports = _random_inputs(cfg, batch, seq)
+    xj, yj = M.shard_batch(mesh, mesh_cfg, x, y)
+    sup = None
+    if supports is not None:
+        sup = [jax.device_put(jnp.asarray(s),
+                              M.support_sharding(mesh, mesh_cfg))
+               for s in supports]
+    for _ in range(warmup):
+        state, metrics = engine.train_step(state, xj, yj, sup)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = engine.train_step(state, xj, yj, sup)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return {
+        "devices": mesh.devices.size,
+        "steps_per_s": steps / dt,
+        "node_timesteps_per_s": batch * cfg.num_nodes * seq * steps / dt,
+    }
+
+
+def weak_scaling(cfg: ModelConfig = FLAGSHIP, per_device_batch: int = 64,
+                 seq: int = 12, steps: int = 20) -> dict:
+    """Weak scaling: fixed per-device batch, growing device count; reports
+    efficiency = throughput_N / (N * throughput_1)."""
+    n_devices = len(jax.devices())
+    results = {}
+    base = None
+    n = 1
+    while n <= n_devices:
+        mesh_cfg = MeshConfig(data_axis=n)
+        mesh = M.make_mesh(mesh_cfg, devices=jax.devices()[:n])
+        engine = Engine(cfg, TrainConfig(), StandardScaler(54.0, 20.0))
+        state = M.shard_state(mesh, engine.state)
+        x, y, supports = _random_inputs(cfg, per_device_batch * n, seq)
+        xj, yj = M.shard_batch(mesh, mesh_cfg, x, y)
+        sup = [jax.device_put(jnp.asarray(s), M.replicated(mesh))
+               for s in supports]
+        for _ in range(3):
+            state, metrics = engine.train_step(state, xj, yj, sup)
+        jax.block_until_ready(metrics["loss"])
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, metrics = engine.train_step(state, xj, yj, sup)
+        jax.block_until_ready(metrics["loss"])
+        dt = time.perf_counter() - t0
+        tput = per_device_batch * n * cfg.num_nodes * seq * steps / dt
+        if base is None:
+            base = tput
+        results[n] = {"node_timesteps_per_s": tput,
+                      "efficiency": tput / (n * base)}
+        n *= 2
+    return results
+
+
+def run_all(batch: int = 64, steps: int = 30) -> dict:
+    out = {}
+    for name, cfg in CONFIGS.items():
+        if cfg.num_nodes > 1000:
+            continue  # config 5 runs via bench_sharded_train_step
+        out[name] = bench_train_step(cfg, batch=batch, steps=steps)
+    return out
+
+
+if __name__ == "__main__":
+    import json
+
+    print(json.dumps(run_all(), indent=2))

@@ -1,0 +1,116 @@
+"""Node-ordering policies and community source-node selection.
+
+Parity surface: the GNN-sampling heritage functions of
+`/root/reference/Utils/graphTools.py` — ``computeSourceNodes``
+(`graphTools.py:364-393`), ``permIdentity`` / ``permDegree`` /
+``permSpectralProxies`` / ``permEDS`` (`graphTools.py:829-1000`). These are
+host-side (numpy) dataset-build utilities, not compute-path code.
+
+The reference's spectral clustering uses sklearn; this framework implements
+it directly (normalized-Laplacian eigenvectors + Lloyd k-means) to avoid the
+dependency — same algorithm family, deterministic under a seeded Generator.
+
+Each ``perm*`` returns ``(S_permuted, order)`` where ``order`` is the node
+permutation applied symmetrically to the GSO (rows and columns), matching the
+reference convention.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from graph_wavenet_tpu.graphs.generate import normalize_laplacian, \
+    adjacency_to_laplacian
+
+
+def _kmeans(points: np.ndarray, k: int, rng: np.random.Generator,
+            iters: int = 100) -> np.ndarray:
+    """Plain Lloyd k-means; returns per-point labels."""
+    n = len(points)
+    centers = points[rng.choice(n, size=k, replace=False)]
+    labels = np.zeros(n, dtype=np.int64)
+    for _ in range(iters):
+        d = ((points[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        new_labels = d.argmin(1)
+        if np.array_equal(new_labels, labels):
+            break
+        labels = new_labels
+        for c in range(k):
+            mask = labels == c
+            if mask.any():
+                centers[c] = points[mask].mean(0)
+            else:  # re-seed an empty cluster at the farthest point
+                centers[c] = points[d.min(1).argmax()]
+    return labels
+
+
+def spectral_clustering(W: np.ndarray, k: int,
+                        rng: np.random.Generator | None = None
+                        ) -> np.ndarray:
+    """Normalized spectral clustering: bottom-k eigenvectors of the
+    normalized Laplacian, row-normalized, k-means. Returns labels (N,)."""
+    rng = rng if rng is not None else np.random.default_rng(0)
+    W = np.asarray(W, dtype=np.float64)
+    Wsym = 0.5 * (W + W.T)
+    L = normalize_laplacian(adjacency_to_laplacian(Wsym))
+    _, vecs = np.linalg.eigh(L)
+    emb = vecs[:, :k]
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    emb = emb / np.where(norms > 0, norms, 1.0)
+    return _kmeans(emb, k, rng)
+
+
+def compute_source_nodes(A: np.ndarray, C: int,
+                         rng: np.random.Generator | None = None
+                         ) -> list[int]:
+    """Cluster the graph into C communities and pick the highest-degree node
+    of each (`graphTools.py:364-393`)."""
+    A = np.asarray(A, dtype=np.float64)
+    labels = spectral_clustering(A, C, rng)
+    degree = A.sum(axis=1)
+    sources = []
+    for c in range(C):
+        idx = np.nonzero(labels == c)[0]
+        if len(idx):
+            sources.append(int(idx[degree[idx].argmax()]))
+    return sources
+
+
+def perm_identity(S: np.ndarray) -> tuple[np.ndarray, list[int]]:
+    """No-op ordering (`graphTools.py:829-859`)."""
+    return S.copy(), list(range(S.shape[0]))
+
+
+def _permute(S: np.ndarray, order: np.ndarray) -> np.ndarray:
+    return S[np.ix_(order, order)]
+
+
+def perm_degree(S: np.ndarray) -> tuple[np.ndarray, list[int]]:
+    """Decreasing-degree ordering (`graphTools.py:861-895`); degree summed
+    over symmetrized |S|."""
+    Ssym = 0.5 * (np.abs(S) + np.abs(S).T)
+    order = np.argsort(-Ssym.sum(axis=1), kind="stable")
+    return _permute(S, order), order.tolist()
+
+
+def perm_spectral_proxies(S: np.ndarray, k: int = 8
+                          ) -> tuple[np.ndarray, list[int]]:
+    """Ordering by the spectral-proxy score |S^k 1| (decreasing) — a
+    power-iteration proxy for eigenvector centrality
+    (`graphTools.py:897-965` simplified to its score ordering)."""
+    v = np.ones(S.shape[0])
+    Sk = np.linalg.matrix_power(np.asarray(S, dtype=np.float64), k)
+    score = np.abs(Sk @ v)
+    order = np.argsort(-score, kind="stable")
+    return _permute(S, order), order.tolist()
+
+
+def perm_eds(S: np.ndarray) -> tuple[np.ndarray, list[int]]:
+    """Experimentally-designed-sampling ordering: by leverage score
+    (squared first-eigenvector magnitude, decreasing)
+    (`graphTools.py:967-1000`)."""
+    Ssym = 0.5 * (S + S.T)
+    e, V = np.linalg.eigh(np.asarray(Ssym, dtype=np.float64))
+    lead = V[:, np.argmax(np.abs(e))]
+    order = np.argsort(-(lead ** 2), kind="stable")
+    return _permute(S, order), order.tolist()

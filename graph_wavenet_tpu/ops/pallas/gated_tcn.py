@@ -35,55 +35,64 @@ from graph_wavenet_tpu.ops.temporal import causal_conv_apply
 
 def _kernel(x_ref, w_ref, b_ref, o_ref, *, dilation: int, t_out: int,
             f_out: int):
-    # x_ref: (1, T, N, C); w_ref: (k, C, 2F); b_ref: (1, 2F)
-    t, n, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    # x_ref: (BB, T, N, C); w_ref: (k, C, 2F); b_ref: (1, 2F)
+    # One big matmul over ALL rows of the block (merge-leading reshape, MXU
+    # M = BB*T*N), then per-tap results are SHIFTED-ADDED via static time
+    # slices of the 4-D view — no per-batch or per-tap small matmuls.
+    bb, t, n, c = x_ref.shape
     k = w_ref.shape[0]
-    x2d = x_ref[0].reshape(t * n, c)
-    rows = t_out * n
-    acc = jnp.dot(x2d[:rows], w_ref[0],
-                  preferred_element_type=jnp.float32)
+    f2 = w_ref.shape[2]
+    x2d = x_ref[...].reshape(bb * t * n, c)
+    taps = [jnp.dot(x2d, w_ref[i], preferred_element_type=jnp.float32)
+            .reshape(bb, t, n, f2) for i in range(k)]
+    acc = taps[0][:, :t_out]
     for i in range(1, k):
-        start = i * dilation * n          # static: dilation and n are ints
-        acc = acc + jnp.dot(
-            x2d[start:start + rows], w_ref[i],
-            preferred_element_type=jnp.float32)
+        acc = acc + taps[i][:, i * dilation:i * dilation + t_out]
     acc = acc + b_ref[0]
-    gated = jnp.tanh(acc[:, :f_out]) * jax.nn.sigmoid(acc[:, f_out:])
-    o_ref[0] = gated.reshape(t_out, n, f_out).astype(o_ref.dtype)
+    gated = jnp.tanh(acc[..., :f_out]) * jax.nn.sigmoid(acc[..., f_out:])
+    o_ref[...] = gated.astype(o_ref.dtype)
 
 
 def _forward(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
-             dilation: int, interpret: bool = False) -> jnp.ndarray:
+             dilation: int, interpret: bool = False,
+             batch_block: int = 16) -> jnp.ndarray:
     """x: (B, T, N, C); w: (k, C, 2F) = concat(Wf, Wg) on the out axis;
     b: (2F,). Returns (B, T - d*(k-1), N, F)."""
     bsz, t, n, c = x.shape
     k, _, f2 = w.shape
     f_out = f2 // 2
     t_out = t - dilation * (k - 1)
+    bb = min(batch_block, bsz)
+    pad = (-bsz) % bb
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    bp = x.shape[0]
     kernel = functools.partial(_kernel, dilation=dilation, t_out=t_out,
                                f_out=f_out)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(bsz,),
+        grid=(bp // bb,),
         in_specs=[
-            pl.BlockSpec((1, t, n, c), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((bb, t, n, c), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, c, f2), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, f2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, t_out, n, f_out), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((bb, t_out, n, f_out),
+                               lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, t_out, n, f_out), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((bp, t_out, n, f_out), x.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * bsz * t_out * n * c * f2 * k,
+            flops=2 * bp * t * n * c * f2 * k,
             bytes_accessed=(x.size + w.size + b.size) * x.dtype.itemsize +
-            bsz * t_out * n * f_out * x.dtype.itemsize,
-            transcendentals=2 * bsz * t_out * n * f_out,
+            bp * t_out * n * f_out * x.dtype.itemsize,
+            transcendentals=2 * bp * t_out * n * f_out,
         ),
     )(x, w, b.reshape(1, f2))
+    return out[:bsz] if pad else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
