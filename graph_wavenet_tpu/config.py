@@ -125,6 +125,11 @@ class TrainConfig:
     save_dir: str = "garage"
     expid: int = 1
     keep_checkpoints: int = 0    # 0 = keep all (reference keeps every epoch)
+    # PRNG implementation for the training step's dropout keys. "rbg" uses
+    # the TPU's hardware random-bit generator — threefry mask generation
+    # costs ~40% of the measured train step on v5e; rbg removes it.
+    # "threefry2x32" gives the jax-default stream (slower, splittable).
+    rng_impl: str = "rbg"
 
 
 @dataclass(frozen=True)

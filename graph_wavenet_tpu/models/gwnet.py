@@ -129,6 +129,9 @@ def apply_gwnet(cfg: ModelConfig, params: Params, state: State,
     # reference handles, true rf == stored rf or the input already covers
     # it, so this is parity-preserving; shorter inputs become valid.
     x = left_pad_time(x, cfg.receptive_field)
+    # mixed precision: activations in cfg.dtype (params stay fp32; every op
+    # casts weights per-use and accumulates fp32)
+    x = x.astype(jnp.dtype(cfg.dtype))
     x = linear_apply(params["start_conv"], x)
 
     new_supports = supports
@@ -211,4 +214,5 @@ def _wavenet_stack(cfg: ModelConfig, params: Params, state: State,
     out = jax.nn.relu(skip)
     out = jax.nn.relu(linear_apply(params["end1"], out))
     out = linear_apply(params["end2"], out)
-    return out, {"bn": new_bn}
+    # predictions leave the model in fp32 whatever the compute dtype
+    return out.astype(jnp.float32), {"bn": new_bn}

@@ -107,6 +107,7 @@ def apply_gwnet_diff_g(cfg: ModelConfig, params: Params, state: State,
     # true receptive field, not the reference's understated bookkeeping —
     # see the comment in apply_gwnet (quirk #8, SURVEY.md §7.4)
     x = left_pad_time(x, cfg.receptive_field)
+    x = x.astype(jnp.dtype(cfg.dtype))   # mixed precision (see apply_gwnet)
     x = linear_apply(params["start_conv"], x)
     return _wavenet_stack(cfg, params, state, x, new_supports,
                           use_gcn=cfg.gcn_bool and supports is not None,

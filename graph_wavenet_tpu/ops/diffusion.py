@@ -26,19 +26,22 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from graph_wavenet_tpu.ops.linear import linear_init
+from graph_wavenet_tpu.ops.linear import accum_dtype, linear_init
 
 
 def nconv(x: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:
     """Graph diffusion step with a shared dense support
-    (reference einsum 'ncvl,vw->ncwl' at `model.py:13`)."""
-    return jnp.einsum("btvc,vw->btwc", x, A, preferred_element_type=x.dtype)
+    (reference einsum 'ncvl,vw->ncwl' at `model.py:13`). fp32 accumulation,
+    result in the activation dtype."""
+    return jnp.einsum("btvc,vw->btwc", x, A.astype(x.dtype),
+                      preferred_element_type=accum_dtype(x.dtype)).astype(x.dtype)
 
 
 def nconv_batched(x: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:
     """Per-sample-support diffusion step
     (reference einsum 'ncvl,nvw->ncwl' at `model.py:21`)."""
-    return jnp.einsum("btvc,bvw->btwc", x, A, preferred_element_type=x.dtype)
+    return jnp.einsum("btvc,bvw->btwc", x, A.astype(x.dtype),
+                      preferred_element_type=accum_dtype(x.dtype)).astype(x.dtype)
 
 
 def diffusion_hops(x: jnp.ndarray, supports: list[jnp.ndarray],
@@ -73,20 +76,22 @@ def gcn_apply(params: dict, x: jnp.ndarray, supports: list[jnp.ndarray],
     """
     hops = diffusion_hops(x, supports, order)
     c_in = x.shape[-1]
-    w, b = params["w"], params["b"]
+    w, b = params["w"].astype(x.dtype), params["b"]
     assert w.shape[0] == len(hops) * c_in, (
         f"gcn weight expects {w.shape[0] // c_in} hops, got {len(hops)}: "
         "n_supports passed at init must match the supports list")
     if mode == "concat":
         h = jnp.concatenate(hops, axis=-1)
-        h = jnp.einsum("btnc,cf->btnf", h, w,
-                       preferred_element_type=x.dtype) + b
+        h = (jnp.einsum("btnc,cf->btnf", h, w,
+                        preferred_element_type=accum_dtype(x.dtype)) + b
+             ).astype(x.dtype)
     else:
-        h = b.astype(x.dtype)
+        h = jnp.zeros((), jnp.float32)
         for k, hop in enumerate(hops):
             wk = jax.lax.dynamic_slice_in_dim(w, k * c_in, c_in, axis=0)
             h = h + jnp.einsum("btnc,cf->btnf", hop, wk,
-                               preferred_element_type=x.dtype)
+                               preferred_element_type=accum_dtype(x.dtype))
+        h = (h + b).astype(x.dtype)
     if train and dropout > 0.0:
         assert rng is not None, "dropout in train mode needs an rng"
         keep = jax.random.bernoulli(rng, 1.0 - dropout, h.shape)

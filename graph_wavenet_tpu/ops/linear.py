@@ -16,6 +16,16 @@ import jax
 import jax.numpy as jnp
 
 
+def accum_dtype(x_dtype) -> jnp.dtype | None:
+    """Accumulation dtype for matmuls: fp32 on TPU (the MXU accumulates
+    fp32 natively for bf16 inputs); None elsewhere — CPU XLA cannot execute
+    BF16xBF16->F32 dots, so low-precision inputs accumulate in their own
+    dtype there (tests use loose tolerances)."""
+    if jnp.dtype(x_dtype) == jnp.float32:
+        return jnp.float32
+    return jnp.float32 if jax.default_backend() == "tpu" else None
+
+
 def conv_uniform_init(key, shape: tuple, fan_in: int,
                       dtype=jnp.float32) -> jnp.ndarray:
     """U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — torch Conv2d default for both
@@ -34,7 +44,11 @@ def linear_init(key, c_in: int, c_out: int, dtype=jnp.float32) -> dict:
 
 
 def linear_apply(params: dict, x: jnp.ndarray) -> jnp.ndarray:
-    """y[..., f] = sum_c x[..., c] w[c, f] + b[f]."""
-    return jnp.einsum(
-        "...c,cf->...f", x, params["w"],
-        preferred_element_type=x.dtype) + params["b"]
+    """y[..., f] = sum_c x[..., c] w[c, f] + b[f].
+
+    Mixed precision: weights are cast to the activation dtype (bf16 inputs
+    hit the MXU at full rate) while the contraction accumulates in fp32.
+    """
+    out = jnp.einsum("...c,cf->...f", x, params["w"].astype(x.dtype),
+                     preferred_element_type=accum_dtype(x.dtype))
+    return (out + params["b"]).astype(x.dtype)

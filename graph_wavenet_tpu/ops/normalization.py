@@ -29,7 +29,13 @@ def batch_norm_init(c: int, dtype=jnp.float32) -> tuple[dict, dict]:
 def batch_norm_apply(params: dict, state: dict, x: jnp.ndarray,
                      train: bool, momentum: float = 0.1,
                      eps: float = 1e-5) -> tuple[jnp.ndarray, dict]:
-    """x: (B, T, N, C); stats per channel over (B, T, N)."""
+    """x: (B, T, N, C); stats per channel over (B, T, N).
+
+    Statistics and normalization run in fp32 regardless of the activation
+    dtype (standard mixed-precision practice); output returns to the input
+    dtype."""
+    in_dtype = x.dtype
+    x = x.astype(jnp.float32)
     reduce_axes = tuple(range(x.ndim - 1))
     if train:
         mean = jnp.mean(x, axis=reduce_axes)
@@ -45,4 +51,4 @@ def batch_norm_apply(params: dict, state: dict, x: jnp.ndarray,
         new_state = state
     inv = jax.lax.rsqrt(var + eps)
     y = (x - mean) * inv * params["scale"] + params["bias"]
-    return y, new_state
+    return y.astype(in_dtype), new_state

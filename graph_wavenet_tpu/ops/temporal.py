@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from graph_wavenet_tpu.ops.linear import conv_uniform_init
+from graph_wavenet_tpu.ops.linear import accum_dtype, conv_uniform_init
 
 
 def causal_conv_init(key, c_in: int, c_out: int, kernel_size: int,
@@ -42,16 +42,16 @@ def causal_conv_apply(params: dict, x: jnp.ndarray,
     sees the last input step, matching torch's valid conv with the output
     right-aligned to the input.
     """
-    w = params["w"]
+    w = params["w"].astype(x.dtype)
     k = w.shape[0]
     t_out = x.shape[1] - dilation * (k - 1)
     out = jnp.einsum("btnc,cf->btnf", x[:, :t_out], w[0],
-                     preferred_element_type=x.dtype)
+                     preferred_element_type=accum_dtype(x.dtype))
     for i in range(1, k):
         out = out + jnp.einsum(
             "btnc,cf->btnf", x[:, i * dilation:i * dilation + t_out], w[i],
-            preferred_element_type=x.dtype)
-    return out + params["b"]
+            preferred_element_type=accum_dtype(x.dtype))
+    return (out + params["b"]).astype(x.dtype)
 
 
 def gated_tcn_apply(filter_params: dict, gate_params: dict, x: jnp.ndarray,

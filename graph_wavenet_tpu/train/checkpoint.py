@@ -65,7 +65,11 @@ def load_checkpoint(path: str, template: TrainState) -> TrainState:
         opt_state=pytree["opt_state"],
         model_state=pytree["model_state"],
         step=pytree["step"],
-        rng=jax.random.wrap_key_data(np.asarray(pytree["rng"])),
+        # the key impl (threefry/rbg) is not stored in the key data; take it
+        # from the template, which was built from the same TrainConfig
+        rng=jax.random.wrap_key_data(
+            np.asarray(pytree["rng"]),
+            impl=str(jax.random.key_impl(template.rng))),
     )
 
 

@@ -137,7 +137,7 @@ class Engine:
         self.diff_g = diff_g
         self.optimizer = make_optimizer(train_cfg)
         seed = train_cfg.seed if seed is None else seed
-        key = jax.random.key(seed)
+        key = jax.random.key(seed, impl=train_cfg.rng_impl)
 
         init = init_gwnet_diff_g if diff_g else init_gwnet
         kp, kr = jax.random.split(key)

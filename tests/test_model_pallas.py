@@ -74,3 +74,31 @@ def test_forward_equivalence_temporal_only(rng):
     want, _ = apply_gwnet(xla_cfg, params, state, x, None)
     got, _ = apply_gwnet(pls_cfg, params, state, x, None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_bfloat16_forward_close_to_fp32(rng):
+    """Mixed-precision path: bf16 activations, fp32 params/accum — outputs
+    within bf16 tolerance of the fp32 path, and a train step runs."""
+    import jax.numpy as jnp
+    from graph_wavenet_tpu.config import TrainConfig
+    from graph_wavenet_tpu.data.scaler import StandardScaler
+    from graph_wavenet_tpu.train.engine import Engine
+
+    xla_cfg, _ = cfgs()
+    bf_cfg = dataclasses.replace(xla_cfg, dtype="bfloat16")
+    params, state = init_gwnet(jax.random.key(2), xla_cfg)
+    x, supports = make_inputs(rng)
+    want, _ = apply_gwnet(xla_cfg, params, state, x, supports)
+    got, _ = apply_gwnet(bf_cfg, params, state, x, supports)
+    assert got.dtype == jnp.float32          # predictions leave in fp32
+    err = np.abs(np.asarray(got) - np.asarray(want))
+    scale = np.abs(np.asarray(want)).max()
+    assert err.max() < 0.05 * max(scale, 1.0)
+
+    e = Engine(bf_cfg, TrainConfig(), StandardScaler(0.0, 1.0))
+    xt = jnp.asarray(rng.normal(size=(4, 12, N, 2)).astype(np.float32))
+    yt = jnp.asarray(rng.normal(size=(4, 12, N, 2)).astype(np.float32))
+    st, m = e.train_step(e.state, xt, yt, supports)
+    assert np.isfinite(float(m["loss"]))
+    # params remain fp32 after the update
+    assert st.params["start_conv"]["w"].dtype == jnp.float32
