@@ -108,9 +108,11 @@ def main(argv=None) -> dict:
             cfg = model_config(args, diff_g=False)
             engine = Engine(cfg, train_cfg, data["scaler"])
             runner = Runner(engine, train_cfg)
-            supports = None if args.aptonly else adjs
-            result = runner.fit(data, supports)
-            runner.test(data, supports, result)
+            supports = [] if args.aptonly else adjs
+            result = runner.fit_syn_shared(data, supports, G, F_t,
+                                           data_cfg.n_communities)
+            runner.test_syn_shared(data, supports, G, F_t,
+                                   data_cfg.n_communities, result)
         else:
             cfg = model_config(args, diff_g=True)
             engine = Engine(cfg, train_cfg, data["scaler"], diff_g=True)

@@ -1,0 +1,54 @@
+"""Multi-host runtime helpers.
+
+The reference is single-process (SURVEY.md §2.8). For a multi-host TPU slice:
+
+- every host runs the same program; :func:`initialize` brings up the
+  ``jax.distributed`` coordination service;
+- meshes from ``parallel.mesh`` span all global devices; each host feeds its
+  process-local shard of the batch via :func:`global_batch`;
+- ICI carries the collectives within a slice; across slices XLA routes over
+  DCN (keep the ``data`` axis outermost so only gradient all-reduces cross
+  DCN).
+
+Single-process usage degrades cleanly: ``initialize`` is a no-op and
+``global_batch`` is a plain device_put.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> dict:
+    """Bring up the distributed runtime (no-op when single-process)."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+    }
+
+
+def global_batch(local_batch: np.ndarray, sharding):
+    """Assemble a globally-sharded array from this process's local shard.
+
+    ``local_batch`` holds only this host's rows; the global batch dimension
+    is ``process_count * local_rows``. With one process this is device_put.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(local_batch, sharding)
+    return jax.make_array_from_process_local_data(sharding, local_batch)
+
+
+def replicated_host_value(value, mesh):
+    """Replicate a small host value (e.g. supports) across the global mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(value, NamedSharding(mesh, P()))

@@ -163,6 +163,73 @@ class Runner:
         return result
 
     # ------------------------------------------------------------------
+    # shared-graph synthetic dataset (same_G=True)
+    # ------------------------------------------------------------------
+
+    def fit_syn_shared(self, data: dict, supports, G, F_t: int,
+                       n_communities: int) -> RunResult:
+        """Epoch loop for the shared-graph synthetic task: the reference
+        drives `train_syn`/`eval_syn` with the single graph's cluster map
+        (`/root/reference/train.py:248-249,272-273`)."""
+        result = RunResult()
+        engine = self.engine
+        state = engine.state
+        sup = None if supports is None else [jnp.asarray(s)
+                                             for s in supports]
+        proj = jnp.asarray(cluster_mean_projector(G.community_labels,
+                                                  n_communities))
+        for epoch in range(1, self.cfg.epochs + 1):
+            t1 = time.time()
+            data["train_loader"].shuffle()
+            steps = []
+            for x, y in data["train_loader"].get_iterator():
+                state, m = engine.train_step_syn(
+                    state, jnp.asarray(x), jnp.asarray(y), sup, proj, F_t)
+                steps.append(m)
+            t2 = time.time()
+            train_m = _epoch_mean(steps)
+            s1 = time.time()
+            vsteps = []
+            for x, y in data["val_loader"].get_iterator():
+                ev = engine.eval_step_syn(state, jnp.asarray(x),
+                                          jnp.asarray(y), sup, proj, F_t)
+                vsteps.append({k: ev[k] for k in ("loss", "mape", "rmse")})
+            s2 = time.time()
+            valid_m = _epoch_mean(vsteps)
+            log = EpochLog(epoch, train_m, valid_m, t2 - t1, s2 - s1)
+            result.history.append(log)
+            self.log(
+                f"Epoch: {epoch:03d}, Train Loss: {train_m['loss']:.4f}, "
+                f"Valid Loss: {valid_m['loss']:.4f}, Training Time: "
+                f"{log.train_time:.4f}/epoch")
+            self._save_epoch(state, epoch, valid_m["loss"], result)
+        engine.state = state
+        self._finalize_best(result)
+        return result
+
+    def test_syn_shared(self, data: dict, supports, G, F_t: int,
+                        n_communities: int,
+                        result: RunResult | None = None) -> RunResult:
+        """Shared-graph synthetic test loop (`train.py:316-327`)."""
+        result = result or RunResult()
+        engine = self.engine
+        sup = None if supports is None else [jnp.asarray(s)
+                                             for s in supports]
+        proj = jnp.asarray(cluster_mean_projector(G.community_labels,
+                                                  n_communities))
+        steps = []
+        for x, y in data["test_loader"].get_iterator():
+            ev = engine.eval_step_syn(engine.state, jnp.asarray(x),
+                                      jnp.asarray(y), sup, proj, F_t)
+            steps.append({k: ev[k] for k in ("loss", "mape", "rmse")})
+        result.test_metrics = _epoch_mean(steps)
+        self.log("On average over seq_length horizons, Test MAE: "
+                 f"{result.test_metrics['loss']:.4f}, Test MAPE: "
+                 f"{result.test_metrics['mape']:.4f}, Test RMSE: "
+                 f"{result.test_metrics['rmse']:.4f}")
+        return result
+
+    # ------------------------------------------------------------------
     # per-sample-graph synthetic datasets (diff-G)
     # ------------------------------------------------------------------
 

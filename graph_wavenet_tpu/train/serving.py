@@ -1,0 +1,152 @@
+"""Serving / streaming inference.
+
+The reference has no serving path — inference is the test loop's batched
+forward (`/root/reference/train.py:377-390`). TPU-native serving utilities:
+
+- :class:`Forecaster` — a frozen (params, supports, scaler) bundle with a
+  jitted batch predictor;
+- :func:`rolling_forecast` — streaming inference over a long history: a
+  ``lax.scan`` slides the K-step window over the sequence entirely on
+  device, one compiled program for any number of forecast origins (the
+  "blockwise scan for streaming inference" of SURVEY.md §5);
+- :func:`autoregressive_forecast` — closed-loop rollout past the trained
+  horizon by feeding predictions back as inputs;
+- :func:`reconstruct_sequence` — averages overlapping rolling forecasts back
+  to one sequence (device-side counterpart of
+  ``reverse_sliding_window``, `/root/reference/Utils/util.py:486-508`).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from graph_wavenet_tpu.config import ModelConfig
+from graph_wavenet_tpu.data.scaler import StandardScaler
+from graph_wavenet_tpu.models.gwnet import apply_gwnet
+
+
+@dataclass(eq=False)  # identity hash: `predict` jits with self static
+class Forecaster:
+    """Inference bundle around a trained shared-graph model."""
+
+    cfg: ModelConfig
+    params: Any
+    model_state: Any
+    supports: list | None
+    scaler: StandardScaler = field(
+        default_factory=lambda: StandardScaler(0.0, 1.0))
+
+    @classmethod
+    def from_checkpoint(cls, path: str, supports) -> "Forecaster":
+        from graph_wavenet_tpu.train import checkpoint as ckpt
+        from graph_wavenet_tpu.train.engine import Engine
+
+        meta = ckpt.load_metadata(path)
+        engine = Engine(meta["model_cfg"], meta["train_cfg"],
+                        meta.get("scaler"))
+        state = ckpt.load_checkpoint(path, engine.state)
+        return cls(meta["model_cfg"], state.params, state.model_state,
+                   supports, meta.get("scaler") or StandardScaler(0.0, 1.0))
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def predict(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, K, N, F) standardized features -> (B, H, N) forecasts in
+        raw units (horizon-major)."""
+        sup = None if self.supports is None else [jnp.asarray(s)
+                                                  for s in self.supports]
+        out, _ = apply_gwnet(self.cfg, self.params, self.model_state, x,
+                             sup, train=False)
+        # (B, 1, N, H) -> (B, H, N), inverse-standardized
+        pred = jnp.transpose(out[:, -1], (0, 2, 1))
+        return pred * self.scaler.std + self.scaler.mean
+
+
+def rolling_forecast(forecaster: Forecaster, history: jnp.ndarray,
+                     window: int) -> jnp.ndarray:
+    """Streaming forecasts at every origin of a long history.
+
+    history: (T_total, N, F) standardized features. Returns
+    (T_total - window + 1, H, N): the H-step forecast issued at each origin.
+    One jitted scan — no per-origin dispatch.
+    """
+
+    @jax.jit
+    def run(history):
+        n_origins = history.shape[0] - window + 1
+
+        def step(carry, start):
+            x = jax.lax.dynamic_slice_in_dim(history, start, window, axis=0)
+            pred = forecaster.predict(x[None])[0]     # (H, N)
+            return carry, pred
+
+        _, preds = jax.lax.scan(step, None, jnp.arange(n_origins))
+        return preds
+
+    return run(history)
+
+
+def autoregressive_forecast(forecaster: Forecaster, x: jnp.ndarray,
+                            n_rounds: int) -> jnp.ndarray:
+    """Closed-loop rollout: forecast H steps, feed them back as the signal
+    channel (auxiliary feature channels are rolled forward), repeat.
+
+    x: (B, K, N, F); returns (B, n_rounds * H, N) raw-unit forecasts.
+    """
+    cfg = forecaster.cfg
+    horizon = cfg.out_dim
+
+    @jax.jit
+    def run(x):
+        def step(x, _):
+            pred_raw = forecaster.predict(x)          # (B, H, N)
+            pred_std = (pred_raw - forecaster.scaler.mean
+                        ) / forecaster.scaler.std
+            feats = [pred_std[..., None]]
+            if x.shape[-1] > 1:
+                # roll the auxiliary channels (e.g. time-of-day) forward by
+                # repeating their last window's tail pattern
+                aux = x[:, -horizon:, :, 1:]
+                feats.append(aux)
+            new_steps = jnp.concatenate(feats, axis=-1)  # (B, H, N, F)
+            x = jnp.concatenate([x[:, horizon:], new_steps], axis=1)
+            return x, pred_raw
+
+        _, preds = jax.lax.scan(step, x, None, length=n_rounds)
+        # (rounds, B, H, N) -> (B, rounds*H, N)
+        return jnp.transpose(preds, (1, 0, 2, 3)).reshape(
+            x.shape[0], n_rounds * horizon, x.shape[2])
+
+    return run(x)
+
+
+def reconstruct_sequence(rolling: jnp.ndarray) -> jnp.ndarray:
+    """Average overlapping rolling forecasts into one sequence.
+
+    rolling: (n_origins, H, N) stride-1 forecasts -> (n_origins + H - 1, N).
+    """
+
+    @jax.jit
+    def run(rolling):
+        n_origins, h, n = rolling.shape
+        total = jnp.zeros((n_origins + h - 1, n))
+        count = jnp.zeros((n_origins + h - 1, 1))
+
+        def body(i, acc):
+            total, count = acc
+            total = jax.lax.dynamic_update_slice_in_dim(
+                total, jax.lax.dynamic_slice_in_dim(total, i, h, 0)
+                + rolling[i], i, axis=0)
+            count = jax.lax.dynamic_update_slice_in_dim(
+                count, jax.lax.dynamic_slice_in_dim(count, i, h, 0) + 1.0,
+                i, axis=0)
+            return total, count
+
+        total, count = jax.lax.fori_loop(0, n_origins, body, (total, count))
+        return total / count
+
+    return run(rolling)

@@ -82,13 +82,18 @@ def test_cli_train_syn_diff_g(tmp_path):
 def test_cli_train_syn_same_g(tmp_path):
     from graph_wavenet_tpu.cli import train as train_cli
 
+    # blocks=4 so the receptive field (13) covers the 12+1-step input and
+    # the stack collapses time to one step, as the modality loss requires
     out = train_cli.main([
         "--data", "syn", "--same_g", "--gcn_bool", "--addaptadj",
         "--randomadj", "--num_nodes", "15", "--seq_length", "12", "--nhid",
-        "4", "--blocks", "2", "--layers", "2", "--batch_size", "8",
+        "4", "--blocks", "4", "--layers", "2", "--batch_size", "8",
         "--epochs", "1", "--n_train", "4", "--n_valid", "2", "--n_test",
         "2", "--num_timestep", "60", "--save", str(tmp_path / "g")])
-    assert np.isfinite(out["result"].test_metrics["mae"])
+    # same_G trains with the F/E modality supervision (reference
+    # train.py:248-249); metrics come from the syn eval loop
+    assert np.isfinite(out["result"].test_metrics["loss"])
+    assert np.isfinite(out["result"].test_metrics["rmse"])
 
 
 def test_crash_pipeline(tmp_path):

@@ -1,0 +1,87 @@
+"""Serving-path tests: batch predictor, rolling scan, autoregressive
+rollout, sequence reconstruction, checkpoint loading."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graph_wavenet_tpu.config import ModelConfig, TrainConfig
+from graph_wavenet_tpu.data.scaler import StandardScaler
+from graph_wavenet_tpu.data.windows import reverse_sliding_window
+from graph_wavenet_tpu.models.gwnet import apply_gwnet, init_gwnet
+from graph_wavenet_tpu.train import serving
+
+N = 10
+
+
+def make_forecaster(rng, scaler=None):
+    cfg = ModelConfig(num_nodes=N, out_dim=6, residual_channels=8,
+                      dilation_channels=8, skip_channels=16,
+                      end_channels=32, blocks=2, layers=2, dropout=0.0,
+                      n_supports=2)
+    params, state = init_gwnet(jax.random.key(0), cfg)
+    a = rng.random((2, N, N)).astype(np.float32)
+    supports = [jnp.asarray(s / s.sum(-1, keepdims=True)) for s in a]
+    return serving.Forecaster(cfg, params, state, supports,
+                              scaler or StandardScaler(3.0, 2.0))
+
+
+def test_predict_layout_and_inverse_transform(rng):
+    f = make_forecaster(rng)
+    x = jnp.asarray(rng.normal(size=(4, 12, N, 2)).astype(np.float32))
+    pred = f.predict(x)
+    assert pred.shape == (4, 6, N)
+    out, _ = apply_gwnet(f.cfg, f.params, f.model_state, x, f.supports)
+    want = np.transpose(np.asarray(out)[:, -1], (0, 2, 1)) * 2.0 + 3.0
+    np.testing.assert_allclose(np.asarray(pred), want, atol=1e-5)
+
+
+def test_rolling_forecast_matches_batched(rng):
+    f = make_forecaster(rng)
+    history = jnp.asarray(rng.normal(size=(30, N, 2)).astype(np.float32))
+    rolled = serving.rolling_forecast(f, history, window=12)
+    assert rolled.shape == (19, 6, N)
+    # origin 5 equals a direct predict on that window
+    want = f.predict(history[5:17][None])[0]
+    np.testing.assert_allclose(np.asarray(rolled[5]), np.asarray(want),
+                               atol=1e-5)
+
+
+def test_autoregressive_forecast(rng):
+    f = make_forecaster(rng)
+    x = jnp.asarray(rng.normal(size=(2, 12, N, 2)).astype(np.float32))
+    preds = serving.autoregressive_forecast(f, x, n_rounds=3)
+    assert preds.shape == (2, 18, N)
+    # first round equals the one-shot forecast
+    np.testing.assert_allclose(np.asarray(preds[:, :6]),
+                               np.asarray(f.predict(x)), atol=1e-5)
+    assert np.isfinite(np.asarray(preds)).all()
+
+
+def test_reconstruct_sequence_matches_host_reference(rng):
+    rolling = rng.normal(size=(8, 5, N)).astype(np.float32)
+    got = serving.reconstruct_sequence(jnp.asarray(rolling))
+    assert got.shape == (12, N)
+    # host reference expects (num_window, num_nodes, width)
+    [want] = reverse_sliding_window([rolling.transpose(0, 2, 1)])
+    np.testing.assert_allclose(np.asarray(got), want.T, atol=1e-5)
+
+
+def test_forecaster_from_checkpoint(tmp_path, rng):
+    from graph_wavenet_tpu.train import checkpoint as ckpt
+    from graph_wavenet_tpu.train.engine import Engine
+
+    f = make_forecaster(rng)
+    cfg = f.cfg
+    tcfg = TrainConfig()
+    engine = Engine(cfg, tcfg, StandardScaler(3.0, 2.0))
+    path = str(tmp_path / "ck.msgpack")
+    ckpt.save_checkpoint(path, engine.state, cfg, tcfg,
+                         StandardScaler(3.0, 2.0))
+    f2 = serving.Forecaster.from_checkpoint(path, f.supports)
+    x = jnp.asarray(rng.normal(size=(2, 12, N, 2)).astype(np.float32))
+    p2 = f2.predict(x)
+    out, _ = apply_gwnet(cfg, engine.state.params, engine.state.model_state,
+                         x, f.supports)
+    want = np.transpose(np.asarray(out)[:, -1], (0, 2, 1)) * 2.0 + 3.0
+    np.testing.assert_allclose(np.asarray(p2), want, atol=1e-5)
