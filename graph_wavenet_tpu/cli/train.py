@@ -58,6 +58,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fresh_nodevec", action="store_true",
                    help="replicate the reference diff-G quirk of fresh "
                         "random node embeddings every forward")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="activation compute dtype (params/accum stay fp32)")
+    p.add_argument("--use_pallas", action="store_true",
+                   help="use the fused Pallas kernels (experimental)")
+    p.add_argument("--rng_impl", type=str, default="rbg",
+                   choices=["rbg", "threefry2x32"],
+                   help="dropout PRNG; rbg = TPU hardware RNG (fast)")
     return p
 
 
@@ -73,7 +81,8 @@ def model_config(args, diff_g: bool):
         addaptadj=args.addaptadj,
         n_supports=0 if args.aptonly else 2,
         start_dilation=4 if diff_g else 1,
-        fresh_nodevec=args.fresh_nodevec and diff_g)
+        fresh_nodevec=args.fresh_nodevec and diff_g,
+        dtype=args.dtype, use_pallas=args.use_pallas)
 
 
 def main(argv=None) -> dict:
@@ -87,7 +96,7 @@ def main(argv=None) -> dict:
         batch_size=args.batch_size, learning_rate=args.learning_rate,
         weight_decay=args.weight_decay, epochs=args.epochs,
         print_every=args.print_every, seed=args.seed, save_dir=args.save,
-        expid=args.expid)
+        expid=args.expid, rng_impl=args.rng_impl)
 
     t1 = time.time()
     if args.data == "syn":

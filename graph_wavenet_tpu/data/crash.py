@@ -41,6 +41,54 @@ from graph_wavenet_tpu.graphs.generate import Graph
 from graph_wavenet_tpu.graphs.normalize import mod_adj
 
 
+def loadmat(path: str) -> dict:
+    """Recursive Matlab .mat -> plain nested dicts (mat_structs and object
+    arrays unwrapped), the util the reference raw loaders build on
+    (`/root/reference/Utils/CRASH_loader.py:22-70` semantics)."""
+    import scipy.io as sio
+
+    def _unwrap(v):
+        if isinstance(v, sio.matlab.mat_struct):
+            return {f: _unwrap(getattr(v, f)) for f in v._fieldnames}
+        if isinstance(v, np.ndarray) and v.dtype == object:
+            return np.array([_unwrap(e) for e in v.ravel()],
+                            dtype=object).reshape(v.shape)
+        return v
+
+    raw = sio.loadmat(path, squeeze_me=True, struct_as_record=False)
+    return {k: _unwrap(v) for k, v in raw.items()
+            if not k.startswith("__")}
+
+
+def load_records_from_dir(root: str) -> list["CrashRecord"]:
+    """Ingest real subject-session records from a directory of npz files.
+
+    Layout: ``<root>/<subject>/<session>.npz`` with arrays ``eeg``
+    (n_electrodes, T_eeg), ``fmri`` (T_fmri, n_regions), ``sc``
+    (n_regions, n_regions). This replaces the reference's loaders that
+    hardcode private local paths (`CRASH_loader.py:15-19`); only sessions
+    with all three modalities present are kept (`get_comn_ids` semantics,
+    `CRASH_loader.py:293-311`).
+    """
+    import os
+
+    records = []
+    for subject in sorted(os.listdir(root)):
+        sdir = os.path.join(root, subject)
+        if not os.path.isdir(sdir):
+            continue
+        for fname in sorted(os.listdir(sdir)):
+            if not fname.endswith(".npz"):
+                continue
+            data = np.load(os.path.join(sdir, fname))
+            if not all(k in data for k in ("eeg", "fmri", "sc")):
+                continue
+            records.append(CrashRecord(
+                subject, fname[:-4], np.asarray(data["eeg"]),
+                np.asarray(data["fmri"]), np.asarray(data["sc"])))
+    return records
+
+
 @dataclass
 class CrashRecord:
     """One subject-session triple."""

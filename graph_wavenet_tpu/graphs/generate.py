@@ -94,6 +94,16 @@ def matrix_powers(S: np.ndarray, K: int) -> np.ndarray:
     return np.stack(out)
 
 
+def compute_nonzero_rows(S: np.ndarray, n_layers: int = 1) -> list:
+    """Per-layer nonzero-column indices of each row of S (sparsity helper,
+    `graphTools.py:204-256` semantics): returns a list of length n_layers,
+    each a list of per-row index arrays."""
+    S = np.asarray(S)
+    rows = [np.flatnonzero(np.abs(S[r]) > ZERO_TOL).tolist()
+            for r in range(S.shape[0])]
+    return [rows for _ in range(n_layers)]
+
+
 def k_hop_neighborhood(S: np.ndarray, K: int) -> list[list[int]]:
     """K-hop neighborhoods (incl. self) of each node via boolean BFS on the
     support of S (`graphTools.py:258-362` semantics, simplified)."""
