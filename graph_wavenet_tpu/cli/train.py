@@ -66,6 +66,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rng_impl", type=str, default="rbg",
                    choices=["rbg", "threefry2x32"],
                    help="dropout PRNG; rbg = TPU hardware RNG (fast)")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint to resume training from (full state)")
     return p
 
 
@@ -173,7 +175,7 @@ def main(argv=None) -> dict:
                 model_state=mstate, step=engine.state.step,
                 rng=engine.state.rng)
         runner = Runner(engine, train_cfg)
-        result = runner.fit(data, supports)
+        result = runner.fit(data, supports, resume_from=args.resume)
         runner.test(data, supports, result)
 
     print(f"Total time spent: {time.time() - t1:.4f}")

@@ -75,15 +75,27 @@ class Runner:
     # shared-graph datasets (METR-LA / PEMS-BAY / same-G synthetic)
     # ------------------------------------------------------------------
 
-    def fit(self, data: dict, supports) -> RunResult:
+    def fit(self, data: dict, supports,
+            resume_from: str | None = None) -> RunResult:
         """Epoch loop over ``train_loader``/``val_loader``
-        (`train.py:233-297`)."""
+        (`train.py:233-297`).
+
+        ``resume_from``: checkpoint path — restores the FULL train state
+        (params + optimizer + BN + step + RNG) and continues from the next
+        epoch. The reference cannot resume (state_dict only, SURVEY.md §5).
+        """
         result = RunResult()
         engine = self.engine
+        start_epoch = 1
+        if resume_from:
+            engine.state = ckpt.load_checkpoint(resume_from, engine.state)
+            meta = ckpt.load_metadata(resume_from)
+            start_epoch = int(meta.get("extra", {}).get("epoch", 0)) + 1
+            self.log(f"resumed from {resume_from} at epoch {start_epoch}")
         state = engine.state
         supports = None if supports is None else [jnp.asarray(s)
                                                   for s in supports]
-        for epoch in range(1, self.cfg.epochs + 1):
+        for epoch in range(start_epoch, self.cfg.epochs + 1):
             t1 = time.time()
             data["train_loader"].shuffle()
             steps = []

@@ -1,0 +1,88 @@
+"""Runner-level integration tests: learning across epochs, best-checkpoint
+selection, resume, checkpoint pruning."""
+
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from graph_wavenet_tpu.config import ModelConfig, TrainConfig
+from graph_wavenet_tpu.data.loader import DataLoader
+from graph_wavenet_tpu.data.scaler import StandardScaler
+from graph_wavenet_tpu.train.engine import Engine
+from graph_wavenet_tpu.train.runner import Runner
+
+N = 12
+
+
+@pytest.fixture
+def dataset(rng):
+    """A learnable toy dataset: targets are a fixed linear map of a noisy
+    AR signal, so the loss decreases quickly."""
+    n = 96
+    x = rng.normal(size=(n, 12, N, 2)).astype(np.float32)
+    y = np.roll(x, -1, axis=1) * 2.0 + 5.0
+    y = y.astype(np.float32)
+    data = {
+        "x_test": x[:32], "y_test": y[:32],
+        "train_loader": DataLoader(x[:64], y[:64], 16, rng=rng),
+        "val_loader": DataLoader(x[64:80], y[64:80], 16, rng=rng),
+        "test_loader": DataLoader(x[80:], y[80:], 16, rng=rng),
+    }
+    data["x_test"], data["y_test"] = x[80:], y[80:]
+    a = rng.random((2, N, N)).astype(np.float32)
+    supports = [s / s.sum(-1, keepdims=True) for s in a]
+    return data, supports
+
+
+def make_runner(tmp_path, epochs=3, keep=0):
+    cfg = ModelConfig(num_nodes=N, out_dim=12, residual_channels=8,
+                      dilation_channels=8, skip_channels=16,
+                      end_channels=32, blocks=2, layers=2, dropout=0.0,
+                      n_supports=2)
+    tcfg = TrainConfig(epochs=epochs, learning_rate=3e-3,
+                      save_dir=str(tmp_path), print_every=1000,
+                      keep_checkpoints=keep)
+    engine = Engine(cfg, tcfg, StandardScaler(5.0, 2.0))
+    return Runner(engine, tcfg, log_fn=lambda *a: None), cfg, tcfg
+
+
+def test_fit_learns_and_selects_best(tmp_path, dataset):
+    data, supports = dataset
+    runner, cfg, tcfg = make_runner(tmp_path, epochs=3)
+    result = runner.fit(data, supports)
+    assert len(result.history) == 3
+    assert (result.history[-1].train["loss"]
+            < result.history[0].train["loss"])
+    assert result.best_epoch >= 1
+    assert os.path.exists(result.best_checkpoint)
+    assert result.best_val_loss == min(h.valid["loss"]
+                                       for h in result.history)
+    res2 = runner.test(data, supports, result)
+    assert len(res2.per_horizon) == 12
+    assert all(np.isfinite(v) for v in res2.test_metrics.values())
+
+
+def test_resume_continues_from_checkpoint(tmp_path, dataset):
+    data, supports = dataset
+    runner, cfg, tcfg = make_runner(tmp_path, epochs=2)
+    r1 = runner.fit(data, supports)
+    last_ckpt = sorted(
+        (p for p in os.listdir(tmp_path) if p.endswith(".msgpack")),
+        key=lambda p: os.path.getmtime(os.path.join(tmp_path, p)))[-1]
+
+    runner2, _, _ = make_runner(tmp_path, epochs=4)
+    r2 = runner2.fit(data, supports,
+                     resume_from=os.path.join(tmp_path, last_ckpt))
+    # epochs 3..4 only
+    assert [h.epoch for h in r2.history] == [3, 4]
+    assert r2.history[-1].train["loss"] < r1.history[0].train["loss"]
+
+
+def test_checkpoint_pruning(tmp_path, dataset):
+    data, supports = dataset
+    runner, cfg, tcfg = make_runner(tmp_path, epochs=4, keep=2)
+    runner.fit(data, supports)
+    ckpts = [p for p in os.listdir(tmp_path) if p.endswith(".msgpack")]
+    assert len(ckpts) == 2
