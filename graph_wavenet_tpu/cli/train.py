@@ -68,7 +68,43 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dropout PRNG; rbg = TPU hardware RNG (fast)")
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint to resume training from (full state)")
+    p.add_argument("--plot", type=str, default=None,
+                   help="diff-G: write the reconstructed real-vs-predicted "
+                        "F/E sequence figure to this path "
+                        "(reference train.py:363-370)")
     return p
+
+
+def plot_diffg_reconstruction(result, out_path: str, node: int = 0):
+    """Reverse the stride-1 test windows and plot real vs predicted F/E for
+    one node (`/root/reference/train.py:356-370`)."""
+    import numpy as np
+
+    from graph_wavenet_tpu.data.windows import reverse_sliding_window
+
+    tm = result.test_metrics
+    reals = tm["reals"]                       # (n, K, N, 2)
+    real_f = np.transpose(reals[..., 0], (0, 2, 1))   # (n, N, K)
+    real_e = np.transpose(reals[..., 1], (0, 2, 1))
+    rec = reverse_sliding_window(
+        [real_f, real_e, tm["pred_F"], tm["pred_E"]])
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.figure(figsize=(10, 4))
+        for series, label in zip(rec, ("real F", "real E", "pred F",
+                                       "pred E")):
+            plt.plot(series[node], label=label)
+        plt.legend()
+        plt.title(f"diff-G test reconstruction, node {node}")
+        plt.savefig(out_path, bbox_inches="tight")
+        plt.close()
+        print(f"saved reconstruction figure to {out_path}")
+    except Exception as e:
+        print(f"plot skipped: {e}")
+    return rec
 
 
 def model_config(args, diff_g: bool):
@@ -136,6 +172,8 @@ def main(argv=None) -> dict:
                                     data_cfg.n_communities)
             runner.test_syn(data, supports, G, F_t,
                             data_cfg.n_communities, result)
+            if args.plot:
+                plot_diffg_reconstruction(result, args.plot)
     elif args.data == "crash":
         from graph_wavenet_tpu.data.crash import load_dataset_crash
 

@@ -125,6 +125,11 @@ class TrainConfig:
     save_dir: str = "garage"
     expid: int = 1
     keep_checkpoints: int = 0    # 0 = keep all (reference keeps every epoch)
+    # Per-epoch learning-rate decay factor; 1.0 = constant (the reference
+    # ships a commented-out 0.1-per-10-epochs schedule, train.py:146-149).
+    lr_decay: float = 1.0
+    lr_decay_every: int = 10
+    min_lr: float = 2e-6
     # PRNG implementation for the training step's dropout keys. "rbg" uses
     # the TPU's hardware random-bit generator — threefry mask generation
     # costs ~40% of the measured train step on v5e; rbg removes it.

@@ -53,14 +53,29 @@ from graph_wavenet_tpu.train.metrics import (
 )
 
 
-def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+def make_optimizer(cfg: TrainConfig,
+                   steps_per_epoch: int = 0) -> optax.GradientTransformation:
     """clip -> +wd*p -> adam moments -> -lr, matching torch semantics
-    (`/root/reference/engine.py:33,53-55`)."""
+    (`/root/reference/engine.py:33,53-55`).
+
+    Optional step-decay schedule (the reference's commented-out
+    lr*0.1^(epoch//10) at `train.py:146-149`): active when
+    ``cfg.lr_decay < 1`` and ``steps_per_epoch`` is known.
+    """
+    if cfg.lr_decay < 1.0 and steps_per_epoch > 0:
+        def schedule(step):
+            epoch = step // steps_per_epoch
+            lr = cfg.learning_rate * cfg.lr_decay ** (
+                epoch // cfg.lr_decay_every)
+            return jnp.maximum(lr, cfg.min_lr)
+        lr_term = optax.scale_by_schedule(lambda s: -schedule(s))
+    else:
+        lr_term = optax.scale(-cfg.learning_rate)
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.add_decayed_weights(cfg.weight_decay),
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-        optax.scale(-cfg.learning_rate),
+        lr_term,
     )
 
 
@@ -130,12 +145,12 @@ class Engine:
 
     def __init__(self, model_cfg: ModelConfig, train_cfg: TrainConfig,
                  scaler: StandardScaler | None, diff_g: bool = False,
-                 seed: int | None = None):
+                 seed: int | None = None, steps_per_epoch: int = 0):
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         self.scaler = scaler or StandardScaler(0.0, 1.0)
         self.diff_g = diff_g
-        self.optimizer = make_optimizer(train_cfg)
+        self.optimizer = make_optimizer(train_cfg, steps_per_epoch)
         seed = train_cfg.seed if seed is None else seed
         key = jax.random.key(seed, impl=train_cfg.rng_impl)
 

@@ -233,3 +233,22 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     assert meta["scaler"].mean == 1.0
     assert meta["model_cfg"] == cfg
     assert meta["extra"]["epoch"] == 1
+
+
+def test_lr_decay_schedule(rng):
+    """Optional step-decay: lr drops by lr_decay every lr_decay_every
+    epochs, floored at min_lr."""
+    tcfg = TrainConfig(learning_rate=1e-2, weight_decay=0.0,
+                       lr_decay=0.1, lr_decay_every=1, min_lr=1e-5)
+    opt = eng.make_optimizer(tcfg, steps_per_epoch=2)
+    params = {"w": jnp.zeros((2,))}
+    st = opt.init(params)
+    g = {"w": jnp.ones((2,))}
+    lrs = []
+    for _ in range(6):
+        upd, st = opt.update(g, st, params)
+        # constant grad of ones: |update| == current lr after warm moments
+        lrs.append(float(jnp.abs(upd["w"][0])))
+    # epoch boundaries at steps 2 and 4: lr drops 10x each time
+    assert lrs[1] / lrs[3] == pytest.approx(10.0, rel=0.2)
+    assert lrs[3] / lrs[5] == pytest.approx(10.0, rel=0.2)
