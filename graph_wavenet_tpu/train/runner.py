@@ -61,11 +61,15 @@ class RunResult:
         default_factory=list)
 
 
+def _print_flush(*args, **kwargs):
+    print(*args, flush=True, **kwargs)   # reference prints flush=True too
+
+
 class Runner:
     """Drives an Engine over a dataset dict from the data layer."""
 
     def __init__(self, engine: Engine, train_cfg: TrainConfig,
-                 log_fn=print):
+                 log_fn=_print_flush):
         self.engine = engine
         self.cfg = train_cfg
         self.log = log_fn
