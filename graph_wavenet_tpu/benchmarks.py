@@ -64,7 +64,12 @@ def _differential_time(run_steps, n1: int, n2: int) -> float:
     fixed dispatch/fetch overhead. See BENCH_NOTES.md."""
     t1 = run_steps(n1)
     t2 = run_steps(n2)
-    return (t2 - t1) / (n2 - n1)
+    per_step = (t2 - t1) / (n2 - n1)
+    if per_step <= 0:
+        # timing noise exceeded the step cost (tiny smoke runs): fall back
+        # to the raw average, which includes the fixed overhead
+        per_step = t2 / n2
+    return per_step
 
 
 def bench_train_step(cfg: ModelConfig, batch: int = 64, seq: int = 12,

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 
@@ -59,6 +59,11 @@ class ModelConfig:
     # Shared-graph supports only — the diff-G batched-support path stays XLA.
     use_pallas: bool = False
     pallas_row_block: int = 32   # rows of B*T per diffusion-kernel program
+    # rematerialization: recompute each WaveNet layer in the backward pass
+    # instead of keeping its activations — trades ~1x extra forward FLOPs
+    # for O(layers) less HBM, the standard jax.checkpoint move for large-N
+    # or long-K configs.
+    remat: bool = False
 
     @property
     def supports_len(self) -> int:

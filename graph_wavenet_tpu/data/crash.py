@@ -30,7 +30,7 @@ same primary electrode (the inverse mapping's natural clustering).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

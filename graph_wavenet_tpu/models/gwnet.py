@@ -29,7 +29,6 @@ import jax.numpy as jnp
 from graph_wavenet_tpu.config import ModelConfig
 from graph_wavenet_tpu.ops.adaptive import (
     adaptive_adjacency,
-    adaptive_adjacency_batched,
     random_nodevecs,
     svd_nodevecs,
 )
@@ -170,45 +169,59 @@ def _wavenet_stack(cfg: ModelConfig, params: Params, state: State,
 
         interpret = jax.default_backend() != "tpu"
 
+    def make_layer_fn(i: int, dilation: int):
+        """One WaveNet layer as a pure function (remat-able)."""
+
+        def layer_fn(layer, bn_state_i, residual, skip, supports_t,
+                     dropout_key):
+            if fused:
+                w_gate, b_gate = pack_gate_params(layer["filter"],
+                                                  layer["gate"])
+                x = fused_gated_tcn(residual, w_gate, b_gate, dilation,
+                                    interpret)
+            else:
+                x = gated_tcn_apply(layer["filter"], layer["gate"],
+                                    residual, dilation)
+            s = linear_apply(layer["skip"], x)
+            # skip accumulator cropped to the current time length
+            # (`model.py:216-222`: try/except on the int-0 initial skip)
+            skip = s if skip is None else s + skip[:, -s.shape[1]:]
+
+            if use_gcn:
+                if fused:
+                    x = gcn_rows(x, list(supports_t), layer["gcn"],
+                                 cfg.diffusion_order,
+                                 row_block=cfg.pallas_row_block,
+                                 interpret=interpret)
+                    if train and cfg.dropout > 0.0:
+                        keep = jax.random.bernoulli(
+                            dropout_key, 1.0 - cfg.dropout, x.shape)
+                        x = jnp.where(keep, x / (1.0 - cfg.dropout), 0.0)
+                else:
+                    x = gcn_apply(layer["gcn"], x, list(supports_t),
+                                  order=cfg.diffusion_order,
+                                  dropout=cfg.dropout, rng=dropout_key,
+                                  train=train)
+            else:
+                x = linear_apply(layer["residual"], x)
+
+            x = x + residual[:, -x.shape[1]:]
+            x, bn_s = batch_norm_apply(layer["bn"], bn_state_i, x,
+                                       train=train)
+            return x, skip, bn_s
+
+        return layer_fn
+
+    supports_t = tuple(supports) if supports is not None else ()
     for i, (layer, dilation) in enumerate(
             zip(params["layers"], cfg.dilations())):
-        residual = x
-        if fused:
-            w_gate, b_gate = pack_gate_params(layer["filter"],
-                                              layer["gate"])
-            x = fused_gated_tcn(residual, w_gate, b_gate, dilation,
-                                interpret)
-        else:
-            x = gated_tcn_apply(layer["filter"], layer["gate"], residual,
-                                dilation)
-        s = linear_apply(layer["skip"], x)
-        # skip accumulator cropped to the current time length
-        # (`model.py:216-222`: try/except on the int-0 initial skip)
-        skip = s if skip is None else s + skip[:, -s.shape[1]:]
-
-        if use_gcn:
-            if fused:
-                x = gcn_rows(x, list(supports), layer["gcn"],
-                             cfg.diffusion_order,
-                             row_block=cfg.pallas_row_block,
-                             interpret=interpret)
-                if train and cfg.dropout > 0.0:
-                    keep = jax.random.bernoulli(dropout_keys[i],
-                                                1.0 - cfg.dropout, x.shape)
-                    x = jnp.where(keep, x / (1.0 - cfg.dropout), 0.0)
-            else:
-                x = gcn_apply(layer["gcn"], x, supports,
-                              order=cfg.diffusion_order,
-                              dropout=cfg.dropout,
-                              rng=None if dropout_keys is None
-                              else dropout_keys[i],
-                              train=train)
-        else:
-            x = linear_apply(layer["residual"], x)
-
-        x = x + residual[:, -x.shape[1]:]
-        x, bn_s = batch_norm_apply(layer["bn"], state["bn"][i], x,
-                                   train=train)
+        layer_fn = make_layer_fn(i, dilation)
+        if cfg.remat and skip is not None:
+            # first layer stays un-rematted (skip is None, a static arg)
+            layer_fn = jax.checkpoint(layer_fn)
+        x, skip, bn_s = layer_fn(
+            layer, state["bn"][i], x, skip, supports_t,
+            None if dropout_keys is None else dropout_keys[i])
         new_bn.append(bn_s)
 
     out = jax.nn.relu(skip)

@@ -18,14 +18,11 @@ from __future__ import annotations
 import os
 import time
 from dataclasses import dataclass, field
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from graph_wavenet_tpu.config import ModelConfig, TrainConfig
-from graph_wavenet_tpu.data.loader import DataLoader
+from graph_wavenet_tpu.config import TrainConfig
 from graph_wavenet_tpu.train import checkpoint as ckpt
 from graph_wavenet_tpu.train.engine import Engine, cluster_mean_projector
 from graph_wavenet_tpu.train.metrics import metric

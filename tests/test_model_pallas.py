@@ -102,3 +102,33 @@ def test_bfloat16_forward_close_to_fp32(rng):
     assert np.isfinite(float(m["loss"]))
     # params remain fp32 after the update
     assert st.params["start_conv"]["w"].dtype == jnp.float32
+
+
+def test_remat_equivalence(rng):
+    """cfg.remat recomputes layers in backward — results must be identical
+    (same math, different schedule)."""
+    import jax.numpy as jnp
+    from graph_wavenet_tpu.config import TrainConfig
+    from graph_wavenet_tpu.data.scaler import StandardScaler
+    from graph_wavenet_tpu.train.engine import Engine
+
+    base, _ = cfgs()
+    rcfg = dataclasses.replace(base, remat=True)
+    params, state = init_gwnet(jax.random.key(3), base)
+    x, supports = make_inputs(rng)
+    a, _ = apply_gwnet(base, params, state, x, supports)
+    b, _ = apply_gwnet(rcfg, params, state, x, supports)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    xt = jnp.asarray(rng.normal(size=(4, 12, N, 2)).astype(np.float32))
+    yt = jnp.asarray(rng.normal(size=(4, 12, N, 2)).astype(np.float32))
+    outs = []
+    for cfg in (base, rcfg):
+        e = Engine(cfg, TrainConfig(), StandardScaler(0.0, 1.0))
+        st, m = e.train_step(e.state, xt, yt, supports)
+        outs.append((jax.device_get(st.params), float(m["loss"])))
+    assert np.isclose(outs[0][1], outs[1][1], rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda p, q: np.testing.assert_allclose(np.asarray(p),
+                                                np.asarray(q), atol=1e-6),
+        outs[0][0], outs[1][0])
