@@ -1,8 +1,15 @@
 """Traffic benchmark dataset loading (METR-LA / PEMS-BAY).
 
-Parity with ``load_dataset_metr`` (`/root/reference/Utils/util.py:202-217`):
-npz splits -> scaler fit on x_train[...,0] -> feature-0 standardization ->
-three batchers.
+Two paths:
+
+- :func:`load_dataset` — parity with ``load_dataset_metr``
+  (`/root/reference/Utils/util.py:202-217`): prebuilt npz window splits ->
+  scaler fit on x_train[...,0] -> feature-0 standardization -> batchers.
+- :func:`load_dataset_streaming` — same sample semantics straight from the
+  raw readings with NO window materialization (the reference pipeline blows
+  the data up ~10x on disk and in RAM): windows are assembled on demand by
+  the native loader; the scaler matches the materialized fit EXACTLY via
+  window-multiplicity weighting.
 """
 
 from __future__ import annotations
@@ -36,4 +43,78 @@ def load_dataset(dataset_dir: str, batch_size: int,
     data["test_loader"] = DataLoader(data["x_test"], data["y_test"],
                                      test_batch_size, rng=rng)
     data["scaler"] = scaler
+    return data
+
+
+def _window_multiplicity(anchors: np.ndarray, window: int,
+                         t_total: int) -> np.ndarray:
+    """count[t] = number of x-windows (over ``anchors``) containing row t —
+    the weight each raw row carries in the materialized x_train statistics."""
+    delta = np.zeros(t_total + 1, dtype=np.int64)
+    np.add.at(delta, anchors - window + 1, 1)     # +1 at window starts
+    np.add.at(delta, anchors + 1, -1)             # -1 past window ends
+    return np.cumsum(delta[:-1])
+
+
+def weighted_feature0_scaler(series: np.ndarray, anchors: np.ndarray,
+                             window: int) -> StandardScaler:
+    """Scaler identical to fitting on the materialized train windows'
+    feature 0: rows are weighted by how many train windows duplicate them."""
+    w = _window_multiplicity(np.asarray(anchors), window, series.shape[0])
+    f0 = series[..., 0].astype(np.float64)          # (T, N)
+    total = float((w * series.shape[1]).sum())
+    mean = float((f0.sum(axis=1) * w).sum() / total)
+    var = float((((f0 - mean) ** 2).sum(axis=1) * w).sum() / total)
+    return StandardScaler(mean=mean, std=float(np.sqrt(var)))
+
+
+def load_dataset_streaming(values: np.ndarray, index=None,
+                           batch_size: int = 64, seq_length_x: int = 12,
+                           seq_length_y: int = 12, y_start: int = 1,
+                           add_time_in_day: bool = True,
+                           add_day_in_week: bool = False,
+                           seed: int = 0) -> dict:
+    """Raw (T, N) readings -> streaming loaders with reference-identical
+    samples, splits (chronological 70/10/20 over anchors) and scaler.
+
+    Returns the same dict surface as :func:`load_dataset` (three loaders,
+    scaler, y_test) so the Runner consumes it unchanged.
+    """
+    from graph_wavenet_tpu.data.native_loader import (
+        WindowDataLoader,
+        gather_windows,
+    )
+    from graph_wavenet_tpu.data.traffic_etl import build_features
+
+    rng = np.random.default_rng(seed)
+    series = build_features(values, index, add_time_in_day,
+                            add_day_in_week).astype(np.float32)
+    anchors = WindowDataLoader.valid_anchors(series.shape[0], seq_length_x,
+                                             seq_length_y, y_start)
+    n = len(anchors)
+    if n == 0:
+        raise ValueError(
+            f"series of length {series.shape[0]} is too short for "
+            f"window {seq_length_x} + horizon {seq_length_y} "
+            f"(y_start {y_start}): no valid samples")
+    n_test = round(n * 0.2)
+    n_train = round(n * 0.7)
+    n_val = n - n_test - n_train
+    splits = {"train": anchors[:n_train],
+              "val": anchors[n_train:n_train + n_val],
+              "test": anchors[-n_test:]}
+
+    scaler = weighted_feature0_scaler(series, splits["train"], seq_length_x)
+    x_series = series.copy()
+    x_series[..., 0] = scaler.transform(x_series[..., 0])
+
+    data: dict = {"scaler": scaler}
+    for name, a in splits.items():
+        data[name + "_loader"] = WindowDataLoader(
+            x_series, seq_length_x, seq_length_y, batch_size,
+            y_start=y_start, anchors=a, y_series=series, rng=rng)
+    # materialize only the test targets (the per-horizon test loop needs
+    # them, `train.py:379-380`); everything else stays windows-on-demand
+    data["y_test"] = gather_windows(series, splits["test"] + y_start,
+                                    seq_length_y)
     return data

@@ -111,18 +111,25 @@ class WindowDataLoader:
 
     def __init__(self, series: np.ndarray, window: int, horizon: int,
                  batch_size: int, y_start: int = 1,
+                 anchors: np.ndarray | None = None,
+                 y_series: np.ndarray | None = None,
                  rng: np.random.Generator | None = None):
+        """``anchors``: optional explicit anchor subset (chronological split
+        slices); ``y_series``: optional separate series for targets (e.g.
+        raw units while x is standardized — the reference keeps targets
+        unscaled, `util.py:208-211`)."""
         self.series = np.ascontiguousarray(series, dtype=np.float32)
+        self.y_series = (self.series if y_series is None else
+                         np.ascontiguousarray(y_series, dtype=np.float32))
         self.window = window
         self.horizon = horizon
         self.batch_size = batch_size
         self.y_start = y_start
         self.rng = rng if rng is not None else np.random.default_rng()
-        t = series.shape[0]
-        # anchor = index of the last observed step (reference convention)
-        first = window - 1
-        last = t - (y_start + horizon - 1) - 1
-        self.anchors = np.arange(first, last + 1, dtype=np.int64)
+        if anchors is None:
+            anchors = self.valid_anchors(series.shape[0], window, horizon,
+                                         y_start)
+        self.anchors = np.asarray(anchors, dtype=np.int64)
         self.num_real = len(self.anchors)
         pad = (-self.num_real) % batch_size
         if pad:
@@ -130,6 +137,15 @@ class WindowDataLoader:
                 [self.anchors, np.repeat(self.anchors[-1:], pad)])
         self.size = len(self.anchors)
         self.num_batch = self.size // batch_size
+
+    @staticmethod
+    def valid_anchors(t: int, window: int, horizon: int,
+                      y_start: int = 1) -> np.ndarray:
+        """All valid anchor rows (anchor = last observed step, reference
+        convention `generate_training_data.py:42-44`)."""
+        first = window - 1
+        last = t - (y_start + horizon - 1) - 1
+        return np.arange(first, last + 1, dtype=np.int64)
 
     def shuffle(self):
         self.anchors = self.anchors[self.rng.permutation(self.size)]
@@ -139,7 +155,8 @@ class WindowDataLoader:
             a = self.anchors[i * self.batch_size:(i + 1) * self.batch_size]
             x = gather_windows(self.series, a - (self.window - 1),
                                self.window)
-            y = gather_windows(self.series, a + self.y_start, self.horizon)
+            y = gather_windows(self.y_series, a + self.y_start,
+                               self.horizon)
             yield x, y
 
     def __len__(self):

@@ -61,3 +61,65 @@ def test_window_loader_shuffle_and_padding(rng):
     assert sorted(set(dl.anchors)) == sorted(set(before))
     for x, y in dl.get_iterator():
         assert x.shape == (8, 12, 3, 2) and y.shape == (8, 12, 3, 2)
+
+
+def test_streaming_dataset_matches_materialized(tmp_path, rng):
+    """load_dataset_streaming must produce bit-identical samples, splits and
+    scaler to the materializing ETL + load_dataset path."""
+    from graph_wavenet_tpu.data import metr
+
+    n_nodes = 6
+    values = (rng.normal(size=(200, n_nodes)) * 5 + 60).astype(np.float32)
+    index = (np.datetime64("2012-03-01T00:00") +
+             np.arange(200) * np.timedelta64(5, "m"))
+    traffic_etl.generate_train_val_test(values, str(tmp_path), index=index)
+    mat = metr.load_dataset(str(tmp_path), batch_size=8, seed=0)
+    stream = metr.load_dataset_streaming(values, index=index, batch_size=8,
+                                         seed=0)
+
+    assert np.isclose(stream["scaler"].mean, mat["scaler"].mean, rtol=1e-6)
+    assert np.isclose(stream["scaler"].std, mat["scaler"].std, rtol=1e-5)
+
+    for split in ("train", "val", "test"):
+        xs_m, ys_m, xs_s, ys_s = [], [], [], []
+        for x, y in mat[split + "_loader"].get_iterator():
+            xs_m.append(x)
+            ys_m.append(y)
+        for x, y in stream[split + "_loader"].get_iterator():
+            xs_s.append(x)
+            ys_s.append(y)
+        n_real = mat[split + "_loader"].num_real
+        assert stream[split + "_loader"].num_real == n_real
+        np.testing.assert_allclose(
+            np.concatenate(xs_s)[:n_real], np.concatenate(xs_m)[:n_real],
+            atol=1e-5)
+        np.testing.assert_allclose(
+            np.concatenate(ys_s)[:n_real], np.concatenate(ys_m)[:n_real],
+            atol=1e-5)
+    np.testing.assert_allclose(stream["y_test"], mat["y_test"], atol=1e-6)
+
+
+def test_streaming_dataset_trains(tmp_path, rng):
+    """Runner.fit consumes the streaming dict unchanged."""
+    from graph_wavenet_tpu.config import ModelConfig, TrainConfig
+    from graph_wavenet_tpu.data import metr
+    from graph_wavenet_tpu.train.engine import Engine
+    from graph_wavenet_tpu.train.runner import Runner
+
+    n_nodes = 6
+    values = (rng.normal(size=(150, n_nodes)) * 5 + 60).astype(np.float32)
+    index = (np.datetime64("2012-03-01T00:00") +
+             np.arange(150) * np.timedelta64(5, "m"))
+    data = metr.load_dataset_streaming(values, index=index, batch_size=8,
+                                       seed=0)
+    cfg = ModelConfig(num_nodes=n_nodes, out_dim=12, residual_channels=4,
+                      dilation_channels=4, skip_channels=8, end_channels=8,
+                      blocks=2, layers=2, dropout=0.0, n_supports=2)
+    tcfg = TrainConfig(epochs=1, save_dir=str(tmp_path), print_every=1000)
+    a = rng.random((2, n_nodes, n_nodes)).astype(np.float32)
+    supports = [s / s.sum(-1, keepdims=True) for s in a]
+    runner = Runner(Engine(cfg, tcfg, data["scaler"]), tcfg,
+                    log_fn=lambda *a: None)
+    result = runner.fit(data, supports)
+    runner.test(data, supports, result)
+    assert np.isfinite(result.test_metrics["mae"])
