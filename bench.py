@@ -31,10 +31,14 @@ def main() -> None:
     from graph_wavenet_tpu.data.scaler import StandardScaler
     from graph_wavenet_tpu.train.engine import Engine
 
+    # bf16 activations / fp32 params+accum+BN: the production mixed-precision
+    # TPU configuration (BENCH_NOTES.md; fp32 parity covered by the test
+    # suite, bf16 path by test_e2e/test_model_parity bf16 cases)
     cfg = ModelConfig(num_nodes=207, in_dim=2, out_dim=12,
                       residual_channels=32, dilation_channels=32,
                       skip_channels=256, end_channels=512, blocks=4,
-                      layers=2, gcn_bool=True, addaptadj=True, n_supports=2)
+                      layers=2, gcn_bool=True, addaptadj=True, n_supports=2,
+                      dtype="bfloat16")
     batch, seq = 64, 12
     engine = Engine(cfg, TrainConfig(), StandardScaler(54.0, 20.0))
 

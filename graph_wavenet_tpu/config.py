@@ -140,6 +140,13 @@ class TrainConfig:
     # costs ~40% of the measured train step on v5e; rbg removes it.
     # "threefry2x32" gives the jax-default stream (slower, splittable).
     rng_impl: str = "rbg"
+    # Device-feed prefetch depth: batches are assembled and device_put on a
+    # background thread this many steps ahead, overlapping host work and H2D
+    # transfer with the previous step's compute (the reference feeds
+    # serially, train.py:243-251). 0 disables (default: through a tunneled
+    # device transport concurrent transfers serialize and regress — prefer
+    # device-resident loaders, ``data.device_loader``).
+    prefetch: int = 0
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,143 @@
+"""Device-resident data loaders: keep the dataset in HBM, gather batches
+on device.
+
+The reference copies every batch host->GPU inside the step loop
+(`/root/reference/train.py:244-247`). Measured through this environment's
+tunneled device transport that feed costs ~78 ms/step against a 9 ms train
+step (BENCH_NOTES.md). All of the reference's datasets fit in HBM — METR-LA's
+raw standardized series is 56 MB (the *materialized* windows are ~950 MB, a
+~12x stride-1 duplication) — so the TPU-native feed is: transfer the data
+ONCE, then per step send only a batch of int32 anchor indices and gather the
+windows on device with a jitted take. Per-step host->device traffic drops
+from ~5 MB to ~256 bytes.
+
+Two classes, both drop-in replacements for the host batchers (same
+``shuffle``/``get_iterator``/``num_real``/``num_batch`` surface, so the
+Runner consumes them unchanged):
+
+- :class:`DeviceWindowLoader` — raw series resident; windows gathered on
+  device per batch (device analog of ``native_loader.WindowDataLoader``).
+- :class:`DeviceArrayLoader` — prebuilt sample arrays resident; batches
+  sliced on device by permuted index (device analog of ``loader.DataLoader``,
+  for datasets whose windows are already materialized, e.g. synthetic).
+
+Shuffling happens on the host over the (tiny) anchor/index arrays with the
+same seeded Generator discipline as the host loaders; padding keeps the
+pad-with-last-sample parity semantics (`util.py:25-30`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _gather_windows_dev(series, starts, window: int):
+    """(T, N, C) series, (B,) start rows -> (B, window, N, C) on device."""
+    idx = starts[:, None] + jnp.arange(window)[None, :]    # (B, W)
+    return jnp.take(series, idx, axis=0)                   # (B, W, N, C)
+
+
+@jax.jit
+def _take_batch(arr, idx):
+    return jnp.take(arr, idx, axis=0)
+
+
+class DeviceWindowLoader:
+    """Windows-on-demand batcher with the series resident on device.
+
+    ``series_x``: standardized features (T, N, C); ``y_series``: target
+    series in raw units (reference keeps targets unscaled, `util.py:
+    208-211`), defaults to ``series_x``. ``anchors`` = index of the last
+    observed step per sample (reference convention,
+    `generate_training_data.py:42-44`).
+    """
+
+    def __init__(self, series_x: np.ndarray, window: int, horizon: int,
+                 batch_size: int, y_start: int = 1,
+                 anchors: np.ndarray | None = None,
+                 y_series: np.ndarray | None = None,
+                 rng: np.random.Generator | None = None):
+        from graph_wavenet_tpu.data.native_loader import WindowDataLoader
+
+        self.window = window
+        self.horizon = horizon
+        self.batch_size = batch_size
+        self.y_start = y_start
+        self.rng = rng if rng is not None else np.random.default_rng()
+        self._dev_x = jax.device_put(
+            np.ascontiguousarray(series_x, dtype=np.float32))
+        self._dev_y = (self._dev_x if y_series is None else jax.device_put(
+            np.ascontiguousarray(y_series, dtype=np.float32)))
+        if anchors is None:
+            anchors = WindowDataLoader.valid_anchors(
+                series_x.shape[0], window, horizon, y_start)
+        self.anchors = np.asarray(anchors, dtype=np.int32)
+        self.num_real = len(self.anchors)
+        pad = (-self.num_real) % batch_size
+        if pad:
+            self.anchors = np.concatenate(
+                [self.anchors, np.repeat(self.anchors[-1:], pad)])
+        self.size = len(self.anchors)
+        self.num_batch = self.size // batch_size
+
+    def shuffle(self):
+        self.anchors = self.anchors[self.rng.permutation(self.size)]
+
+    def get_iterator(self):
+        for i in range(self.num_batch):
+            a = jnp.asarray(
+                self.anchors[i * self.batch_size:(i + 1) * self.batch_size])
+            x = _gather_windows_dev(self._dev_x, a - (self.window - 1),
+                                    self.window)
+            y = _gather_windows_dev(self._dev_y, a + self.y_start,
+                                    self.horizon)
+            yield x, y
+
+    def __len__(self):
+        return self.num_batch
+
+
+class DeviceArrayLoader:
+    """Device-resident batcher over prebuilt (xs, ys[, adj_idx]) arrays —
+    the HBM analog of ``loader.DataLoader`` (pad-with-last + shuffle +
+    slice, `util.py:14-102`); batches are device-side gathers."""
+
+    def __init__(self, xs: np.ndarray, ys: np.ndarray, batch_size: int,
+                 adj_idx: np.ndarray | None = None,
+                 pad_with_last_sample: bool = True,
+                 rng: np.random.Generator | None = None):
+        self.batch_size = batch_size
+        self.num_real = len(xs)
+        self.rng = rng if rng is not None else np.random.default_rng()
+        n = len(xs)
+        pad = ((-n) % batch_size) if pad_with_last_sample else 0
+        self.size = n + pad
+        self.num_batch = self.size // batch_size
+        # index indirection implements pad-with-last without duplicating data
+        self._index = np.concatenate(
+            [np.arange(n), np.full(pad, n - 1)]).astype(np.int32)
+        self._dev_x = jax.device_put(np.ascontiguousarray(xs))
+        self._dev_y = jax.device_put(np.ascontiguousarray(ys))
+        self.adj_idx = adj_idx  # host-side (used for support gathers)
+
+    def shuffle(self):
+        self._index = self._index[self.rng.permutation(self.size)]
+
+    def get_iterator(self):
+        for i in range(self.num_batch):
+            sel = self._index[i * self.batch_size:(i + 1) * self.batch_size]
+            dev_sel = jnp.asarray(sel)
+            x = _take_batch(self._dev_x, dev_sel)
+            y = _take_batch(self._dev_y, dev_sel)
+            if self.adj_idx is None:
+                yield x, y
+            else:
+                yield x, y, self.adj_idx[sel]
+
+    def __len__(self):
+        return self.num_batch

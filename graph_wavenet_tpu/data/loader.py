@@ -70,6 +70,20 @@ class DataLoader:
 DataLoaderSyn = DataLoader
 
 
+def loader_cls(resident: str):
+    """Select the batcher for a residency mode: "host" = numpy batches
+    copied per step, "device" = dataset in HBM with on-device gathers
+    (``data.device_loader``, ~7.5x faster epochs through slow transports —
+    BENCH_NOTES.md)."""
+    if resident == "device":
+        from graph_wavenet_tpu.data.device_loader import DeviceArrayLoader
+        return DeviceArrayLoader
+    if resident != "host":
+        raise ValueError(
+            f"resident must be 'host' or 'device', got {resident!r}")
+    return DataLoader
+
+
 def sharded_iterator(loader: DataLoader, sharding):
     """Wrap batches as global device arrays laid out per ``sharding`` (a
     ``jax.sharding.NamedSharding`` over the batch axis) — the multi-host

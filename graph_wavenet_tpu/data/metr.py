@@ -10,6 +10,10 @@ Two paths:
   the data up ~10x on disk and in RAM): windows are assembled on demand by
   the native loader; the scaler matches the materialized fit EXACTLY via
   window-multiplicity weighting.
+
+Both accept ``resident="device"`` to keep the data in HBM and gather batches
+on device (``data.device_loader``) — the fast feed for TPU training: per-step
+host->device traffic is a batch of int32 indices instead of ~5 MB of windows.
 """
 
 from __future__ import annotations
@@ -18,14 +22,14 @@ import os
 
 import numpy as np
 
-from graph_wavenet_tpu.data.loader import DataLoader
+from graph_wavenet_tpu.data.loader import loader_cls
 from graph_wavenet_tpu.data.scaler import StandardScaler, apply_feature0_scaling
 
 
 def load_dataset(dataset_dir: str, batch_size: int,
                  valid_batch_size: int | None = None,
                  test_batch_size: int | None = None,
-                 seed: int = 0) -> dict:
+                 seed: int = 0, resident: str = "host") -> dict:
     valid_batch_size = valid_batch_size or batch_size
     test_batch_size = test_batch_size or batch_size
     rng = np.random.default_rng(seed)
@@ -36,14 +40,16 @@ def load_dataset(dataset_dir: str, batch_size: int,
         data["y_" + category] = cat["y"].astype(np.float32)
     scaler = StandardScaler.fit(data["x_train"][..., 0])
     apply_feature0_scaling(data, scaler)
-    data["train_loader"] = DataLoader(data["x_train"], data["y_train"],
-                                      batch_size, rng=rng)
-    data["val_loader"] = DataLoader(data["x_val"], data["y_val"],
-                                    valid_batch_size, rng=rng)
-    data["test_loader"] = DataLoader(data["x_test"], data["y_test"],
-                                     test_batch_size, rng=rng)
+    cls = loader_cls(resident)
+    data["train_loader"] = cls(data["x_train"], data["y_train"],
+                               batch_size, rng=rng)
+    data["val_loader"] = cls(data["x_val"], data["y_val"],
+                             valid_batch_size, rng=rng)
+    data["test_loader"] = cls(data["x_test"], data["y_test"],
+                              test_batch_size, rng=rng)
     data["scaler"] = scaler
     return data
+
 
 
 def _window_multiplicity(anchors: np.ndarray, window: int,
@@ -73,7 +79,7 @@ def load_dataset_streaming(values: np.ndarray, index=None,
                            seq_length_y: int = 12, y_start: int = 1,
                            add_time_in_day: bool = True,
                            add_day_in_week: bool = False,
-                           seed: int = 0) -> dict:
+                           seed: int = 0, resident: str = "host") -> dict:
     """Raw (T, N) readings -> streaming loaders with reference-identical
     samples, splits (chronological 70/10/20 over anchors) and scaler.
 
@@ -108,9 +114,18 @@ def load_dataset_streaming(values: np.ndarray, index=None,
     x_series = series.copy()
     x_series[..., 0] = scaler.transform(x_series[..., 0])
 
+    if resident == "device":
+        from graph_wavenet_tpu.data.device_loader import DeviceWindowLoader
+        window_cls = DeviceWindowLoader
+    elif resident == "host":
+        window_cls = WindowDataLoader
+    else:
+        raise ValueError(f"resident must be 'host' or 'device', "
+                         f"got {resident!r}")
+
     data: dict = {"scaler": scaler}
     for name, a in splits.items():
-        data[name + "_loader"] = WindowDataLoader(
+        data[name + "_loader"] = window_cls(
             x_series, seq_length_x, seq_length_y, batch_size,
             y_start=y_start, anchors=a, y_series=series, rng=rng)
     # materialize only the test targets (the per-horizon test loop needs

@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from graph_wavenet_tpu.config import DataConfig
-from graph_wavenet_tpu.data.loader import DataLoader
+from graph_wavenet_tpu.data.loader import loader_cls
 from graph_wavenet_tpu.data.scaler import StandardScaler, apply_feature0_scaling
 from graph_wavenet_tpu.data.windows import sliding_windows
 from graph_wavenet_tpu.graphs.generate import Graph, compute_gft
@@ -190,7 +190,7 @@ class MultiModalityPrediction:
 def load_dataset_syn(cfg: DataConfig, batch_size: int,
                      valid_batch_size: int | None = None,
                      test_batch_size: int | None = None,
-                     seed: int = 0):
+                     seed: int = 0, resident: str = "host"):
     """Build the synthetic dataset + loaders (`/root/reference/Utils/
     util.py:219-324`).
 
@@ -224,12 +224,13 @@ def load_dataset_syn(cfg: DataConfig, batch_size: int,
                 gen.get_samples(category)
         scaler = StandardScaler.fit(data["x_train"][..., 0])
         apply_feature0_scaling(data, scaler)
-        data["train_loader"] = DataLoader(data["x_train"], data["y_train"],
-                                          batch_size, rng=rng)
-        data["val_loader"] = DataLoader(data["x_val"], data["y_val"],
-                                        valid_batch_size, rng=rng)
-        data["test_loader"] = DataLoader(data["x_test"], data["y_test"],
-                                         test_batch_size, rng=rng)
+        cls = loader_cls(resident)
+        data["train_loader"] = cls(data["x_train"], data["y_train"],
+                                   batch_size, rng=rng)
+        data["val_loader"] = cls(data["x_val"], data["y_val"],
+                                 valid_batch_size, rng=rng)
+        data["test_loader"] = cls(data["x_test"], data["y_test"],
+                                  test_batch_size, rng=rng)
         data["scaler"] = scaler
         return data, mod_adj(G.W, cfg.adjtype), F_t, G
 
@@ -271,15 +272,16 @@ def load_dataset_syn(cfg: DataConfig, batch_size: int,
 
     scaler = StandardScaler.fit(data["x_train"][..., 0])
     apply_feature0_scaling(data, scaler)
-    data["train_loader"] = DataLoader(data["x_train"], data["y_train"],
-                                      batch_size, adj_idx=adj_idx["train"],
-                                      rng=rng)
-    data["val_loader"] = DataLoader(data["x_val"], data["y_val"],
-                                    valid_batch_size,
-                                    adj_idx=adj_idx["val"], rng=rng)
-    data["test_loader"] = DataLoader(data["x_test"], data["y_test"],
-                                     test_batch_size,
-                                     adj_idx=adj_idx["test"], rng=rng)
+    cls = loader_cls(resident)
+    data["train_loader"] = cls(data["x_train"], data["y_train"],
+                               batch_size, adj_idx=adj_idx["train"],
+                               rng=rng)
+    data["val_loader"] = cls(data["x_val"], data["y_val"],
+                             valid_batch_size,
+                             adj_idx=adj_idx["val"], rng=rng)
+    data["test_loader"] = cls(data["x_test"], data["y_test"],
+                              test_batch_size,
+                              adj_idx=adj_idx["test"], rng=rng)
     data["scaler"] = scaler
     return data, adjs, F_t, G
 

@@ -1,0 +1,77 @@
+"""Device-feed prefetching: batch identity, ordering, error propagation,
+and Runner integration (prefetch on == off)."""
+
+import numpy as np
+import pytest
+
+from graph_wavenet_tpu.data.loader import DataLoader
+from graph_wavenet_tpu.data.prefetch import prefetch_to_device
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_prefetch_preserves_batches_and_order(rng):
+    xs = rng.normal(size=(40, 4, 3, 2)).astype(np.float32)
+    ys = rng.normal(size=(40, 4, 3, 2)).astype(np.float32)
+    dl = DataLoader(xs, ys, batch_size=8, rng=rng)
+    direct = list(dl.get_iterator())
+    fetched = list(prefetch_to_device(dl.get_iterator(), size=2))
+    assert len(fetched) == len(direct)
+    for (xd, yd), (xf, yf) in zip(direct, fetched):
+        np.testing.assert_array_equal(np.asarray(xf), xd)
+        np.testing.assert_array_equal(np.asarray(yf), yd)
+
+
+def test_prefetch_passes_through_non_arrays():
+    batches = [(np.ones((2, 2), np.float32), "tag", 7)]
+    out = list(prefetch_to_device(iter(batches), size=1))
+    assert out[0][1] == "tag" and out[0][2] == 7
+
+
+def test_prefetch_propagates_producer_errors():
+    def bad():
+        yield (np.ones((2,), np.float32),)
+        raise RuntimeError("boom")
+
+    it = prefetch_to_device(bad(), size=1)
+    next(it)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(it)
+
+
+def test_runner_fit_same_result_with_and_without_prefetch(rng, tmp_path):
+    from graph_wavenet_tpu.config import ModelConfig, TrainConfig
+    from graph_wavenet_tpu.data.scaler import StandardScaler
+    from graph_wavenet_tpu.train.engine import Engine
+    from graph_wavenet_tpu.train.runner import Runner
+
+    n = 6
+    xs = rng.normal(size=(48, 12, n, 2)).astype(np.float32)
+    ys = (rng.normal(size=(48, 12, n, 2)) + 50).astype(np.float32)
+    cfg = ModelConfig(num_nodes=n, in_dim=2, out_dim=12,
+                      residual_channels=4, dilation_channels=4,
+                      skip_channels=8, end_channels=16, blocks=1, layers=2,
+                      gcn_bool=True, addaptadj=True, n_supports=1)
+    a = rng.random((n, n)).astype(np.float32)
+    supports = [a / a.sum(-1, keepdims=True)]
+
+    def run(prefetch):
+        tc = TrainConfig(epochs=1, print_every=10,
+                         save_dir=str(tmp_path / f"pf{prefetch}"),
+                         prefetch=prefetch)
+        data = {}
+        loader_rng = np.random.default_rng(1)
+        data["train_loader"] = DataLoader(xs, ys, 8, rng=loader_rng)
+        data["val_loader"] = DataLoader(xs[:16], ys[:16], 8, rng=loader_rng)
+        engine = Engine(cfg, tc, StandardScaler(50.0, 5.0), seed=0)
+        runner = Runner(engine, tc)
+        res = runner.fit(data, supports)
+        return res.history[-1].train["loss"], res.history[-1].valid["loss"]
+
+    t0, v0 = run(0)
+    t2, v2 = run(2)
+    assert np.isclose(t0, t2, rtol=1e-5)
+    assert np.isclose(v0, v2, rtol=1e-5)
