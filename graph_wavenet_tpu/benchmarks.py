@@ -178,6 +178,66 @@ def weak_scaling(cfg: ModelConfig = FLAGSHIP, per_device_batch: int = 64,
     return results
 
 
+def bench_inference(cfg: ModelConfig = FLAGSHIP, seq: int = 12,
+                    batches: tuple = (1, 64, 512), steps: int = 50,
+                    horizon_steps: int = 8) -> dict:
+    """Serving-path benchmarks: jitted predictor latency/throughput per batch
+    size, plus the scan-based autoregressive rollout (closed-loop, entirely
+    on device)."""
+    from graph_wavenet_tpu.train.serving import (
+        Forecaster,
+        autoregressive_forecast,
+    )
+    from graph_wavenet_tpu.train.engine import Engine
+
+    engine = Engine(cfg, TrainConfig(), StandardScaler(54.0, 20.0))
+    x, _, supports = _random_inputs(cfg, max(batches), seq)
+    fc = Forecaster(cfg, engine.state.params, engine.state.model_state,
+                    supports, engine.scaler)
+    out = {}
+    for b in batches:
+        xb = jnp.asarray(x[:b])
+        pred = fc.predict(xb)
+        float(pred.sum())    # warmup + force completion
+
+        def run_steps(n):
+            t0 = time.perf_counter()
+            acc = None
+            for _ in range(n):
+                acc = fc.predict(xb)
+            float(acc.sum())
+            return time.perf_counter() - t0
+
+        per = _differential_time(run_steps, max(steps // 3, 1), steps)
+        out[f"batch_{b}"] = {
+            "latency_ms": per * 1e3,
+            "forecasts_per_s": b / per,
+            "node_timesteps_per_s": b * cfg.num_nodes * seq / per,
+        }
+
+    xb = jnp.asarray(x[:max(batches) // 8 or 1])
+    ar = autoregressive_forecast(fc, xb, horizon_steps)
+    float(jnp.sum(ar))
+
+    def run_ar(n):
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(n):
+            acc = autoregressive_forecast(fc, xb, horizon_steps)
+        float(jnp.sum(acc))
+        return time.perf_counter() - t0
+
+    per = _differential_time(run_ar, 3, 9)
+    out["autoregressive"] = {
+        "batch": int(xb.shape[0]),
+        "rollout_steps": horizon_steps,
+        "rollout_ms": per * 1e3,
+        "forecast_timesteps_per_s":
+            xb.shape[0] * horizon_steps * cfg.out_dim / per,
+    }
+    return out
+
+
 def run_all(batch: int = 64, steps: int = 30) -> dict:
     out = {}
     for name, cfg in CONFIGS.items():

@@ -147,6 +147,10 @@ class TrainConfig:
     # device transport concurrent transfers serialize and regress — prefer
     # device-resident loaders, ``data.device_loader``).
     prefetch: int = 0
+    # Write epoch checkpoints on a background thread so the next epoch's
+    # compute overlaps serialization + disk IO (the reference's torch.save
+    # blocks the loop, train.py:295).
+    async_checkpoint: bool = True
 
 
 @dataclass(frozen=True)

@@ -24,6 +24,11 @@ Runner consumes them unchanged):
 Shuffling happens on the host over the (tiny) anchor/index arrays with the
 same seeded Generator discipline as the host loaders; padding keeps the
 pad-with-last-sample parity semantics (`util.py:25-30`).
+
+Multi-chip: pass ``sharding`` (a ``NamedSharding`` for the batch arrays,
+e.g. ``parallel.mesh.batch_sharding``) — the resident data is replicated
+across the mesh and each gather emits batches laid out per the sharding, so
+the pjit train step consumes them with zero resharding.
 """
 
 from __future__ import annotations
@@ -35,16 +40,36 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _gather_windows_dev(series, starts, window: int):
+def _gather_windows(series, starts, window: int):
     """(T, N, C) series, (B,) start rows -> (B, window, N, C) on device."""
     idx = starts[:, None] + jnp.arange(window)[None, :]    # (B, W)
     return jnp.take(series, idx, axis=0)                   # (B, W, N, C)
 
 
-@jax.jit
-def _take_batch(arr, idx):
+def _take(arr, idx):
     return jnp.take(arr, idx, axis=0)
+
+
+_gather_windows_dev = jax.jit(_gather_windows, static_argnums=(2,))
+_take_batch = jax.jit(_take)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_window_gather(sharding):
+    return jax.jit(_gather_windows, static_argnums=(2,),
+                   out_shardings=sharding)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_take(sharding):
+    return jax.jit(_take, out_shardings=sharding)
+
+
+def _replicate(arr, sharding):
+    """Replicate a host array across the mesh of ``sharding``."""
+    from jax.sharding import NamedSharding, PartitionSpec
+    return jax.device_put(
+        arr, NamedSharding(sharding.mesh, PartitionSpec()))
 
 
 class DeviceWindowLoader:
@@ -61,7 +86,8 @@ class DeviceWindowLoader:
                  batch_size: int, y_start: int = 1,
                  anchors: np.ndarray | None = None,
                  y_series: np.ndarray | None = None,
-                 rng: np.random.Generator | None = None):
+                 rng: np.random.Generator | None = None,
+                 sharding=None):
         from graph_wavenet_tpu.data.native_loader import WindowDataLoader
 
         self.window = window
@@ -69,9 +95,12 @@ class DeviceWindowLoader:
         self.batch_size = batch_size
         self.y_start = y_start
         self.rng = rng if rng is not None else np.random.default_rng()
-        self._dev_x = jax.device_put(
-            np.ascontiguousarray(series_x, dtype=np.float32))
-        self._dev_y = (self._dev_x if y_series is None else jax.device_put(
+        put = ((lambda a: _replicate(a, sharding)) if sharding is not None
+               else jax.device_put)
+        self._gather = (_sharded_window_gather(sharding)
+                        if sharding is not None else _gather_windows_dev)
+        self._dev_x = put(np.ascontiguousarray(series_x, dtype=np.float32))
+        self._dev_y = (self._dev_x if y_series is None else put(
             np.ascontiguousarray(y_series, dtype=np.float32)))
         if anchors is None:
             anchors = WindowDataLoader.valid_anchors(
@@ -92,10 +121,9 @@ class DeviceWindowLoader:
         for i in range(self.num_batch):
             a = jnp.asarray(
                 self.anchors[i * self.batch_size:(i + 1) * self.batch_size])
-            x = _gather_windows_dev(self._dev_x, a - (self.window - 1),
-                                    self.window)
-            y = _gather_windows_dev(self._dev_y, a + self.y_start,
-                                    self.horizon)
+            x = self._gather(self._dev_x, a - (self.window - 1),
+                             self.window)
+            y = self._gather(self._dev_y, a + self.y_start, self.horizon)
             yield x, y
 
     def __len__(self):
@@ -110,7 +138,8 @@ class DeviceArrayLoader:
     def __init__(self, xs: np.ndarray, ys: np.ndarray, batch_size: int,
                  adj_idx: np.ndarray | None = None,
                  pad_with_last_sample: bool = True,
-                 rng: np.random.Generator | None = None):
+                 rng: np.random.Generator | None = None,
+                 sharding=None):
         self.batch_size = batch_size
         self.num_real = len(xs)
         self.rng = rng if rng is not None else np.random.default_rng()
@@ -121,8 +150,12 @@ class DeviceArrayLoader:
         # index indirection implements pad-with-last without duplicating data
         self._index = np.concatenate(
             [np.arange(n), np.full(pad, n - 1)]).astype(np.int32)
-        self._dev_x = jax.device_put(np.ascontiguousarray(xs))
-        self._dev_y = jax.device_put(np.ascontiguousarray(ys))
+        put = ((lambda a: _replicate(a, sharding)) if sharding is not None
+               else jax.device_put)
+        self._take = (_sharded_take(sharding) if sharding is not None
+                      else _take_batch)
+        self._dev_x = put(np.ascontiguousarray(xs))
+        self._dev_y = put(np.ascontiguousarray(ys))
         self.adj_idx = adj_idx  # host-side (used for support gathers)
 
     def shuffle(self):
@@ -132,8 +165,8 @@ class DeviceArrayLoader:
         for i in range(self.num_batch):
             sel = self._index[i * self.batch_size:(i + 1) * self.batch_size]
             dev_sel = jnp.asarray(sel)
-            x = _take_batch(self._dev_x, dev_sel)
-            y = _take_batch(self._dev_y, dev_sel)
+            x = self._take(self._dev_x, dev_sel)
+            y = self._take(self._dev_y, dev_sel)
             if self.adj_idx is None:
                 yield x, y
             else:

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import json
 import os
+import queue
+import threading
 from dataclasses import asdict
 from typing import Any
 
@@ -23,7 +25,9 @@ from graph_wavenet_tpu.data.scaler import StandardScaler
 from graph_wavenet_tpu.train.engine import TrainState
 
 
-def _state_to_pytree(state: TrainState) -> dict:
+def _state_to_pytree(state) -> dict:
+    if hasattr(state, "as_pytree"):     # already a host snapshot
+        return state.as_pytree()
     return {
         "params": state.params,
         "opt_state": state.opt_state,
@@ -83,6 +87,67 @@ def load_metadata(path: str) -> dict:
     if "scaler" in meta:
         meta["scaler"] = StandardScaler(**meta["scaler"])
     return meta
+
+
+class AsyncCheckpointer:
+    """Non-blocking checkpoint writer.
+
+    ``save()`` device_gets the state (cheap: the train loop needs the sync
+    point anyway at epoch end) and hands serialization + disk IO to a single
+    worker thread, so the next epoch's compute overlaps the write — the
+    reference's ``torch.save`` per epoch is fully blocking
+    (`/root/reference/train.py:295`). One in-flight write at a time
+    (a second ``save`` while busy blocks until the previous completes, which
+    bounds memory at 2 state copies). ``wait()`` drains the queue;
+    exceptions from the worker re-raise on the next ``save``/``wait``.
+    """
+
+    def __init__(self):
+        self._q: queue.Queue = queue.Queue(maxsize=1)
+        self._err: list[BaseException] = []
+        self._thread: threading.Thread | None = None
+
+    def _worker(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            try:
+                save_checkpoint(*item[0], **item[1])
+            except BaseException as e:
+                self._err.append(e)
+            finally:
+                self._q.task_done()
+
+    def _check(self):
+        if self._err:
+            raise self._err.pop(0)
+
+    def save(self, path: str, state: TrainState, **kwargs) -> None:
+        self._check()
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._worker,
+                                            daemon=True,
+                                            name="gwnet-ckpt-writer")
+            self._thread.start()
+        host_state = jax.tree_util.tree_map(lambda x: jax.device_get(x),
+                                            _state_to_pytree(state))
+        # re-wrap as a TrainState-shaped tuple for save_checkpoint
+        self._q.put(((path, _HostState(host_state)), kwargs))
+
+    def wait(self) -> None:
+        self._q.join()
+        self._check()
+
+
+class _HostState:
+    """Host-side snapshot that quacks like TrainState for serialization."""
+
+    def __init__(self, pytree: dict):
+        self._pytree = pytree
+
+    def as_pytree(self) -> dict:
+        return self._pytree
 
 
 def prune_checkpoints(save_dir: str, prefix: str, keep: int,

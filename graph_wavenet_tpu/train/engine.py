@@ -190,10 +190,26 @@ class Engine:
         loss = masked_mae(predict, real, 0.0)
         return loss, (predict, real, new_ms)
 
+    def _check_syn_collapse(self, predict):
+        """The F/E modality supervision (`engine.py:87-110`) needs the
+        dilated stack to collapse time to ONE output step; with a too-short
+        receptive field the reference fails with an opaque broadcast error —
+        fail with the fix instead."""
+        if predict.shape[1] != 1:
+            k = predict.shape[-1]
+            raise ValueError(
+                f"modality (F/E) supervision requires the dilated conv "
+                f"stack to collapse time to one step, but the model "
+                f"produced {predict.shape[1]} output steps for seq_length "
+                f"K={k} (receptive_field={self.model_cfg.receptive_field}, "
+                f"input K+1={k + 1}). Choose blocks/layers/start_dilation "
+                f"so receptive_field == K+1, or reduce seq_length.")
+
     def _loss_syn(self, params, model_state, x, y, supports, projector,
                   F_t, rng):
         predict, new_ms = self._forward(params, model_state, x, supports,
                                         True, rng)
+        self._check_syn_collapse(predict)
         real = modality_target(y)
         f_hat = pool_F(predict, F_t)
         e_hat = pool_E(predict, projector)
@@ -277,6 +293,7 @@ class Engine:
                       F_t: int):
         predict, _ = self._forward(state.params, state.model_state, x,
                                    supports, False, state.rng)
+        self._check_syn_collapse(predict)
         real = modality_target(y)
         f_hat = pool_F(predict, F_t)
         e_hat = pool_E(predict, projector)

@@ -72,6 +72,8 @@ class Runner:
         self.cfg = train_cfg
         self.log = log_fn
         self._ckpt_scores: dict[str, float] = {}
+        self._ckpt_writer = (ckpt.AsyncCheckpointer()
+                             if train_cfg.async_checkpoint else None)
 
     def _feed(self, loader):
         """Batch iterator, prefetched to device ``cfg.prefetch`` steps ahead
@@ -346,12 +348,24 @@ class Runner:
             self.cfg.save_dir,
             f"exp{self.cfg.expid}_epoch_{epoch}_{round(val_loss, 2)}"
             ".msgpack")
-        ckpt.save_checkpoint(path, state, self.engine.model_cfg, self.cfg,
-                             self.engine.scaler,
-                             extra={"epoch": epoch, "val_loss": val_loss})
-        self._ckpt_scores[path] = val_loss
-        ckpt.prune_checkpoints(self.cfg.save_dir, "",
-                               self.cfg.keep_checkpoints, self._ckpt_scores)
+        meta = dict(model_cfg=self.engine.model_cfg, train_cfg=self.cfg,
+                    scaler=self.engine.scaler,
+                    extra={"epoch": epoch, "val_loss": val_loss})
+        if self._ckpt_writer is not None:
+            # prune completed files down to keep-1 BEFORE enqueueing, so the
+            # background write never races a deletion of its own target
+            if self.cfg.keep_checkpoints > 0:
+                ckpt.prune_checkpoints(self.cfg.save_dir, "",
+                                       self.cfg.keep_checkpoints - 1,
+                                       self._ckpt_scores)
+            self._ckpt_scores[path] = val_loss
+            self._ckpt_writer.save(path, state, **meta)
+        else:
+            ckpt.save_checkpoint(path, state, **meta)
+            self._ckpt_scores[path] = val_loss
+            ckpt.prune_checkpoints(self.cfg.save_dir, "",
+                                   self.cfg.keep_checkpoints,
+                                   self._ckpt_scores)
         if val_loss < result.best_val_loss:
             result.best_val_loss = val_loss
             result.best_epoch = epoch
@@ -360,6 +374,8 @@ class Runner:
     def _finalize_best(self, result: RunResult):
         """Reload the best-val checkpoint before testing
         (`train.py:302-309`)."""
+        if self._ckpt_writer is not None:
+            self._ckpt_writer.wait()     # drain in-flight epoch writes
         if result.best_checkpoint and os.path.exists(result.best_checkpoint):
             self.engine.state = ckpt.load_checkpoint(result.best_checkpoint,
                                                      self.engine.state)

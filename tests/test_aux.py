@@ -118,3 +118,10 @@ def test_crash_pipeline_with_custom_records(rng):
     assert data["K"] % F_t == 0
     x, y, idx = next(iter(data["train_loader"].get_iterator()))
     assert x.shape[2] == 12
+
+
+def test_bench_inference_smoke():
+    r = benchmarks.bench_inference(SMALL, seq=6, batches=(2,), steps=3,
+                                   horizon_steps=2)
+    assert r["batch_2"]["latency_ms"] > 0
+    assert r["autoregressive"]["rollout_ms"] > 0

@@ -94,3 +94,33 @@ def test_resident_arg_validated():
 
     with pytest.raises(ValueError, match="resident"):
         loader_cls("hbm")
+
+
+def test_device_loaders_sharded_batches(rng):
+    """With a batch NamedSharding, gathers come out sharded over the mesh's
+    data axis and a pjit-consuming step needs no resharding."""
+    import jax
+    from graph_wavenet_tpu.config import MeshConfig
+    from graph_wavenet_tpu.parallel import mesh as M
+
+    mesh = M.make_mesh(MeshConfig())
+    sh = M.batch_sharding(mesh, MeshConfig())
+
+    xs = rng.normal(size=(32, 12, 5, 2)).astype(np.float32)
+    ys = rng.normal(size=(32, 12, 5, 2)).astype(np.float32)
+    dev = DeviceArrayLoader(xs, ys, 8, rng=np.random.default_rng(3),
+                            sharding=sh)
+    host = DataLoader(xs, ys, 8, rng=np.random.default_rng(3))
+    for (dx, dy), (hx, hy) in zip(dev.get_iterator(), host.get_iterator()):
+        assert dx.sharding.is_equivalent_to(sh, dx.ndim)
+        np.testing.assert_array_equal(np.asarray(dx), hx)
+        np.testing.assert_array_equal(np.asarray(dy), hy)
+
+    series = rng.normal(size=(100, 5, 2)).astype(np.float32)
+    dwin = DeviceWindowLoader(series, 12, 12, 8,
+                              rng=np.random.default_rng(4), sharding=sh)
+    hwin = WindowDataLoader(series, 12, 12, 8, rng=np.random.default_rng(4))
+    for (dx, dy), (hx, hy) in zip(dwin.get_iterator(), hwin.get_iterator()):
+        assert dx.sharding.is_equivalent_to(sh, dx.ndim)
+        np.testing.assert_array_equal(np.asarray(dx), hx)
+        np.testing.assert_array_equal(np.asarray(dy), hy)

@@ -1,6 +1,7 @@
 """Device-feed prefetching: batch identity, ordering, error propagation,
 and Runner integration (prefetch on == off)."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -75,3 +76,44 @@ def test_runner_fit_same_result_with_and_without_prefetch(rng, tmp_path):
     t2, v2 = run(2)
     assert np.isclose(t0, t2, rtol=1e-5)
     assert np.isclose(v0, v2, rtol=1e-5)
+
+
+def test_async_checkpointer_roundtrip(rng, tmp_path):
+    import jax.numpy as jnp
+
+    from graph_wavenet_tpu.config import ModelConfig, TrainConfig
+    from graph_wavenet_tpu.data.scaler import StandardScaler
+    from graph_wavenet_tpu.train import checkpoint as ckpt
+    from graph_wavenet_tpu.train.engine import Engine
+
+    cfg = ModelConfig(num_nodes=5, in_dim=2, out_dim=4, residual_channels=4,
+                      dilation_channels=4, skip_channels=8, end_channels=8,
+                      blocks=1, layers=1, gcn_bool=False, addaptadj=False,
+                      n_supports=0)
+    engine = Engine(cfg, TrainConfig(), StandardScaler(0.0, 1.0), seed=3)
+    writer = ckpt.AsyncCheckpointer()
+    path = str(tmp_path / "async.msgpack")
+    writer.save(path, engine.state, model_cfg=cfg)
+    writer.wait()
+    restored = ckpt.load_checkpoint(path, engine.state)
+    for a, b in zip(jax.tree_util.tree_leaves(engine.state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ckpt.load_metadata(path)["model_cfg"] == cfg
+
+
+def test_async_checkpointer_propagates_errors(tmp_path):
+    from graph_wavenet_tpu.train import checkpoint as ckpt
+
+    writer = ckpt.AsyncCheckpointer()
+
+    class Snapshot:
+        def as_pytree(self):
+            return {"a": np.zeros(2, np.float32)}
+
+    blocker = tmp_path / "not_a_dir"
+    blocker.write_text("file in the way")
+    # worker-side failure: the checkpoint's parent "directory" is a file
+    writer.save(str(blocker / "x.msgpack"), Snapshot())
+    with pytest.raises((NotADirectoryError, FileExistsError)):
+        writer.wait()
