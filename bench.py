@@ -16,14 +16,30 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
+import signal
+import sys
 import time
 
 import numpy as np
 
 REF_BASELINE = 1.0e6  # node-timesteps/s, estimated reference 1080 Ti
 
+WATCHDOG_S = 1500  # tunneled-device transports can wedge; never hang forever
+
+
+def _watchdog(signum, frame):
+    print("bench watchdog: device unresponsive after "
+          f"{WATCHDOG_S}s, reporting failure", file=sys.stderr, flush=True)
+    print(json.dumps({"metric": "train_step_node_timesteps_per_s",
+                      "value": 0.0, "unit": "node-timesteps/s",
+                      "vs_baseline": 0.0}), flush=True)
+    os._exit(2)
+
 
 def main() -> None:
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(WATCHDOG_S)
     import jax
     import jax.numpy as jnp
 
@@ -71,6 +87,7 @@ def main() -> None:
     n_steps = n2 - n1
 
     node_timesteps = batch * cfg.num_nodes * seq * n_steps / dt
+    signal.alarm(0)
     print(json.dumps({
         "metric": "train_step_node_timesteps_per_s",
         "value": round(node_timesteps, 1),

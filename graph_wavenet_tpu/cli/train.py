@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rng_impl", type=str, default="rbg",
                    choices=["rbg", "threefry2x32"],
                    help="dropout PRNG; rbg = TPU hardware RNG (fast)")
+    p.add_argument("--scan_steps", type=int, default=1,
+                   help="fused multi-step training: optimizer steps per "
+                        "dispatch (device-resident loaders only)")
     p.add_argument("--resident", type=str, default="device",
                    choices=["device", "host"],
                    help="dataset residency: device = in HBM with on-device "
@@ -139,7 +142,8 @@ def main(argv=None) -> dict:
         batch_size=args.batch_size, learning_rate=args.learning_rate,
         weight_decay=args.weight_decay, epochs=args.epochs,
         print_every=args.print_every, seed=args.seed, save_dir=args.save,
-        expid=args.expid, rng_impl=args.rng_impl)
+        expid=args.expid, rng_impl=args.rng_impl,
+        scan_steps=args.scan_steps)
 
     t1 = time.time()
     if args.data == "syn":

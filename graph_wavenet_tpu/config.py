@@ -151,6 +151,10 @@ class TrainConfig:
     # compute overlaps serialization + disk IO (the reference's torch.save
     # blocks the loop, train.py:295).
     async_checkpoint: bool = True
+    # Fused multi-step training: run this many optimizer steps per dispatch
+    # (lax.scan over on-device batch gathers) when the train loader is
+    # device-resident. Amortizes per-dispatch overhead; 1 disables.
+    scan_steps: int = 1
 
 
 @dataclass(frozen=True)

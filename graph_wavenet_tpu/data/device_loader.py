@@ -126,6 +126,32 @@ class DeviceWindowLoader:
             y = self._gather(self._dev_y, a + self.y_start, self.horizon)
             yield x, y
 
+    # -- fused multi-step training support (Engine.train_steps_windows) --
+
+    def resident_series(self):
+        """The device-resident (x_series, y_series) raw arrays."""
+        return self._dev_x, self._dev_y
+
+    def superbatches(self, scan_steps: int):
+        """(scan_steps, batch_size) int32 anchor matrices, full chunks in
+        the current shuffle order."""
+        b = self.batch_size
+        n_full = self.num_batch // scan_steps
+        for c in range(n_full):
+            lo = c * scan_steps * b
+            yield self.anchors[lo:lo + scan_steps * b].reshape(scan_steps, b)
+
+    def remainder_batches(self, scan_steps: int):
+        """Per-batch (x, y) pairs for the batches superbatches leaves over."""
+        b = self.batch_size
+        start = (self.num_batch // scan_steps) * scan_steps
+        for i in range(start, self.num_batch):
+            a = jnp.asarray(self.anchors[i * b:(i + 1) * b])
+            x = self._gather(self._dev_x, a - (self.window - 1),
+                             self.window)
+            y = self._gather(self._dev_y, a + self.y_start, self.horizon)
+            yield x, y
+
     def __len__(self):
         return self.num_batch
 
@@ -171,6 +197,29 @@ class DeviceArrayLoader:
                 yield x, y
             else:
                 yield x, y, self.adj_idx[sel]
+
+    # -- fused multi-step training support (Engine.train_steps_resident) --
+
+    def resident_arrays(self):
+        """The device-resident (xs, ys) sample arrays."""
+        return self._dev_x, self._dev_y
+
+    def superbatches(self, scan_steps: int):
+        """(scan_steps, batch_size) int32 index matrices covering the epoch
+        in full chunks, in the current shuffle order."""
+        b = self.batch_size
+        n_full = self.num_batch // scan_steps
+        for c in range(n_full):
+            lo = c * scan_steps * b
+            yield self._index[lo:lo + scan_steps * b].reshape(scan_steps, b)
+
+    def remainder_batches(self, scan_steps: int):
+        """Per-batch (x, y) pairs for the batches superbatches leaves over."""
+        b = self.batch_size
+        start = (self.num_batch // scan_steps) * scan_steps
+        for i in range(start, self.num_batch):
+            sel = jnp.asarray(self._index[i * b:(i + 1) * b])
+            yield self._take(self._dev_x, sel), self._take(self._dev_y, sel)
 
     def __len__(self):
         return self.num_batch

@@ -228,8 +228,7 @@ class Engine:
     # real-dataset steps (`engine.py:41-58,119-130`)
     # ------------------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(self, state: TrainState, x, y, supports):
+    def _train_step_core(self, state: TrainState, x, y, supports):
         rng = jax.random.fold_in(state.rng, state.step)
         (loss, (predict, real, new_ms)), grads = jax.value_and_grad(
             self._loss_real, has_aux=True)(
@@ -241,6 +240,53 @@ class Engine:
             "rmse": masked_rmse(predict, real, 0.0),
         }
         return new_state, metrics
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: TrainState, x, y, supports):
+        return self._train_step_core(state, x, y, supports)
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_steps_resident(self, state: TrainState, xs, ys, idx,
+                             supports):
+        """S optimizer steps in ONE dispatch: gather each step's batch from
+        the device-resident sample arrays and run the step inside a
+        ``lax.scan``. Amortizes per-dispatch overhead (which dominates the
+        epoch through slow transports — BENCH_NOTES.md) S-fold.
+
+        xs/ys: (n_samples, T, N, C) resident arrays; idx: (S, B) int32
+        sample indices (one row per step). Returns (new_state, metrics) with
+        each metric of shape (S,). Identical math to S ``train_step`` calls
+        on the gathered batches — the per-step dropout stream is
+        ``fold_in(rng, step)`` either way.
+        """
+        def body(st, sel):
+            x = jnp.take(xs, sel, axis=0)
+            y = jnp.take(ys, sel, axis=0)
+            return self._train_step_core(st, x, y, supports)
+
+        return jax.lax.scan(body, state, idx)
+
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6),
+                       donate_argnums=1)
+    def train_steps_windows(self, state: TrainState, series, anchors,
+                            window: int, horizon: int, y_start: int,
+                            supports, y_series=None):
+        """Windows-on-demand variant of :meth:`train_steps_resident`: the
+        scan body gathers each step's x/y windows from the resident raw
+        series (x from ``series`` — standardized — and y from ``y_series``,
+        raw units). anchors: (S, B) int32 last-observed-step indices."""
+        ys_src = series if y_series is None else y_series
+
+        def gather(src, starts, length):
+            idx = starts[:, None] + jnp.arange(length)[None, :]
+            return jnp.take(src, idx, axis=0)
+
+        def body(st, a):
+            x = gather(series, a - (window - 1), window)
+            y = gather(ys_src, a + y_start, horizon)
+            return self._train_step_core(st, x, y, supports)
+
+        return jax.lax.scan(body, state, anchors)
 
     @functools.partial(jax.jit, static_argnums=0)
     def eval_step(self, state: TrainState, x, y, supports):

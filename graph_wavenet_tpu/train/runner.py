@@ -30,11 +30,13 @@ from graph_wavenet_tpu.train.metrics import metric
 
 
 def _epoch_mean(steps: list[dict]) -> dict:
-    """Average a list of on-device step-metric dicts with one host sync."""
+    """Average a list of on-device step-metric dicts with one host sync.
+    Entries may be scalars (one step) or (S,) vectors (a fused scan of S
+    steps); every step weighs equally."""
     if not steps:
         return {}
-    stacked = {k: jnp.stack([s[k] for s in steps]) for k in steps[0]
-               if jnp.ndim(steps[0][k]) == 0}
+    stacked = {k: jnp.concatenate([jnp.atleast_1d(s[k]) for s in steps])
+               for k in steps[0] if jnp.ndim(steps[0][k]) <= 1}
     host = jax.device_get(stacked)
     return {k: float(np.mean(v)) for k, v in host.items()}
 
@@ -109,18 +111,43 @@ class Runner:
                                                   for s in supports]
         for epoch in range(start_epoch, self.cfg.epochs + 1):
             t1 = time.time()
-            data["train_loader"].shuffle()
+            loader = data["train_loader"]
+            loader.shuffle()
             steps = []
-            for it, (x, y) in enumerate(self._feed(data["train_loader"])):
-                state, m = engine.train_step(state, jnp.asarray(x),
-                                             jnp.asarray(y), supports)
-                steps.append(m)
-                if it % self.cfg.print_every == 0:
-                    mm = _epoch_mean([m])
-                    self.log(f"Iter: {it:03d}, Train Loss: "
-                             f"{mm['loss']:.4f}, Train MAPE: "
-                             f"{mm['mape']:.4f}, Train RMSE: "
-                             f"{mm['rmse']:.4f}")
+            scan = self.cfg.scan_steps
+            if scan > 1 and hasattr(loader, "resident_series"):
+                # fused path, windows-on-demand: gather inside the scan
+                sx, sy = loader.resident_series()
+                for sel in loader.superbatches(scan):
+                    state, m = engine.train_steps_windows(
+                        state, sx, jnp.asarray(sel), loader.window,
+                        loader.horizon, loader.y_start, supports,
+                        y_series=sy)
+                    steps.append(m)
+                for x, y in loader.remainder_batches(scan):
+                    state, m = engine.train_step(state, x, y, supports)
+                    steps.append(m)
+            elif scan > 1 and hasattr(loader, "superbatches"):
+                # fused path: scan_steps optimizer steps per dispatch
+                xs, ys = loader.resident_arrays()
+                for sel in loader.superbatches(scan):
+                    state, m = engine.train_steps_resident(
+                        state, xs, ys, jnp.asarray(sel), supports)
+                    steps.append(m)
+                for x, y in loader.remainder_batches(scan):
+                    state, m = engine.train_step(state, x, y, supports)
+                    steps.append(m)
+            else:
+                for it, (x, y) in enumerate(self._feed(loader)):
+                    state, m = engine.train_step(state, jnp.asarray(x),
+                                                 jnp.asarray(y), supports)
+                    steps.append(m)
+                    if it % self.cfg.print_every == 0:
+                        mm = _epoch_mean([m])
+                        self.log(f"Iter: {it:03d}, Train Loss: "
+                                 f"{mm['loss']:.4f}, Train MAPE: "
+                                 f"{mm['mape']:.4f}, Train RMSE: "
+                                 f"{mm['rmse']:.4f}")
             train_m = _epoch_mean(steps)   # device sync: epoch time is
             t2 = time.time()               # honest, not dispatch-only
 

@@ -1,6 +1,7 @@
 """Device-resident loaders must yield bit-identical batches to the host
 batchers under the same seed, including padding and shuffle order."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -124,3 +125,129 @@ def test_device_loaders_sharded_batches(rng):
         assert dx.sharding.is_equivalent_to(sh, dx.ndim)
         np.testing.assert_array_equal(np.asarray(dx), hx)
         np.testing.assert_array_equal(np.asarray(dy), hy)
+
+
+def test_dp_train_with_sharded_device_loader_matches_single(rng):
+    """A DP train step consuming sharded device-resident batches must match
+    the same step on unsharded host batches bit-for-bit (same seed)."""
+    import jax.numpy as jnp
+    from graph_wavenet_tpu.config import MeshConfig, ModelConfig, TrainConfig
+    from graph_wavenet_tpu.data.scaler import StandardScaler
+    from graph_wavenet_tpu.parallel import mesh as M
+    from graph_wavenet_tpu.train.engine import Engine
+
+    n = 6
+    cfg = ModelConfig(num_nodes=n, in_dim=2, out_dim=12,
+                      residual_channels=4, dilation_channels=4,
+                      skip_channels=8, end_channels=16, blocks=1, layers=2,
+                      dropout=0.0, gcn_bool=True, addaptadj=True,
+                      n_supports=1)
+    xs = rng.normal(size=(16, 12, n, 2)).astype(np.float32)
+    ys = (rng.normal(size=(16, 12, n, 2)) + 50).astype(np.float32)
+    a = rng.random((n, n)).astype(np.float32)
+    supports = [jnp.asarray(a / a.sum(-1, keepdims=True))]
+
+    mesh = M.make_mesh(MeshConfig())
+    sh = M.batch_sharding(mesh, MeshConfig())
+    dev = DeviceArrayLoader(xs, ys, 16, rng=np.random.default_rng(1),
+                            sharding=sh)
+
+    def step_on(x, y, state_holder):
+        engine, state = state_holder
+        new_state, m = engine.train_step(state, jnp.asarray(x),
+                                         jnp.asarray(y), supports)
+        state_holder[1] = new_state
+        return float(m["loss"])
+
+    e1 = Engine(cfg, TrainConfig(), StandardScaler(50.0, 5.0), seed=0)
+    e2 = Engine(cfg, TrainConfig(), StandardScaler(50.0, 5.0), seed=0)
+    h1, h2 = [e1, e1.state], [e2, e2.state]
+    (dx, dy), = list(dev.get_iterator())
+    loss_sharded = step_on(dx, dy, h1)
+    loss_single = step_on(xs, ys, h2)
+    assert np.isclose(loss_sharded, loss_single, rtol=1e-6)
+    for pa, pb in zip(jax.tree_util.tree_leaves(h1[1].params),
+                      jax.tree_util.tree_leaves(h2[1].params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   atol=1e-6)
+
+
+def test_fused_scan_training_matches_per_step(rng, tmp_path):
+    """scan_steps>1 (fused multi-step dispatch) must reproduce the per-step
+    path exactly: same final params, same epoch metrics."""
+    from graph_wavenet_tpu.config import ModelConfig, TrainConfig
+    from graph_wavenet_tpu.data.scaler import StandardScaler
+    from graph_wavenet_tpu.train.engine import Engine
+    from graph_wavenet_tpu.train.runner import Runner
+
+    n = 5
+    xs = rng.normal(size=(20, 12, n, 2)).astype(np.float32)
+    ys = (rng.normal(size=(20, 12, n, 2)) + 50).astype(np.float32)
+    cfg = ModelConfig(num_nodes=n, in_dim=2, out_dim=12,
+                      residual_channels=4, dilation_channels=4,
+                      skip_channels=8, end_channels=16, blocks=1, layers=2,
+                      gcn_bool=True, addaptadj=True, n_supports=1)
+    a = rng.random((n, n)).astype(np.float32)
+    supports = [a / a.sum(-1, keepdims=True)]
+
+    def run(scan_steps):
+        tc = TrainConfig(epochs=2, print_every=100, scan_steps=scan_steps,
+                         save_dir=str(tmp_path / f"s{scan_steps}"))
+        data = {
+            "train_loader": DeviceArrayLoader(
+                xs, ys, 4, rng=np.random.default_rng(1)),
+            "val_loader": DeviceArrayLoader(
+                xs[:8], ys[:8], 4, rng=np.random.default_rng(1)),
+        }
+        engine = Engine(cfg, tc, StandardScaler(50.0, 5.0), seed=0)
+        res = Runner(engine, tc).fit(data, supports)
+        return engine.state, res.history[-1]
+
+    s1, h1 = run(1)
+    s3, h3 = run(3)   # 5 batches/epoch -> 1 chunk of 3 + 2 remainder
+    assert np.isclose(h1.train["loss"], h3.train["loss"], rtol=1e-6)
+    assert np.isclose(h1.valid["loss"], h3.valid["loss"], rtol=1e-6)
+    for a_, b_ in zip(jax.tree_util.tree_leaves(s1.params),
+                      jax.tree_util.tree_leaves(s3.params)):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   atol=2e-6)
+
+
+def test_fused_scan_window_training_matches_per_step(rng, tmp_path):
+    """scan_steps on the windows-on-demand device loader (gather inside the
+    scan) must reproduce the per-step path exactly."""
+    from graph_wavenet_tpu.config import ModelConfig, TrainConfig
+    from graph_wavenet_tpu.data import metr
+    from graph_wavenet_tpu.data.scaler import StandardScaler
+    from graph_wavenet_tpu.train.engine import Engine
+    from graph_wavenet_tpu.train.runner import Runner
+
+    values = (rng.normal(size=(300, 6)) * 5 + 60).astype(np.float32)
+    index = (np.datetime64("2012-03-01T00:00") +
+             np.arange(300) * np.timedelta64(5, "m"))
+    cfg = ModelConfig(num_nodes=6, in_dim=2, out_dim=12,
+                      residual_channels=4, dilation_channels=4,
+                      skip_channels=8, end_channels=16, blocks=1, layers=2,
+                      gcn_bool=True, addaptadj=True, n_supports=1)
+    a = rng.random((6, 6)).astype(np.float32)
+    supports = [a / a.sum(-1, keepdims=True)]
+
+    def run(scan_steps):
+        data = metr.load_dataset_streaming(values, index=index,
+                                           batch_size=16, seed=0,
+                                           resident="device")
+        tc = TrainConfig(epochs=1, print_every=100, scan_steps=scan_steps,
+                         save_dir=str(tmp_path / f"w{scan_steps}"))
+        engine = Engine(cfg, tc, data["scaler"], seed=0)
+        runner = Runner(engine, tc, log_fn=lambda *a, **k: None)
+        res = runner.fit(data, supports)
+        res = runner.test(data, supports, res)
+        return engine.state, res.test_metrics
+
+    s1, m1 = run(1)
+    s3, m3 = run(3)
+    assert np.isclose(m1["mae"], m3["mae"], rtol=1e-6)
+    for a_, b_ in zip(jax.tree_util.tree_leaves(s1.params),
+                      jax.tree_util.tree_leaves(s3.params)):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   atol=2e-6)
