@@ -288,8 +288,38 @@ class Engine:
 
         return jax.lax.scan(body, state, anchors)
 
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+    def eval_steps_windows(self, state: TrainState, series, anchors,
+                           window: int, horizon: int, y_start: int,
+                           supports, y_series=None):
+        """Whole-eval-set scan: anchors (C, B) -> metrics dicts of (C,).
+        Windows gathered on device per chunk (see train_steps_windows)."""
+        ys_src = series if y_series is None else y_series
+
+        def gather(src, starts, length):
+            idx = starts[:, None] + jnp.arange(length)[None, :]
+            return jnp.take(src, idx, axis=0)
+
+        def body(_, a):
+            x = gather(series, a - (window - 1), window)
+            y = gather(ys_src, a + y_start, horizon)
+            return None, self._eval_metrics(state, x, y, supports)
+
+        _, ms = jax.lax.scan(body, None, anchors)
+        return ms
+
     @functools.partial(jax.jit, static_argnums=0)
-    def eval_step(self, state: TrainState, x, y, supports):
+    def eval_steps_resident(self, state: TrainState, xs, ys, idx, supports):
+        """Whole-eval-set scan over resident sample arrays: idx (C, B)."""
+        def body(_, sel):
+            x = jnp.take(xs, sel, axis=0)
+            y = jnp.take(ys, sel, axis=0)
+            return None, self._eval_metrics(state, x, y, supports)
+
+        _, ms = jax.lax.scan(body, None, idx)
+        return ms
+
+    def _eval_metrics(self, state: TrainState, x, y, supports):
         predict, _ = self._forward(state.params, state.model_state, x,
                                    supports, False, state.rng)
         real = horizon_target(y)
@@ -298,6 +328,10 @@ class Engine:
             "mape": masked_mape(predict, real, 0.0),
             "rmse": masked_rmse(predict, real, 0.0),
         }
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def eval_step(self, state: TrainState, x, y, supports):
+        return self._eval_metrics(state, x, y, supports)
 
     @functools.partial(jax.jit, static_argnums=0)
     def predict_step(self, state: TrainState, x, supports):

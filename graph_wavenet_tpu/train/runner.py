@@ -85,6 +85,24 @@ class Runner:
                                       size=self.cfg.prefetch)
         return loader.get_iterator()
 
+    def _eval_split(self, engine, state, loader, supports) -> list[dict]:
+        """Eval metrics over a split; with scan fusion + a device-resident
+        loader the WHOLE split runs in one dispatch."""
+        if self.cfg.scan_steps > 1 and hasattr(loader, "resident_series"):
+            sx, sy = loader.resident_series()
+            sel = next(loader.superbatches(loader.num_batch))
+            return [engine.eval_steps_windows(
+                state, sx, jnp.asarray(sel), loader.window, loader.horizon,
+                loader.y_start, supports, y_series=sy)]
+        if self.cfg.scan_steps > 1 and hasattr(loader, "resident_arrays"):
+            xs, ys = loader.resident_arrays()
+            sel = next(loader.superbatches(loader.num_batch))
+            return [engine.eval_steps_resident(state, xs, ys,
+                                               jnp.asarray(sel), supports)]
+        return [engine.eval_step(state, jnp.asarray(x), jnp.asarray(y),
+                                 supports)
+                for x, y in self._feed(loader)]
+
     # ------------------------------------------------------------------
     # shared-graph datasets (METR-LA / PEMS-BAY / same-G synthetic)
     # ------------------------------------------------------------------
@@ -152,9 +170,8 @@ class Runner:
             t2 = time.time()               # honest, not dispatch-only
 
             s1 = time.time()
-            vsteps = [engine.eval_step(state, jnp.asarray(x),
-                                       jnp.asarray(y), supports)
-                      for x, y in self._feed(data["val_loader"])]
+            vsteps = self._eval_split(engine, state, data["val_loader"],
+                                      supports)
             valid_m = _epoch_mean(vsteps)
             s2 = time.time()
 
