@@ -214,12 +214,19 @@ class DeviceArrayLoader:
             yield self._index[lo:lo + scan_steps * b].reshape(scan_steps, b)
 
     def remainder_batches(self, scan_steps: int):
-        """Per-batch (x, y) pairs for the batches superbatches leaves over."""
+        """Per-batch leftovers after superbatches: (x, y) pairs, or
+        (x, y, adj_idx) triples for per-sample-graph datasets."""
         b = self.batch_size
         start = (self.num_batch // scan_steps) * scan_steps
         for i in range(start, self.num_batch):
-            sel = jnp.asarray(self._index[i * b:(i + 1) * b])
-            yield self._take(self._dev_x, sel), self._take(self._dev_y, sel)
+            sel = self._index[i * b:(i + 1) * b]
+            dev_sel = jnp.asarray(sel)
+            x = self._take(self._dev_x, dev_sel)
+            y = self._take(self._dev_y, dev_sel)
+            if self.adj_idx is None:
+                yield x, y
+            else:
+                yield x, y, self.adj_idx[sel]
 
     def __len__(self):
         return self.num_batch

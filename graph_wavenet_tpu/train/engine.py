@@ -353,6 +353,11 @@ class Engine:
     @functools.partial(jax.jit, static_argnums=(0, 6), donate_argnums=1)
     def train_step_syn(self, state: TrainState, x, y, supports, projector,
                        F_t: int):
+        return self._train_step_syn_core(state, x, y, supports, projector,
+                                         F_t)
+
+    def _train_step_syn_core(self, state: TrainState, x, y, supports,
+                             projector, F_t: int):
         rng = jax.random.fold_in(state.rng, state.step)
         (loss, (e_hat, real, new_ms)), grads = jax.value_and_grad(
             self._loss_syn, has_aux=True)(
@@ -367,6 +372,28 @@ class Engine:
             "rmse": masked_rmse(e_hat, real, 0.0),
         }
         return new_state, metrics
+
+    @functools.partial(jax.jit, static_argnums=(0, 8), donate_argnums=1)
+    def train_steps_syn_resident(self, state: TrainState, xs, ys, idx,
+                                 adj_of_sample, sup_stack, proj_stack,
+                                 F_t: int):
+        """Fused diff-G training: S steps per dispatch. The scan body
+        gathers each step's samples AND their per-sample supports/cluster
+        projectors from resident stacks.
+
+        xs/ys: (n_samples, ...) resident; idx: (S, B) sample indices;
+        adj_of_sample: (n_samples,) graph index per sample; sup_stack: list
+        of (n_graphs, N, N); proj_stack: (n_graphs, C, N).
+        """
+        def body(st, sel):
+            x = jnp.take(xs, sel, axis=0)
+            y = jnp.take(ys, sel, axis=0)
+            gids = jnp.take(adj_of_sample, sel)
+            sup = [jnp.take(s, gids, axis=0) for s in sup_stack]
+            proj = jnp.take(proj_stack, gids, axis=0)
+            return self._train_step_syn_core(st, x, y, sup, proj, F_t)
+
+        return jax.lax.scan(body, state, idx)
 
     @functools.partial(jax.jit, static_argnums=(0, 6))
     def eval_step_syn(self, state: TrainState, x, y, supports, projector,

@@ -317,9 +317,23 @@ class Runner:
 
         for epoch in range(1, self.cfg.epochs + 1):
             t1 = time.time()
-            data["train_loader"].shuffle()
+            loader = data["train_loader"]
+            loader.shuffle()
             steps = []
-            for x, y, adj_idx in self._feed(data["train_loader"]):
+            scan = self.cfg.scan_steps
+            if scan > 1 and hasattr(loader, "resident_arrays"):
+                # fused diff-G path: supports/projectors gathered in-scan
+                xs, ys = loader.resident_arrays()
+                adj_arr = jnp.asarray(loader.adj_idx)
+                for sel in loader.superbatches(scan):
+                    state, m = engine.train_steps_syn_resident(
+                        state, xs, ys, jnp.asarray(sel), adj_arr,
+                        sup["train"], proj["train"], F_t)
+                    steps.append(m)
+                batches = loader.remainder_batches(scan)
+            else:
+                batches = self._feed(loader)
+            for x, y, adj_idx in batches:
                 idx = jnp.asarray(adj_idx)
                 batch_sup = [s[idx] for s in sup["train"]]
                 state, m = engine.train_step_syn(

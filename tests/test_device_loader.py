@@ -251,3 +251,27 @@ def test_fused_scan_window_training_matches_per_step(rng, tmp_path):
                       jax.tree_util.tree_leaves(s3.params)):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                    atol=2e-6)
+
+
+def test_fused_scan_diffg_matches_per_step(rng, tmp_path):
+    """Fused diff-G training (per-sample supports gathered inside the scan)
+    must reproduce the per-step path exactly."""
+    from graph_wavenet_tpu.cli import train as train_cli
+
+    def run(scan_steps):
+        out = train_cli.main([
+            "--data", "syn", "--gcn_bool", "--addaptadj", "--randomadj",
+            "--num_nodes", "10", "--seq_length", "24", "--nhid", "4",
+            "--blocks", "2", "--layers", "2", "--batch_size", "8",
+            "--epochs", "1", "--n_train", "4", "--n_valid", "2",
+            "--n_test", "2", "--num_timestep", "60",
+            "--resident", "device", "--scan_steps", str(scan_steps),
+            "--save", str(tmp_path / f"d{scan_steps}")])
+        return out["result"]
+
+    r1 = run(1)
+    r3 = run(3)
+    assert np.isclose(r1.test_metrics["loss"], r3.test_metrics["loss"],
+                      rtol=1e-5)
+    assert np.isclose(r1.history[-1].train["loss"],
+                      r3.history[-1].train["loss"], rtol=1e-5)
