@@ -151,6 +151,14 @@ def _wavenet_stack(cfg: ModelConfig, params: Params, state: State,
     (`/root/reference/model.py:192-241` and `:355-407`)."""
     skip = None
     new_bn = []
+    # The reference crops the skip accumulator to each new contribution's
+    # time length (`model.py:216-222`), so only the last T_final timesteps of
+    # every layer's skip projection ever reach the head (T_final = time length
+    # after ALL gated convs — 1 for canonical configs). Slicing the activation
+    # BEFORE the 1x1 skip projection is bitwise-identical (the projection is
+    # time-independent) and deletes the largest tensors in the step: the
+    # (B, T, N, skip_channels) projections shrink to (B, T_final, N, C).
+    t_final = x.shape[1] - (cfg.kernel_size - 1) * sum(cfg.dilations())
     dropout_keys = None
     if train and cfg.dropout > 0.0 and use_gcn:
         assert rng is not None, "training with dropout needs an rng"
@@ -182,10 +190,10 @@ def _wavenet_stack(cfg: ModelConfig, params: Params, state: State,
             else:
                 x = gated_tcn_apply(layer["filter"], layer["gate"],
                                     residual, dilation)
-            s = linear_apply(layer["skip"], x)
-            # skip accumulator cropped to the current time length
-            # (`model.py:216-222`: try/except on the int-0 initial skip)
-            skip = s if skip is None else s + skip[:, -s.shape[1]:]
+            s = linear_apply(layer["skip"], x[:, -t_final:])
+            # every contribution is pre-cropped to T_final, so the reference's
+            # running crop (`model.py:216-222`) collapses to a plain add
+            skip = s if skip is None else s + skip
 
             if use_gcn:
                 if fused:
