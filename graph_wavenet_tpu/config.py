@@ -58,6 +58,10 @@ class ModelConfig:
     # instead of the XLA reference ops; falls back to interpret mode off-TPU.
     # Shared-graph supports only — the diff-G batched-support path stays XLA.
     use_pallas: bool = False
+    # diffusion dataflow: "fused" (per-hop chain, accumulated projection),
+    # "stacked" (all hops of a support in one wide matmul over precomputed
+    # powers), "concat" (reference-shaped) — see ops/diffusion.py
+    gcn_mode: str = "fused"
     pallas_row_block: int = 32   # rows of B*T per diffusion-kernel program
     # rematerialization: recompute each WaveNet layer in the backward pass
     # instead of keeping its activations — trades ~1x extra forward FLOPs

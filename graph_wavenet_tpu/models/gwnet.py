@@ -32,7 +32,11 @@ from graph_wavenet_tpu.ops.adaptive import (
     random_nodevecs,
     svd_nodevecs,
 )
-from graph_wavenet_tpu.ops.diffusion import gcn_apply, gcn_init
+from graph_wavenet_tpu.ops.diffusion import (
+    gcn_apply,
+    gcn_init,
+    support_powers,
+)
 from graph_wavenet_tpu.ops.linear import linear_apply, linear_init
 from graph_wavenet_tpu.ops.normalization import (
     batch_norm_apply,
@@ -180,7 +184,7 @@ def _wavenet_stack(cfg: ModelConfig, params: Params, state: State,
     def make_layer_fn(i: int, dilation: int):
         """One WaveNet layer as a pure function (remat-able)."""
 
-        def layer_fn(layer, bn_state_i, residual, skip, supports_t,
+        def layer_fn(layer, bn_state_i, residual, skip, supports_t, stacks_t,
                      dropout_key):
             if fused:
                 w_gate, b_gate = pack_gate_params(layer["filter"],
@@ -209,7 +213,8 @@ def _wavenet_stack(cfg: ModelConfig, params: Params, state: State,
                     x = gcn_apply(layer["gcn"], x, list(supports_t),
                                   order=cfg.diffusion_order,
                                   dropout=cfg.dropout, rng=dropout_key,
-                                  train=train)
+                                  train=train, mode=cfg.gcn_mode,
+                                  stacks=list(stacks_t) or None)
             else:
                 x = linear_apply(layer["residual"], x)
 
@@ -221,6 +226,14 @@ def _wavenet_stack(cfg: ModelConfig, params: Params, state: State,
         return layer_fn
 
     supports_t = tuple(supports) if supports is not None else ()
+    # hoisted power stacks: the same supports feed every layer, so the
+    # O(N^3) squaring in "stacked" mode happens once per forward here —
+    # XLA CSE does not merge them across jax.checkpoint boundaries, so
+    # hoisting (not per-layer recompute) is load-bearing under remat too
+    stacks_t = ()
+    if use_gcn and not fused and cfg.gcn_mode == "stacked":
+        stacks_t = tuple(support_powers(a, cfg.diffusion_order)
+                         for a in supports_t)
     for i, (layer, dilation) in enumerate(
             zip(params["layers"], cfg.dilations())):
         layer_fn = make_layer_fn(i, dilation)
@@ -228,7 +241,7 @@ def _wavenet_stack(cfg: ModelConfig, params: Params, state: State,
             # first layer stays un-rematted (skip is None, a static arg)
             layer_fn = jax.checkpoint(layer_fn)
         x, skip, bn_s = layer_fn(
-            layer, state["bn"][i], x, skip, supports_t,
+            layer, state["bn"][i], x, skip, supports_t, stacks_t,
             None if dropout_keys is None else dropout_keys[i])
         new_bn.append(bn_s)
 

@@ -6,7 +6,7 @@ support followed by a channel projection of the concatenated hops
 ``x[b,t,v,c], A[v,w] -> [b,t,w,c]`` — a (B*T*C, N) x (N, N) matmul, an ideal
 MXU shape.
 
-Two algebraically equivalent projection forms are provided:
+Three algebraically equivalent forms are provided:
 
 - ``concat``: materialize the ``(order*n_supports+1)*C`` concat then one
   matmul — bitwise-parallel to the reference, used for parity tests.
@@ -15,6 +15,18 @@ Two algebraically equivalent projection forms are provided:
   ``(order*n_supports)*C`` channels of HBM traffic per layer; XLA fuses the
   accumulation chain. Weight slices are taken in concat order, so the two
   forms agree to float tolerance.
+- ``stacked``: the reference's hop chain ``A(Ax)`` serializes
+  narrow (rows, N)x(N, N) matmuls back to back — the MXU stalls on the
+  dependency. Squaring the support first is O(N^3) — trivial next to the
+  O(B*T*C*N^2) hops — so we precompute the power stack ``[A, A^2, ...,
+  A^order]`` and generate ALL hops of a support in ONE wide matmul
+  ``(rows, N) x (N, order*N)``, then project with a single contraction over
+  (hop, channel). Fixed supports get no cotangent (they are not on the
+  param path), so the adaptive support's dA cost is unchanged. Measured
+  (BENCH_NOTES.md): tie with ``fused`` at N=207, loses at N=5120 (streaming
+  the 2x-wider power stacks through HBM outweighs the chain removal) —
+  hence ``fused`` stays the default; ``stacked`` is the knob for deep
+  diffusion orders / many supports at small N.
 
 Weight layout of the projection: ``w ((order*n_supports+1)*c_in, c_out)``,
 row-blocks ordered [x, s1 hop1, s1 hop2, ..., sS hop1, sS hop2] exactly like
@@ -58,6 +70,40 @@ def diffusion_hops(x: jnp.ndarray, supports: list[jnp.ndarray],
     return hops
 
 
+def support_powers(a: jnp.ndarray, order: int) -> jnp.ndarray:
+    """Stack ``[A, A^2, ..., A^order]`` along a leading hop axis.
+
+    a: (N, N) or batched (B, N, N); returns (order, N, N) / (B, order, N, N).
+    Computed in the support's own dtype (fp32 for parity paths); the per-hop
+    result then matches the chain form to accumulation rounding.
+    """
+    powers = [a]
+    for _ in range(order - 1):
+        powers.append(powers[-1] @ a)
+    return jnp.stack(powers, axis=-3)
+
+
+def _stacked_hops_project(x: jnp.ndarray, pw: jnp.ndarray, wk: jnp.ndarray,
+                          order: int) -> jnp.ndarray:
+    """All ``order`` hops of one support as one wide matmul, projected with
+    one (hop, channel) contraction. pw: a precomputed power stack
+    (order, N, N) or batched (B, order, N, N) — hoist ``support_powers`` out
+    of the layer loop, its O(N^3) cost is per-forward, not per-layer.
+    wk: (order*C, F) — this support's projection rows in concat order."""
+    acc = accum_dtype(x.dtype)
+    pw = pw.astype(x.dtype)
+    c_in, f = x.shape[-1], wk.shape[-1]
+    wk = wk.reshape(order, c_in, f)
+    if pw.ndim == 4:
+        hops = jnp.einsum("btvc,bkvw->btkwc", x, pw,
+                          preferred_element_type=acc).astype(x.dtype)
+    else:
+        hops = jnp.einsum("btvc,kvw->btkwc", x, pw,
+                          preferred_element_type=acc).astype(x.dtype)
+    return jnp.einsum("btkwc,kcf->btwf", hops, wk.astype(x.dtype),
+                      preferred_element_type=acc)
+
+
 def gcn_init(key, c_in: int, c_out: int, n_supports: int, order: int = 2,
              dtype=jnp.float32) -> dict:
     """Projection params over the concatenated hops
@@ -68,18 +114,40 @@ def gcn_init(key, c_in: int, c_out: int, n_supports: int, order: int = 2,
 def gcn_apply(params: dict, x: jnp.ndarray, supports: list[jnp.ndarray],
               order: int = 2, dropout: float = 0.0,
               rng: jax.Array | None = None, train: bool = False,
-              mode: str = "fused") -> jnp.ndarray:
+              mode: str = "fused",
+              stacks: list[jnp.ndarray] | None = None) -> jnp.ndarray:
     """Diffusion graph conv: hops -> projection -> dropout.
 
     dropout follows torch ``F.dropout`` semantics (`model.py:54`): active only
     in training, inverted scaling by 1/(1-p).
+
+    stacks: optional precomputed ``support_powers`` stacks for ``stacked``
+    mode — pass when the same supports feed several layers so the O(N^3)
+    squaring happens once per forward.
     """
-    hops = diffusion_hops(x, supports, order)
     c_in = x.shape[-1]
     w, b = params["w"].astype(x.dtype), params["b"]
-    assert w.shape[0] == len(hops) * c_in, (
-        f"gcn weight expects {w.shape[0] // c_in} hops, got {len(hops)}: "
+    n_hops = len(supports) * order + 1
+    assert w.shape[0] == n_hops * c_in, (
+        f"gcn weight expects {w.shape[0] // c_in} hops, got {n_hops}: "
         "n_supports passed at init must match the supports list")
+    if mode == "stacked":
+        acc = accum_dtype(x.dtype)
+        if stacks is None:
+            stacks = [support_powers(a, order) for a in supports]
+        h = jnp.einsum("btnc,cf->btnf", x, w[:c_in],
+                       preferred_element_type=acc)
+        for s, pw in enumerate(stacks):
+            wk = jax.lax.dynamic_slice_in_dim(
+                w, (1 + s * order) * c_in, order * c_in, axis=0)
+            h = h + _stacked_hops_project(x, pw, wk, order)
+        h = (h + b).astype(x.dtype)
+        if train and dropout > 0.0:
+            assert rng is not None, "dropout in train mode needs an rng"
+            keep = jax.random.bernoulli(rng, 1.0 - dropout, h.shape)
+            h = jnp.where(keep, h / (1.0 - dropout), 0.0)
+        return h
+    hops = diffusion_hops(x, supports, order)
     if mode == "concat":
         h = jnp.concatenate(hops, axis=-1)
         h = (jnp.einsum("btnc,cf->btnf", h, w,

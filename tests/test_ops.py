@@ -100,6 +100,31 @@ def test_gcn_fused_equals_concat(x, rng):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_gcn_stacked_equals_concat(x, rng):
+    # higher order to exercise the power stack, shared + batched supports,
+    # and gradient-path equivalence through the wide-matmul form
+    shared = [jnp.asarray(rng.random((11, 11)).astype(np.float32))
+              for _ in range(2)]
+    batched = [jnp.asarray(rng.random((3, 11, 11)).astype(np.float32))]
+    for supports in (shared, shared + batched):
+        p = diffusion.gcn_init(jax.random.key(4), 5, 8,
+                               n_supports=len(supports), order=3)
+        a = diffusion.gcn_apply(p, jnp.asarray(x), supports, order=3,
+                                mode="concat")
+        b = diffusion.gcn_apply(p, jnp.asarray(x), supports, order=3,
+                                mode="stacked")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def loss(mode, w):
+        return diffusion.gcn_apply({"w": w, "b": p["b"]}, jnp.asarray(x),
+                                   supports, order=3, mode=mode).sum()
+
+    ga = jax.grad(lambda w: loss("concat", w))(p["w"])
+    gb = jax.grad(lambda w: loss("stacked", w))(p["w"])
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=2e-4,
+                               atol=1e-3)
+
+
 def test_gcn_hop_structure(x, rng):
     # identity support: hops equal x, so output = x @ (sum of weight blocks)
     eye = jnp.eye(11)
