@@ -60,8 +60,18 @@ class ModelConfig:
     use_pallas: bool = False
     # diffusion dataflow: "fused" (per-hop chain, accumulated projection),
     # "stacked" (all hops of a support in one wide matmul over precomputed
-    # powers), "concat" (reference-shaped) — see ops/diffusion.py
-    gcn_mode: str = "fused"
+    # powers), "concat" (reference-shaped single projection matmul) — see
+    # ops/diffusion.py. "auto" picks by dtype (measured, BENCH_NOTES.md):
+    # bf16 -> concat (one internal-fp32-accum matmul beats materializing the
+    # fp32 accumulation chain), fp32 -> fused (concat's 7C-channel fp32
+    # concat buffer costs more than the chain).
+    gcn_mode: str = "auto"
+
+    @property
+    def resolved_gcn_mode(self) -> str:
+        if self.gcn_mode != "auto":
+            return self.gcn_mode
+        return "concat" if self.dtype == "bfloat16" else "fused"
     pallas_row_block: int = 32   # rows of B*T per diffusion-kernel program
     # rematerialization: recompute each WaveNet layer in the backward pass
     # instead of keeping its activations — trades ~1x extra forward FLOPs

@@ -206,14 +206,16 @@ def _wavenet_stack(cfg: ModelConfig, params: Params, state: State,
                                  row_block=cfg.pallas_row_block,
                                  interpret=interpret)
                     if train and cfg.dropout > 0.0:
-                        keep = jax.random.bernoulli(
-                            dropout_key, 1.0 - cfg.dropout, x.shape)
-                        x = jnp.where(keep, x / (1.0 - cfg.dropout), 0.0)
+                        from graph_wavenet_tpu.ops.diffusion import (
+                            _dropout_scale,
+                        )
+                        x = x * _dropout_scale(dropout_key, cfg.dropout,
+                                               x.shape, x.dtype)
                 else:
                     x = gcn_apply(layer["gcn"], x, list(supports_t),
                                   order=cfg.diffusion_order,
                                   dropout=cfg.dropout, rng=dropout_key,
-                                  train=train, mode=cfg.gcn_mode,
+                                  train=train, mode=cfg.resolved_gcn_mode,
                                   stacks=list(stacks_t) or None)
             else:
                 x = linear_apply(layer["residual"], x)
@@ -231,7 +233,7 @@ def _wavenet_stack(cfg: ModelConfig, params: Params, state: State,
     # XLA CSE does not merge them across jax.checkpoint boundaries, so
     # hoisting (not per-layer recompute) is load-bearing under remat too
     stacks_t = ()
-    if use_gcn and not fused and cfg.gcn_mode == "stacked":
+    if use_gcn and not fused and cfg.resolved_gcn_mode == "stacked":
         stacks_t = tuple(support_powers(a, cfg.diffusion_order)
                          for a in supports_t)
     for i, (layer, dilation) in enumerate(

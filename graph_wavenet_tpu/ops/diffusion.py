@@ -104,6 +104,16 @@ def _stacked_hops_project(x: jnp.ndarray, pw: jnp.ndarray, wk: jnp.ndarray,
                       preferred_element_type=acc)
 
 
+def _dropout_scale(rng, dropout: float, shape, dtype) -> jnp.ndarray:
+    """Inverted-dropout mask as a {0, 1/(1-p)} tensor in the activation
+    dtype. Multiplying by this (instead of ``where`` over the raw bernoulli
+    bits) makes the residual saved for the backward pass this small tensor —
+    XLA otherwise keeps the u32 RNG output (4 bytes/element) live across
+    fwd->bwd. Same draw as ``jax.random.bernoulli`` (uniform < p)."""
+    keep = jax.random.bernoulli(rng, 1.0 - dropout, shape)
+    return keep.astype(dtype) / jnp.asarray(1.0 - dropout, dtype)
+
+
 def gcn_init(key, c_in: int, c_out: int, n_supports: int, order: int = 2,
              dtype=jnp.float32) -> dict:
     """Projection params over the concatenated hops
@@ -144,8 +154,7 @@ def gcn_apply(params: dict, x: jnp.ndarray, supports: list[jnp.ndarray],
         h = (h + b).astype(x.dtype)
         if train and dropout > 0.0:
             assert rng is not None, "dropout in train mode needs an rng"
-            keep = jax.random.bernoulli(rng, 1.0 - dropout, h.shape)
-            h = jnp.where(keep, h / (1.0 - dropout), 0.0)
+            h = h * _dropout_scale(rng, dropout, h.shape, h.dtype)
         return h
     hops = diffusion_hops(x, supports, order)
     if mode == "concat":
@@ -162,6 +171,5 @@ def gcn_apply(params: dict, x: jnp.ndarray, supports: list[jnp.ndarray],
         h = (h + b).astype(x.dtype)
     if train and dropout > 0.0:
         assert rng is not None, "dropout in train mode needs an rng"
-        keep = jax.random.bernoulli(rng, 1.0 - dropout, h.shape)
-        h = jnp.where(keep, h / (1.0 - dropout), 0.0)
+        h = h * _dropout_scale(rng, dropout, h.shape, h.dtype)
     return h
