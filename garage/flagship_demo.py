@@ -1,0 +1,174 @@
+"""Flagship TPU convergence demo: full Graph WaveNet (207 nodes, diffusion
+GCN + adaptive adjacency, bf16) trained end-to-end on a realistic synthetic
+traffic dataset, with per-horizon test metrics and a prediction figure.
+
+The real METR-LA data is not redistributable; this generates a METR-shaped
+stand-in with the same statistics the model exploits: a road-network-style
+sensor graph, per-node free-flow speeds, diurnal rush-hour congestion,
+graph-correlated AR noise, incident shocks that diffuse along edges, and
+missing readings recorded as zeros (the masked-metrics convention,
+`/root/reference/Utils/util.py:510-552`).
+
+Usage: python garage/flagship_demo.py [--epochs 40] [--timesteps 17280]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def make_sensor_graph(n: int, rng: np.random.Generator, k: int = 6):
+    """DCRNN-style adjacency: Gaussian kernel on distances, kNN-sparsified,
+    directed (`/root/reference/Utils/util.py:166-176` loads exactly such a
+    matrix from the published pickle)."""
+    pos = rng.random((n, 2))
+    d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+    sigma = np.std(d)
+    a = np.exp(-(d ** 2) / (sigma ** 2))
+    keep = np.argsort(-a, axis=1)[:, :k + 1]
+    mask = np.zeros_like(a, dtype=bool)
+    np.put_along_axis(mask, keep, True, axis=1)
+    a = np.where(mask, a, 0.0).astype(np.float32)
+    np.fill_diagonal(a, 1.0)
+    return a, pos
+
+
+def synth_traffic(n_nodes: int, n_steps: int, adj: np.ndarray,
+                  rng: np.random.Generator) -> np.ndarray:
+    """(T, N) float32 speeds in mph with diurnal structure + graph-diffused
+    congestion."""
+    steps_per_day = 288  # 5-min bins
+    t = np.arange(n_steps)
+    tod = (t % steps_per_day) / steps_per_day
+    free_flow = rng.uniform(55.0, 70.0, size=n_nodes)
+    # two rush-hour dips, node-specific severity and slight phase jitter
+    sev_am = rng.uniform(5.0, 30.0, size=n_nodes)
+    sev_pm = rng.uniform(5.0, 35.0, size=n_nodes)
+    phase = rng.normal(0.0, 0.01, size=n_nodes)
+    dip = (sev_am[None, :] * np.exp(-((tod[:, None] - 0.33 - phase) ** 2)
+                                    / (2 * 0.035 ** 2))
+           + sev_pm[None, :] * np.exp(-((tod[:, None] - 0.72 - phase) ** 2)
+                                      / (2 * 0.05 ** 2)))
+    weekday = ((t // steps_per_day) % 7) < 5
+    dip *= np.where(weekday, 1.0, 0.45)[:, None]
+    # graph-correlated AR(1) noise: eps_t = rho*W eps_{t-1} + xi
+    w = adj / adj.sum(1, keepdims=True)
+    eps = np.zeros((n_steps, n_nodes), np.float32)
+    xi = rng.normal(0.0, 2.2, size=(n_steps, n_nodes)).astype(np.float32)
+    # vectorized scan (single pass, cheap at this size)
+    for i in range(1, n_steps):
+        eps[i] = 0.82 * eps[i - 1] @ w.T + xi[i]
+    # incidents: sharp slowdowns that decay over ~1 h and spread one hop
+    speeds = free_flow[None, :] - dip + eps
+    n_incidents = n_steps // 400
+    for _ in range(n_incidents):
+        t0 = rng.integers(0, n_steps - 24)
+        node = rng.integers(0, n_nodes)
+        mag = rng.uniform(15.0, 35.0)
+        decay = np.exp(-np.arange(24) / 8.0)
+        hit = (w[node] > 0).astype(np.float32) * 0.5
+        hit[node] = 1.0
+        speeds[t0:t0 + 24] -= mag * decay[:, None] * hit[None, :]
+    speeds = np.clip(speeds, 0.0, 75.0)
+    # missing sensors: 2% zeros, in runs of a few steps
+    miss = rng.random((n_steps, n_nodes)) < 0.004
+    for s in range(1, 5):
+        miss[s:] |= miss[:-s] & (rng.random((n_steps - s, n_nodes)) < 0.8)
+    speeds[miss] = 0.0
+    return speeds.astype(np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--timesteps", type=int, default=17280)  # 2 months
+    ap.add_argument("--num_nodes", type=int, default=207)
+    ap.add_argument("--scan_steps", type=int, default=25)
+    ap.add_argument("--save", default="/tmp/flagship_demo")
+    args = ap.parse_args()
+
+    import jax
+    from graph_wavenet_tpu.config import ModelConfig, TrainConfig
+    from graph_wavenet_tpu.data import metr
+    from graph_wavenet_tpu.graphs.normalize import mod_adj
+    from graph_wavenet_tpu.train.engine import Engine
+    from graph_wavenet_tpu.train.runner import Runner
+
+    rng = np.random.default_rng(7)
+    adj, _ = make_sensor_graph(args.num_nodes, rng)
+    print("synthesizing traffic ...", flush=True)
+    values = synth_traffic(args.num_nodes, args.timesteps, adj, rng)
+    index = (np.datetime64("2012-03-01T00:00")
+             + np.arange(args.timesteps) * np.timedelta64(5, "m"))
+
+    data = metr.load_dataset_streaming(values, index=index, batch_size=64,
+                                       resident="device")
+    supports = [np.asarray(a) for a in mod_adj(adj, "doubletransition")]
+
+    cfg = ModelConfig(num_nodes=args.num_nodes, in_dim=2, out_dim=12,
+                      residual_channels=32, dilation_channels=32,
+                      skip_channels=256, end_channels=512, blocks=4,
+                      layers=2, gcn_bool=True, addaptadj=True, n_supports=2,
+                      dtype="bfloat16")
+    tc = TrainConfig(epochs=args.epochs, batch_size=64, save_dir=args.save,
+                     print_every=100, scan_steps=args.scan_steps,
+                     keep_checkpoints=3)
+    engine = Engine(cfg, tc, data["scaler"], seed=0)
+    runner = Runner(engine, tc)
+
+    print(f"devices: {jax.devices()}", flush=True)
+    t0 = time.time()
+    result = runner.fit(data, supports)
+    fit_s = time.time() - t0
+    result = runner.test(data, supports, result)
+    print(f"\nfit wall time: {fit_s:.1f}s for {args.epochs} epochs "
+          f"({fit_s / args.epochs:.2f}s/epoch)", flush=True)
+
+    # figure: predictions vs truth for one sensor over the first test day
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import jax.numpy as jnp
+    from graph_wavenet_tpu.data.native_loader import (
+        WindowDataLoader,
+        gather_windows,
+    )
+    from graph_wavenet_tpu.data.traffic_etl import build_features
+
+    series = build_features(values, index, True, False).astype(np.float32)
+    anchors = WindowDataLoader.valid_anchors(series.shape[0], 12, 12, 1)
+    n = len(anchors)
+    test_anchors = anchors[-round(n * 0.2):][:288]
+    x_series = series.copy()
+    x_series[..., 0] = data["scaler"].transform(x_series[..., 0])
+    xw = gather_windows(x_series, test_anchors - 11, 12)
+    yw = gather_windows(series, test_anchors + 1, 12)
+    preds = []
+    for i in range(0, len(xw), 64):
+        p = engine.predict_step(engine.state, jnp.asarray(xw[i:i + 64]),
+                                [jnp.asarray(a) for a in supports])
+        preds.append(np.asarray(p[:, 0]))        # (B, N, H)
+    preds = data["scaler"].inverse_transform(np.concatenate(preds, 0))
+
+    node = int(np.argmax((values[-len(test_anchors):] > 0).sum(0)))
+    hours = np.arange(len(test_anchors)) * 5 / 60.0
+    fig, axes = plt.subplots(2, 1, figsize=(10, 6), sharex=True)
+    for ax, h in zip(axes, (2, 11)):            # horizons 3 and 12
+        ax.plot(hours, yw[:, h, node, 0], lw=1.0, label="truth")
+        ax.plot(hours, preds[:, node, h], lw=1.0, label="prediction")
+        ax.set_ylabel(f"speed (mph), {(h + 1) * 5} min ahead")
+        ax.legend(loc="lower left")
+    axes[-1].set_xlabel("hours into test split")
+    fig.suptitle("Flagship Graph WaveNet on TPU — synthetic traffic, "
+                 f"MAE avg {result.test_metrics['mae']:.2f}")
+    fig.tight_layout()
+    fig.savefig("fig/flagship_demo.png", dpi=120)
+    print("figure saved to fig/flagship_demo.png", flush=True)
+    return result
+
+
+if __name__ == "__main__":
+    main()
