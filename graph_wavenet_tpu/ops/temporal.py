@@ -57,10 +57,22 @@ def causal_conv_apply(params: dict, x: jnp.ndarray,
 def gated_tcn_apply(filter_params: dict, gate_params: dict, x: jnp.ndarray,
                     dilation: int) -> jnp.ndarray:
     """tanh(filter) * sigmoid(gate) gated activation unit
-    (`/root/reference/model.py:208-212`)."""
-    filt = jnp.tanh(causal_conv_apply(filter_params, x, dilation))
-    gate = jax.nn.sigmoid(causal_conv_apply(gate_params, x, dilation))
-    return filt * gate
+    (`/root/reference/model.py:208-212`).
+
+    The two convs are packed into ONE double-width conv (w (k, C, 2F)):
+    the taps' x slices are read once instead of twice and the channel
+    matmul doubles in width (better MXU lane occupancy at F=32). The
+    output blocks are bitwise-identical to two separate convs — the
+    contraction per output channel is unchanged.
+    """
+    f = filter_params["w"].shape[-1]
+    packed = {
+        "w": jnp.concatenate([filter_params["w"], gate_params["w"]],
+                             axis=-1),
+        "b": jnp.concatenate([filter_params["b"], gate_params["b"]]),
+    }
+    fg = causal_conv_apply(packed, x, dilation)
+    return jnp.tanh(fg[..., :f]) * jax.nn.sigmoid(fg[..., f:])
 
 
 def left_pad_time(x: jnp.ndarray, target_len: int) -> jnp.ndarray:
