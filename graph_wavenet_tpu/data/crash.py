@@ -100,6 +100,44 @@ class CrashRecord:
     sc: np.ndarray           # (n_regions, n_regions) structural connectivity
 
 
+def check_arithmetic_progression(arr) -> bool:
+    """True iff the sequence advances by a constant step — the reference's
+    session-regularity check ``checkIsAP`` (`CRASH_loader.py:79-88`), used to
+    detect gaps in session numbering before alignment."""
+    arr = list(arr)
+    if len(arr) <= 1:
+        return True
+    d = arr[1] - arr[0]
+    return all(arr[i] - arr[i - 1] == d for i in range(2, len(arr)))
+
+
+def closest_idx(pt: np.ndarray, li: np.ndarray, k: int = 1) -> list[int]:
+    """Indices of the k nearest points in ``li`` to ``pt`` by Euclidean
+    distance (`CRASH_loader.py:90-100`)."""
+    d = np.linalg.norm(np.asarray(li) - np.asarray(pt)[None, :], axis=1)
+    return np.argsort(d)[:k].tolist()
+
+
+def show_slices(slices, path: str | None = None):
+    """Row of grayscale image slices (`CRASH_loader.py:72-77`) — NIfTI QC
+    helper; saves to ``path`` instead of blocking on plt.show() when given."""
+    import matplotlib
+    if path is not None:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, axes = plt.subplots(1, len(slices))
+    if len(slices) == 1:
+        axes = [axes]
+    for ax, sl in zip(axes, slices):
+        ax.imshow(np.asarray(sl).T, cmap="gray", origin="lower")
+    if path is not None:
+        fig.savefig(path)
+        plt.close(fig)
+    else:                      # pragma: no cover - interactive
+        plt.show()
+    return fig
+
+
 def region_assignment(n_regions: int, n_electrodes: int,
                       region_pos: np.ndarray | None = None,
                       electrode_pos: np.ndarray | None = None,
@@ -119,12 +157,12 @@ def region_assignment(n_regions: int, n_electrodes: int,
 
 def inverse_assignment(assignment: dict[int, list[int]]
                        ) -> dict[int, list[int]]:
-    """electrode -> sorted regions list? No — the reference inverts
-    region->electrodes into electrode-keyed... actually region-keyed: for the
-    spatial extension each REGION needs its electrode list; the reference's
-    ``inv_mapping`` maps region -> electrodes (`util.py:399-404`). Here
-    ``assignment`` already is region -> electrodes, so the inverse maps
-    electrode -> regions, used for community construction."""
+    """Invert a region -> electrodes map into electrode -> sorted regions.
+
+    The spatial extension itself consumes ``assignment`` directly (each
+    region averages its mapped electrodes, `util.py:432-437`); the inverse
+    map is what defines the community structure for the E-modality
+    supervision (regions sharing an electrode form a cluster)."""
     inv: dict[int, list[int]] = {}
     for region, electrodes in assignment.items():
         for e in electrodes:

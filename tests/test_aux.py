@@ -125,3 +125,17 @@ def test_bench_inference_smoke():
                                    horizon_steps=2)
     assert r["batch_2"]["latency_ms"] > 0
     assert r["autoregressive"]["rollout_ms"] > 0
+
+
+def test_crash_misc_helpers(tmp_path, rng):
+    # checkIsAP semantics (`CRASH_loader.py:79-88`)
+    assert crash.check_arithmetic_progression([1, 3, 5, 7])
+    assert crash.check_arithmetic_progression([4])
+    assert not crash.check_arithmetic_progression([1, 2, 4])
+    # closest_idx (`CRASH_loader.py:90-100`)
+    pts = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 2.0]])
+    assert crash.closest_idx(np.array([0.9, 0.1]), pts, k=2) == [1, 0]
+    # show_slices renders and saves without blocking
+    fig = crash.show_slices([rng.random((6, 5)), rng.random((6, 5))],
+                            path=str(tmp_path / "s.png"))
+    assert (tmp_path / "s.png").exists()
