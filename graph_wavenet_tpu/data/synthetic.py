@@ -186,6 +186,30 @@ class MultiModalityPrediction:
         return (x.reshape(-1, *x.shape[2:]).copy(),
                 y.reshape(-1, *y.shape[2:]).copy())
 
+    def astype(self, dtype) -> None:
+        """Cast every stored sample array (`dataTools.py:260-273`; numpy
+        dtypes here — device placement is a separate explicit step in JAX)."""
+        for split in self.samples.values():
+            for key in split:
+                split[key] = np.asarray(split[key]).astype(dtype)
+
+    def to(self, device) -> None:
+        """Place every stored sample on a jax device
+        (`dataTools.py:275-285`'s torch ``.to``; JAX arrays are committed
+        with ``jax.device_put``)."""
+        import jax
+
+        for split in self.samples.values():
+            for key in split:
+                split[key] = jax.device_put(split[key], device)
+
+    def evaluate(self, y_hat, y, tol: float = 1e-9):
+        """Column-normalized batch-time RMSE (`dataTools.py:287-292` →
+        `miscTools.py:121-130`)."""
+        from graph_wavenet_tpu.train.metrics import batch_time_mse
+
+        return batch_time_mse(y_hat, y)
+
 
 def load_dataset_syn(cfg: DataConfig, batch_size: int,
                      valid_batch_size: int | None = None,

@@ -72,10 +72,16 @@ def batch_time_l1(yhat, y) -> jnp.ndarray:
 
 
 def batch_time_mse(yhat, y) -> jnp.ndarray:
-    """Column-normalized RMSE: mean over time columns of ||yhat-y|| / ||y||
-    (`/root/reference/Utils/miscTools.py:121-130`)."""
-    yhat2 = yhat.reshape(yhat.shape[0], -1)
-    y2 = y.reshape(y.shape[0], -1)
+    """Column-normalized RMSE, mean over columns of ||yhat-y|| / ||y||.
+
+    The reference flattens everything but the LAST TWO axes into rows and
+    keeps those two (N*F) as columns — ``x.view(-1, N*F)`` with
+    ``F = shape[-2], N = shape[-1]`` (`/root/reference/Utils/miscTools.py:
+    121-130`) — so for (B, T, N, F) inputs the norm runs over batch*time
+    per (node, feature) column."""
+    cols = yhat.shape[-1] * yhat.shape[-2]
+    yhat2 = yhat.reshape(-1, cols)
+    y2 = y.reshape(-1, cols)
     num = jnp.linalg.norm(yhat2 - y2, axis=0)
     den = jnp.linalg.norm(y2, axis=0)
     return jnp.mean(num / den)

@@ -181,6 +181,20 @@ def test_multimodality_samples(sbm_graph):
     # F channel is piecewise constant over F_t-aligned windows of the rollout
     xv, _ = gen.get_samples("val")
     assert xv.shape[0] == 2 * (n_win_total - 12)
+    # evaluate = column-normalized batch-time RMSE (dataTools.py:287-292):
+    # identical tensors -> 0, and the value matches the explicit formula
+    assert float(gen.evaluate(x[:4], x[:4])) < 1e-7
+    got = float(gen.evaluate(x[:4], y[:4]))
+    xf = x[:4].reshape(-1, 12 * 20 * 2).T.reshape(-1, x[:4].size // (20 * 2))
+    # explicit reference formula on flattened (batch*time, N*F) columns
+    a = x[:4].reshape(-1, 20 * 2)
+    b = y[:4].reshape(-1, 20 * 2)
+    want = np.mean(np.sqrt(((a - b) ** 2).sum(0)) /
+                   np.linalg.norm(b, axis=0))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # astype casts all stored splits
+    gen.astype(np.float32)
+    assert gen.samples["train"]["x"].dtype == np.float32
 
 
 def test_load_dataset_syn_same_g():

@@ -93,3 +93,12 @@ def test_batch_time_losses(rng):
     want = np.mean(np.linalg.norm(yh2 - y2, axis=0) /
                    np.linalg.norm(y2, axis=0))
     assert np.isclose(float(M.batch_time_mse(yhat, y)), want, rtol=1e-5)
+    # 4D case, checked against the torch reference formula verbatim
+    # (miscTools.py:121-130 flattens all but the last two axes into rows)
+    yhat4 = rng.normal(size=(3, 4, 5, 2)).astype(np.float32)
+    y4 = rng.normal(size=(3, 4, 5, 2)).astype(np.float32)
+    xt = torch.tensor(yhat4).contiguous().view(-1, 10)
+    yt = torch.tensor(y4).contiguous().view(-1, 10).double()
+    lv = torch.sqrt(torch.sum((xt - yt) ** 2, dim=0))
+    want4 = float(torch.mean(lv / torch.norm(yt, dim=0)))
+    assert np.isclose(float(M.batch_time_mse(yhat4, y4)), want4, rtol=1e-5)
