@@ -129,3 +129,46 @@ def test_full_tp_sp_dp_train_step_compiles(rng):
     new_state, metrics = e.train_step(state, xb, yb, sup)
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.step) == 1
+
+
+def test_dp_diff_g_batched_supports_matches_single_device(rng):
+    """diff-G under DP: per-sample (B, N, N) supports and cluster projectors
+    shard along the batch axis like x/y; the sharded syn train step matches
+    the single-device step exactly."""
+    # rf = blocks*(2^layers - 1) + 1 = 7 must equal K+1 so the stack
+    # collapses time to one step (modality-supervision requirement)
+    cfg = ModelConfig(num_nodes=N, in_dim=1, out_dim=6, residual_channels=8,
+                      dilation_channels=8, skip_channels=16, end_channels=32,
+                      blocks=2, layers=2, dropout=0.0, n_supports=2,
+                      start_dilation=1)
+    tcfg = TrainConfig(learning_rate=1e-3)
+    B, K = 16, 6
+    x = rng.normal(size=(B, K, N, 1)).astype(np.float32)
+    y = (rng.normal(size=(B, K, N, 2)) + 3.0).astype(np.float32)
+    a = rng.random((B, 2, N, N)).astype(np.float32)
+    a = a / a.sum(-1, keepdims=True)
+    supports = [jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1])]
+    proj = jnp.asarray(
+        np.tile(np.eye(N, dtype=np.float32) / 1.0, (B, 1, 1)))
+    F_t = 3
+
+    e1 = Engine(cfg, tcfg, StandardScaler(0.0, 1.0), diff_g=True)
+    s1, m1 = e1.train_step_syn(e1.state, jnp.asarray(x), jnp.asarray(y),
+                               supports, proj, F_t)
+
+    mesh = M.make_mesh(MeshConfig())
+    mcfg = MeshConfig()
+    e2 = Engine(cfg, tcfg, StandardScaler(0.0, 1.0), diff_g=True)
+    state = M.shard_state(mesh, e2.state)
+    xb, yb = M.shard_batch(mesh, mcfg, x, y)
+    bsh3 = M.support_sharding(mesh, mcfg, batched=True)
+    sup = [jax.device_put(s, bsh3) for s in supports]
+    pb = jax.device_put(proj, bsh3)
+    s2, m2 = e2.train_step_syn(state, xb, yb, sup, pb, F_t)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda p, q: np.testing.assert_allclose(
+            np.asarray(p), np.asarray(q), atol=1e-5),
+        jax.device_get(s1.params), jax.device_get(s2.params))
