@@ -66,62 +66,58 @@ class Forecaster:
         return pred * self.scaler.std + self.scaler.mean
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2))
 def rolling_forecast(forecaster: Forecaster, history: jnp.ndarray,
                      window: int) -> jnp.ndarray:
     """Streaming forecasts at every origin of a long history.
 
     history: (T_total, N, F) standardized features. Returns
     (T_total - window + 1, H, N): the H-step forecast issued at each origin.
-    One jitted scan — no per-origin dispatch.
+    One jitted scan — no per-origin dispatch; compiled once per
+    (forecaster, shape, window), NOT per call (a fresh ``@jax.jit`` closure
+    per invocation would retrace with the params baked in every time).
     """
+    n_origins = history.shape[0] - window + 1
 
-    @jax.jit
-    def run(history):
-        n_origins = history.shape[0] - window + 1
+    def step(carry, start):
+        x = jax.lax.dynamic_slice_in_dim(history, start, window, axis=0)
+        pred = forecaster.predict(x[None])[0]     # (H, N)
+        return carry, pred
 
-        def step(carry, start):
-            x = jax.lax.dynamic_slice_in_dim(history, start, window, axis=0)
-            pred = forecaster.predict(x[None])[0]     # (H, N)
-            return carry, pred
-
-        _, preds = jax.lax.scan(step, None, jnp.arange(n_origins))
-        return preds
-
-    return run(history)
+    _, preds = jax.lax.scan(step, None, jnp.arange(n_origins))
+    return preds
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2))
 def autoregressive_forecast(forecaster: Forecaster, x: jnp.ndarray,
                             n_rounds: int) -> jnp.ndarray:
     """Closed-loop rollout: forecast H steps, feed them back as the signal
     channel (auxiliary feature channels are rolled forward), repeat.
 
     x: (B, K, N, F); returns (B, n_rounds * H, N) raw-unit forecasts.
+    Compiled once per (forecaster, shape, n_rounds) — see
+    :func:`rolling_forecast` on why the jit lives at module level.
     """
-    cfg = forecaster.cfg
-    horizon = cfg.out_dim
+    horizon = forecaster.cfg.out_dim
 
-    @jax.jit
-    def run(x):
-        def step(x, _):
-            pred_raw = forecaster.predict(x)          # (B, H, N)
-            pred_std = (pred_raw - forecaster.scaler.mean
-                        ) / forecaster.scaler.std
-            feats = [pred_std[..., None]]
-            if x.shape[-1] > 1:
-                # roll the auxiliary channels (e.g. time-of-day) forward by
-                # repeating their last window's tail pattern
-                aux = x[:, -horizon:, :, 1:]
-                feats.append(aux)
-            new_steps = jnp.concatenate(feats, axis=-1)  # (B, H, N, F)
-            x = jnp.concatenate([x[:, horizon:], new_steps], axis=1)
-            return x, pred_raw
+    def step(x, _):
+        pred_raw = forecaster.predict(x)          # (B, H, N)
+        pred_std = (pred_raw - forecaster.scaler.mean
+                    ) / forecaster.scaler.std
+        feats = [pred_std[..., None]]
+        if x.shape[-1] > 1:
+            # roll the auxiliary channels (e.g. time-of-day) forward by
+            # repeating their last window's tail pattern
+            aux = x[:, -horizon:, :, 1:]
+            feats.append(aux)
+        new_steps = jnp.concatenate(feats, axis=-1)  # (B, H, N, F)
+        x = jnp.concatenate([x[:, horizon:], new_steps], axis=1)
+        return x, pred_raw
 
-        _, preds = jax.lax.scan(step, x, None, length=n_rounds)
-        # (rounds, B, H, N) -> (B, rounds*H, N)
-        return jnp.transpose(preds, (1, 0, 2, 3)).reshape(
-            x.shape[0], n_rounds * horizon, x.shape[2])
-
-    return run(x)
+    _, preds = jax.lax.scan(step, x, None, length=n_rounds)
+    # (rounds, B, H, N) -> (B, rounds*H, N)
+    return jnp.transpose(preds, (1, 0, 2, 3)).reshape(
+        x.shape[0], n_rounds * horizon, x.shape[2])
 
 
 def reconstruct_sequence(rolling: jnp.ndarray) -> jnp.ndarray:
