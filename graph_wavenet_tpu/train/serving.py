@@ -120,29 +120,26 @@ def autoregressive_forecast(forecaster: Forecaster, x: jnp.ndarray,
         x.shape[0], n_rounds * horizon, x.shape[2])
 
 
+@jax.jit
 def reconstruct_sequence(rolling: jnp.ndarray) -> jnp.ndarray:
     """Average overlapping rolling forecasts into one sequence.
 
     rolling: (n_origins, H, N) stride-1 forecasts -> (n_origins + H - 1, N).
+    Jitted at module level — compiled once per shape, not per call.
     """
+    n_origins, h, n = rolling.shape
+    total = jnp.zeros((n_origins + h - 1, n))
+    count = jnp.zeros((n_origins + h - 1, 1))
 
-    @jax.jit
-    def run(rolling):
-        n_origins, h, n = rolling.shape
-        total = jnp.zeros((n_origins + h - 1, n))
-        count = jnp.zeros((n_origins + h - 1, 1))
+    def body(i, acc):
+        total, count = acc
+        total = jax.lax.dynamic_update_slice_in_dim(
+            total, jax.lax.dynamic_slice_in_dim(total, i, h, 0)
+            + rolling[i], i, axis=0)
+        count = jax.lax.dynamic_update_slice_in_dim(
+            count, jax.lax.dynamic_slice_in_dim(count, i, h, 0) + 1.0,
+            i, axis=0)
+        return total, count
 
-        def body(i, acc):
-            total, count = acc
-            total = jax.lax.dynamic_update_slice_in_dim(
-                total, jax.lax.dynamic_slice_in_dim(total, i, h, 0)
-                + rolling[i], i, axis=0)
-            count = jax.lax.dynamic_update_slice_in_dim(
-                count, jax.lax.dynamic_slice_in_dim(count, i, h, 0) + 1.0,
-                i, axis=0)
-            return total, count
-
-        total, count = jax.lax.fori_loop(0, n_origins, body, (total, count))
-        return total / count
-
-    return run(rolling)
+    total, count = jax.lax.fori_loop(0, n_origins, body, (total, count))
+    return total / count
