@@ -67,6 +67,15 @@ class ModelConfig:
     # concat buffer costs more than the chain).
     gcn_mode: str = "auto"
 
+    def __post_init__(self):
+        if self.gcn_mode not in ("auto", "fused", "stacked", "concat"):
+            raise ValueError(
+                f"gcn_mode must be one of auto/fused/stacked/concat, "
+                f"got {self.gcn_mode!r}")
+        if self.dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"dtype must be float32 or bfloat16, got {self.dtype!r}")
+
     @property
     def resolved_gcn_mode(self) -> str:
         if self.gcn_mode != "auto":

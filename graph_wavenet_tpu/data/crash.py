@@ -121,9 +121,6 @@ def closest_idx(pt: np.ndarray, li: np.ndarray, k: int = 1) -> list[int]:
 def show_slices(slices, path: str | None = None):
     """Row of grayscale image slices (`CRASH_loader.py:72-77`) — NIfTI QC
     helper; saves to ``path`` instead of blocking on plt.show() when given."""
-    import matplotlib
-    if path is not None:
-        matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     fig, axes = plt.subplots(1, len(slices))
     if len(slices) == 1:

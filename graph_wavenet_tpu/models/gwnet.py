@@ -33,6 +33,7 @@ from graph_wavenet_tpu.ops.adaptive import (
     svd_nodevecs,
 )
 from graph_wavenet_tpu.ops.diffusion import (
+    dropout_scale,
     gcn_apply,
     gcn_init,
     support_powers,
@@ -206,11 +207,8 @@ def _wavenet_stack(cfg: ModelConfig, params: Params, state: State,
                                  row_block=cfg.pallas_row_block,
                                  interpret=interpret)
                     if train and cfg.dropout > 0.0:
-                        from graph_wavenet_tpu.ops.diffusion import (
-                            _dropout_scale,
-                        )
-                        x = x * _dropout_scale(dropout_key, cfg.dropout,
-                                               x.shape, x.dtype)
+                        x = x * dropout_scale(dropout_key, cfg.dropout,
+                                              x.shape, x.dtype)
                 else:
                     x = gcn_apply(layer["gcn"], x, list(supports_t),
                                   order=cfg.diffusion_order,

@@ -104,7 +104,7 @@ def _stacked_hops_project(x: jnp.ndarray, pw: jnp.ndarray, wk: jnp.ndarray,
                       preferred_element_type=acc)
 
 
-def _dropout_scale(rng, dropout: float, shape, dtype) -> jnp.ndarray:
+def dropout_scale(rng, dropout: float, shape, dtype) -> jnp.ndarray:
     """Inverted-dropout mask as a {0, 1/(1-p)} tensor in the activation
     dtype. Multiplying by this (instead of ``where`` over the raw bernoulli
     bits) makes the residual saved for the backward pass this small tensor —
@@ -154,7 +154,7 @@ def gcn_apply(params: dict, x: jnp.ndarray, supports: list[jnp.ndarray],
         h = (h + b).astype(x.dtype)
         if train and dropout > 0.0:
             assert rng is not None, "dropout in train mode needs an rng"
-            h = h * _dropout_scale(rng, dropout, h.shape, h.dtype)
+            h = h * dropout_scale(rng, dropout, h.shape, h.dtype)
         return h
     hops = diffusion_hops(x, supports, order)
     if mode == "concat":
@@ -171,5 +171,5 @@ def gcn_apply(params: dict, x: jnp.ndarray, supports: list[jnp.ndarray],
         h = (h + b).astype(x.dtype)
     if train and dropout > 0.0:
         assert rng is not None, "dropout in train mode needs an rng"
-        h = h * _dropout_scale(rng, dropout, h.shape, h.dtype)
+        h = h * dropout_scale(rng, dropout, h.shape, h.dtype)
     return h

@@ -44,8 +44,8 @@ def _fetch_pytree_host(tree):
     array, which dominates checkpoint latency through tunneled/remote device
     transports (~250 leaves in a TrainState = seconds of RTTs). Packing the
     leaves into a single flat device buffer per dtype makes it a handful of
-    transfers regardless of pytree size; the concatenate itself is a few MB
-    of HBM traffic.
+    transfers regardless of pytree size; the packing concat is chunked to
+    256 MB so the transient device copy stays bounded for large states.
     """
     import jax.numpy as jnp
 
@@ -55,16 +55,33 @@ def _fetch_pytree_host(tree):
         if isinstance(leaf, jax.Array):
             groups.setdefault(jnp.dtype(leaf.dtype), []).append(i)
     out = list(leaves)
+    # cap the transient packed buffer so the device-side copy stays bounded
+    # even for states sized near HBM capacity (the concat briefly holds a
+    # second copy of the chunk)
+    chunk_bytes = 256 * 1024 * 1024
     for dt, idxs in groups.items():
-        flat = jnp.concatenate(
-            [leaves[i].reshape(-1) for i in idxs]) if len(idxs) > 1 else (
-                leaves[idxs[0]].reshape(-1))
-        buf = np.asarray(flat)              # single fetch for the group
-        off = 0
+        chunk: list[int] = []
+        size = 0
+
+        def flush(chunk):
+            flat = jnp.concatenate(
+                [leaves[i].reshape(-1) for i in chunk]) if len(chunk) > 1                 else leaves[chunk[0]].reshape(-1)
+            buf = np.asarray(flat)          # one fetch per chunk
+            off = 0
+            for i in chunk:
+                n = int(np.prod(leaves[i].shape)) if leaves[i].shape else 1
+                out[i] = buf[off:off + n].reshape(leaves[i].shape)
+                off += n
+
         for i in idxs:
-            n = int(np.prod(leaves[i].shape)) if leaves[i].shape else 1
-            out[i] = buf[off:off + n].reshape(leaves[i].shape)
-            off += n
+            nbytes = int(np.prod(leaves[i].shape) or 1) * dt.itemsize
+            if chunk and size + nbytes > chunk_bytes:
+                flush(chunk)
+                chunk, size = [], 0
+            chunk.append(i)
+            size += nbytes
+        if chunk:
+            flush(chunk)
     return jax.tree_util.tree_unflatten(treedef, out)
 
 

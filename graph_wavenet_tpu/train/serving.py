@@ -18,7 +18,6 @@ forward (`/root/reference/train.py:377-390`). TPU-native serving utilities:
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -30,7 +29,7 @@ from graph_wavenet_tpu.data.scaler import StandardScaler
 from graph_wavenet_tpu.models.gwnet import apply_gwnet
 
 
-@dataclass(eq=False)  # identity hash: `predict` jits with self static
+@dataclass(eq=False)
 class Forecaster:
     """Inference bundle around a trained shared-graph model."""
 
@@ -53,10 +52,18 @@ class Forecaster:
         return cls(meta["model_cfg"], state.params, state.model_state,
                    supports, meta.get("scaler") or StandardScaler(0.0, 1.0))
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def predict(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x: (B, K, N, F) standardized features -> (B, H, N) forecasts in
-        raw units (horizon-major)."""
+    def _jit(self, key: tuple, build):
+        """Per-instance jit cache: compiled executables (which embed the
+        weights as constants) live on the Forecaster and are GC'd with it.
+        A module/global jit cache keyed on a static self would pin every
+        Forecaster ever used — a leak for long-running servers that reload
+        checkpoints periodically."""
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        if key not in cache:
+            cache[key] = jax.jit(build())
+        return cache[key]
+
+    def _predict_impl(self, x: jnp.ndarray) -> jnp.ndarray:
         sup = None if self.supports is None else [jnp.asarray(s)
                                                   for s in self.supports]
         out, _ = apply_gwnet(self.cfg, self.params, self.model_state, x,
@@ -65,8 +72,12 @@ class Forecaster:
         pred = jnp.transpose(out[:, -1], (0, 2, 1))
         return pred * self.scaler.std + self.scaler.mean
 
+    def predict(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, K, N, F) standardized features -> (B, H, N) forecasts in
+        raw units (horizon-major)."""
+        return self._jit(("predict",), lambda: self._predict_impl)(x)
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
+
 def rolling_forecast(forecaster: Forecaster, history: jnp.ndarray,
                      window: int) -> jnp.ndarray:
     """Streaming forecasts at every origin of a long history.
@@ -74,50 +85,59 @@ def rolling_forecast(forecaster: Forecaster, history: jnp.ndarray,
     history: (T_total, N, F) standardized features. Returns
     (T_total - window + 1, H, N): the H-step forecast issued at each origin.
     One jitted scan — no per-origin dispatch; compiled once per
-    (forecaster, shape, window), NOT per call (a fresh ``@jax.jit`` closure
-    per invocation would retrace with the params baked in every time).
+    (forecaster, window) via the instance cache, NOT per call (a fresh
+    ``@jax.jit`` closure per invocation would retrace every time).
     """
-    n_origins = history.shape[0] - window + 1
+    def build():
+        def run(history):
+            n_origins = history.shape[0] - window + 1
 
-    def step(carry, start):
-        x = jax.lax.dynamic_slice_in_dim(history, start, window, axis=0)
-        pred = forecaster.predict(x[None])[0]     # (H, N)
-        return carry, pred
+            def step(carry, start):
+                x = jax.lax.dynamic_slice_in_dim(history, start, window,
+                                                 axis=0)
+                pred = forecaster._predict_impl(x[None])[0]     # (H, N)
+                return carry, pred
 
-    _, preds = jax.lax.scan(step, None, jnp.arange(n_origins))
-    return preds
+            _, preds = jax.lax.scan(step, None, jnp.arange(n_origins))
+            return preds
+        return run
+
+    return forecaster._jit(("rolling", window), build)(history)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
 def autoregressive_forecast(forecaster: Forecaster, x: jnp.ndarray,
                             n_rounds: int) -> jnp.ndarray:
     """Closed-loop rollout: forecast H steps, feed them back as the signal
     channel (auxiliary feature channels are rolled forward), repeat.
 
     x: (B, K, N, F); returns (B, n_rounds * H, N) raw-unit forecasts.
-    Compiled once per (forecaster, shape, n_rounds) — see
-    :func:`rolling_forecast` on why the jit lives at module level.
+    Compiled once per (forecaster, n_rounds, shape) via the instance cache.
     """
     horizon = forecaster.cfg.out_dim
 
-    def step(x, _):
-        pred_raw = forecaster.predict(x)          # (B, H, N)
-        pred_std = (pred_raw - forecaster.scaler.mean
-                    ) / forecaster.scaler.std
-        feats = [pred_std[..., None]]
-        if x.shape[-1] > 1:
-            # roll the auxiliary channels (e.g. time-of-day) forward by
-            # repeating their last window's tail pattern
-            aux = x[:, -horizon:, :, 1:]
-            feats.append(aux)
-        new_steps = jnp.concatenate(feats, axis=-1)  # (B, H, N, F)
-        x = jnp.concatenate([x[:, horizon:], new_steps], axis=1)
-        return x, pred_raw
+    def build():
+        def run(x):
+            def step(x, _):
+                pred_raw = forecaster._predict_impl(x)    # (B, H, N)
+                pred_std = (pred_raw - forecaster.scaler.mean
+                            ) / forecaster.scaler.std
+                feats = [pred_std[..., None]]
+                if x.shape[-1] > 1:
+                    # roll the auxiliary channels (e.g. time-of-day) forward
+                    # by repeating their last window's tail pattern
+                    aux = x[:, -horizon:, :, 1:]
+                    feats.append(aux)
+                new_steps = jnp.concatenate(feats, axis=-1)  # (B, H, N, F)
+                x = jnp.concatenate([x[:, horizon:], new_steps], axis=1)
+                return x, pred_raw
 
-    _, preds = jax.lax.scan(step, x, None, length=n_rounds)
-    # (rounds, B, H, N) -> (B, rounds*H, N)
-    return jnp.transpose(preds, (1, 0, 2, 3)).reshape(
-        x.shape[0], n_rounds * horizon, x.shape[2])
+            _, preds = jax.lax.scan(step, x, None, length=n_rounds)
+            # (rounds, B, H, N) -> (B, rounds*H, N)
+            return jnp.transpose(preds, (1, 0, 2, 3)).reshape(
+                x.shape[0], n_rounds * horizon, x.shape[2])
+        return run
+
+    return forecaster._jit(("ar", n_rounds), build)(x)
 
 
 @jax.jit

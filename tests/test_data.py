@@ -185,7 +185,6 @@ def test_multimodality_samples(sbm_graph):
     # identical tensors -> 0, and the value matches the explicit formula
     assert float(gen.evaluate(x[:4], x[:4])) < 1e-7
     got = float(gen.evaluate(x[:4], y[:4]))
-    xf = x[:4].reshape(-1, 12 * 20 * 2).T.reshape(-1, x[:4].size // (20 * 2))
     # explicit reference formula on flattened (batch*time, N*F) columns
     a = x[:4].reshape(-1, 20 * 2)
     b = y[:4].reshape(-1, 20 * 2)
