@@ -172,7 +172,7 @@ def _wavenet_stack(cfg: ModelConfig, params: Params, state: State,
     # fused Pallas kernels: shared (N, N) supports only; batched (B, N, N)
     # diff-G supports use the XLA path
     fused = cfg.use_pallas and (not use_gcn or all(
-        getattr(a, "ndim", 2) == 2 for a in (supports or [])))
+        getattr(a, "ndim", None) == 2 for a in (supports or [])))
     if fused:
         from graph_wavenet_tpu.ops.pallas.diffusion import gcn_rows
         from graph_wavenet_tpu.ops.pallas.gated_tcn import (
@@ -231,7 +231,9 @@ def _wavenet_stack(cfg: ModelConfig, params: Params, state: State,
     # XLA CSE does not merge them across jax.checkpoint boundaries, so
     # hoisting (not per-layer recompute) is load-bearing under remat too
     stacks_t = ()
-    if use_gcn and not fused and cfg.resolved_gcn_mode == "stacked":
+    if (use_gcn and not fused and cfg.resolved_gcn_mode == "stacked"
+            and all(getattr(a, "ndim", None) in (2, 3)
+                    for a in supports_t)):
         stacks_t = tuple(support_powers(a, cfg.diffusion_order)
                          for a in supports_t)
     for i, (layer, dilation) in enumerate(

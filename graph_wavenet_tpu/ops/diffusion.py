@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from graph_wavenet_tpu.ops.linear import accum_dtype, linear_init
+from graph_wavenet_tpu.ops.sparse import SparseSupport, nconv_sparse
 
 
 def nconv(x: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:
@@ -62,7 +63,10 @@ def diffusion_hops(x: jnp.ndarray, supports: list[jnp.ndarray],
     order. Supports may be (N, N) or batched (B, N, N)."""
     hops = [x]
     for a in supports:
-        step = nconv_batched if a.ndim == 3 else nconv
+        if isinstance(a, SparseSupport):
+            step = nconv_sparse
+        else:
+            step = nconv_batched if a.ndim == 3 else nconv
         xk = x
         for _ in range(order):
             xk = step(xk, a)
@@ -114,6 +118,45 @@ def dropout_scale(rng, dropout: float, shape, dtype) -> jnp.ndarray:
     return keep.astype(dtype) / jnp.asarray(1.0 - dropout, dtype)
 
 
+def _gcn_apply_sparse(params: dict, x: jnp.ndarray,
+                      supports: list, order: int, dropout: float,
+                      rng, train: bool) -> jnp.ndarray:
+    """Diffusion conv over ELL sparse supports, node-leading layout.
+
+    The node axis moves to the front ONCE for the whole hop block; every
+    hop is a scatter-free ``_ell_mix`` (custom VJP) and every projection
+    slice contracts channels in place. Output matches the dense modes to
+    accumulation rounding.
+    """
+    from graph_wavenet_tpu.ops.sparse import ell_mix_2d
+
+    b, t, n, c_in = x.shape
+    w, bias = params["w"].astype(x.dtype), params["b"]
+    acc = accum_dtype(x.dtype)
+    xn = jnp.transpose(x, (2, 0, 1, 3)).reshape(n, b * t * c_in)
+
+    def project(xk, k):
+        wk = jax.lax.dynamic_slice_in_dim(w, k * c_in, c_in, axis=0)
+        return jnp.einsum("nrc,cf->nrf", xk.reshape(n, b * t, c_in), wk,
+                          preferred_element_type=acc)
+
+    h = project(xn, 0)
+    k = 1
+    for sp in supports:
+        xk = xn
+        for _ in range(order):
+            xk = ell_mix_2d(xk, sp)
+            h = h + project(xk, k)
+            k += 1
+    h = (h + bias).astype(x.dtype)                 # (N, B*T, F)
+    f = h.shape[-1]
+    h = jnp.transpose(h.reshape(n, b, t, f), (1, 2, 0, 3))
+    if train and dropout > 0.0:
+        assert rng is not None, "dropout in train mode needs an rng"
+        h = h * dropout_scale(rng, dropout, h.shape, h.dtype)
+    return h
+
+
 def gcn_init(key, c_in: int, c_out: int, n_supports: int, order: int = 2,
              dtype=jnp.float32) -> dict:
     """Projection params over the concatenated hops
@@ -137,6 +180,17 @@ def gcn_apply(params: dict, x: jnp.ndarray, supports: list[jnp.ndarray],
     """
     c_in = x.shape[-1]
     w, b = params["w"].astype(x.dtype), params["b"]
+    if supports and all(isinstance(a, SparseSupport) for a in supports):
+        # all-sparse fast path: one node-leading transpose for the WHOLE
+        # hop block instead of two per hop (the transposes, not the
+        # gathers, dominate the naive per-hop form — BENCH_NOTES.md)
+        return _gcn_apply_sparse(params, x, supports, order, dropout, rng,
+                                 train)
+    if mode == "stacked" and any(isinstance(a, SparseSupport)
+                                 for a in supports):
+        # power stacks are a dense-support construct; mixed sparse/dense
+        # support lists run the hop chain (each sparse hop O(N*D))
+        mode = "fused"
     n_hops = len(supports) * order + 1
     assert w.shape[0] == n_hops * c_in, (
         f"gcn weight expects {w.shape[0] // c_in} hops, got {n_hops}: "

@@ -315,3 +315,25 @@ def test_train_mode_updates_bn_state(rng):
                                rng=jax.random.key(8))
     assert not np.allclose(np.asarray(new_state["bn"][0]["mean"]),
                            np.asarray(state["bn"][0]["mean"]))
+
+
+def test_gwnet_sparse_supports_match_dense(rng):
+    """Full model with ELL sparse fixed supports + dense learned adaptive
+    adjacency equals the dense-support forward."""
+    from graph_wavenet_tpu.ops import sparse
+
+    cfg = small_cfg(gcn_bool=True, addaptadj=True)
+    params, state = init_gwnet(jax.random.key(2), cfg)
+    x = jnp.asarray(rng.normal(size=(2, 13, N_NODES, 2)).astype(np.float32))
+    dense = []
+    for _ in range(cfg.n_supports):
+        a = np.zeros((N_NODES, N_NODES), np.float32)
+        for c in range(N_NODES):
+            rows = rng.choice(N_NODES, size=4, replace=False)
+            a[rows, c] = rng.random(4).astype(np.float32)
+        dense.append(a)
+    want, _ = apply_gwnet(cfg, params, state, x,
+                          [jnp.asarray(a) for a in dense])
+    got, _ = apply_gwnet(cfg, params, state, x,
+                         [sparse.from_dense(a) for a in dense])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)

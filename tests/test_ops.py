@@ -207,3 +207,71 @@ def test_batch_norm_matches_torch(x):
                                              train=False)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
     assert s2 is new_s
+
+
+def test_sparse_support_roundtrip_and_nconv(x, rng):
+    from graph_wavenet_tpu.ops import sparse
+
+    # a column-sparse dense support: <=4 nonzeros per column
+    a = np.zeros((11, 11), np.float32)
+    for c in range(11):
+        rows = rng.choice(11, size=4, replace=False)
+        a[rows, c] = rng.random(4).astype(np.float32)
+    sp = sparse.from_dense(a)
+    assert sp.max_degree == 4
+    np.testing.assert_allclose(sp.to_dense(), a, atol=1e-7)
+
+    got = np.asarray(sparse.nconv_sparse(jnp.asarray(x), sp))
+    want = np.asarray(diffusion.nconv(jnp.asarray(x), jnp.asarray(a)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_sparse_gcn_matches_dense(x, rng):
+    from graph_wavenet_tpu.ops import sparse
+
+    a = np.zeros((11, 11), np.float32)
+    for c in range(11):
+        rows = rng.choice(11, size=3, replace=False)
+        a[rows, c] = rng.random(3).astype(np.float32)
+    dense_sup = [jnp.asarray(a)]
+    sparse_sup = [sparse.from_dense(a)]
+    p = diffusion.gcn_init(jax.random.key(11), 5, 4, n_supports=1, order=2)
+    want = diffusion.gcn_apply(p, jnp.asarray(x), dense_sup, order=2)
+    for mode in ("fused", "concat", "stacked"):  # stacked falls back
+        got = diffusion.gcn_apply(p, jnp.asarray(x), sparse_sup, order=2,
+                                  mode=mode)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)
+
+    # gradients: the scatter-free custom VJP must match dense autodiff
+    # for BOTH dx (transpose-table gather) and dw (per-edge row dot)
+    sp0 = sparse_sup[0]
+
+    def loss_sparse(xx, w):
+        sp = sparse.SparseSupport(sp0.idx, w, sp0.idx_t, sp0.perm_t)
+        return (diffusion.gcn_apply(p, xx, [sp], order=2) ** 2).sum()
+
+    def loss_dense(xx, ww):
+        return (diffusion.gcn_apply(p, xx, [ww], order=2) ** 2).sum()
+
+    dx_s, dw_s = jax.grad(loss_sparse, argnums=(0, 1))(jnp.asarray(x), sp0.w)
+    dx_d, da_d = jax.grad(loss_dense, argnums=(0, 1))(jnp.asarray(x),
+                                                      jnp.asarray(a))
+    np.testing.assert_allclose(np.asarray(dx_s), np.asarray(dx_d), atol=1e-3)
+    # dense dA at the table's edge positions equals dw
+    idx = np.asarray(sp0.idx)
+    for r in range(11):
+        for j in range(3):
+            np.testing.assert_allclose(
+                float(dw_s[r, j]), float(da_d[idx[r, j], r]), atol=1e-3)
+
+
+def test_sparse_support_topk_truncation(rng):
+    from graph_wavenet_tpu.ops import sparse
+
+    a = np.zeros((6, 6), np.float32)
+    a[:, 0] = [5.0, -4.0, 3.0, -2.0, 1.0, 0.5]       # column 0: 6 nonzeros
+    sp = sparse.from_dense(a, max_degree=3)
+    d = sp.to_dense()
+    np.testing.assert_allclose(d[:3, 0], [5.0, -4.0, 3.0])
+    assert (d[3:, 0] == 0).all()                      # smallest dropped
