@@ -172,3 +172,40 @@ def test_dp_diff_g_batched_supports_matches_single_device(rng):
         lambda p, q: np.testing.assert_allclose(
             np.asarray(p), np.asarray(q), atol=1e-5),
         jax.device_get(s1.params), jax.device_get(s2.params))
+
+
+def test_sparse_supports_under_dp_mesh(rng):
+    """ELL sparse supports (replicated) with the batch sharded over 'data':
+    the sharded step matches single-device exactly — the custom-VJP gathers
+    are batch-independent, so GSPMD partitions them cleanly."""
+    from graph_wavenet_tpu.ops import sparse
+
+    cfg = ModelConfig(num_nodes=N, out_dim=12, residual_channels=8,
+                      dilation_channels=8, skip_channels=16, end_channels=32,
+                      blocks=2, layers=2, dropout=0.0, n_supports=2,
+                      addaptadj=False)
+    tcfg = TrainConfig(learning_rate=1e-3)
+    x = rng.normal(size=(16, 12, N, 2)).astype(np.float32)
+    y = (rng.normal(size=(16, 12, N, 2)) + 10.0).astype(np.float32)
+    sup = [sparse.random_sparse_support(N, 4, np.random.default_rng(s))
+           for s in (1, 2)]
+
+    e1 = Engine(cfg, tcfg, StandardScaler(0.0, 1.0))
+    s1, m1 = e1.train_step(e1.state, jnp.asarray(x), jnp.asarray(y), sup)
+
+    mesh = M.make_mesh(MeshConfig())
+    mcfg = MeshConfig()
+    e2 = Engine(cfg, tcfg, StandardScaler(0.0, 1.0))
+    state = M.shard_state(mesh, e2.state)
+    xb, yb = M.shard_batch(mesh, mcfg, x, y)
+    rep = M.replicated(mesh)
+    sup_r = [jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), s)
+             for s in sup]
+    s2, m2 = e2.train_step(state, xb, yb, sup_r)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda p, q: np.testing.assert_allclose(
+            np.asarray(p), np.asarray(q), atol=1e-5),
+        jax.device_get(s1.params), jax.device_get(s2.params))
