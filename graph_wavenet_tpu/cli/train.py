@@ -69,6 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scan_steps", type=int, default=1,
                    help="fused multi-step training: optimizer steps per "
                         "dispatch (device-resident loaders only)")
+    p.add_argument("--epoch_timeout", type=float, default=0.0,
+                   help="failure detection: abort (with diagnostics) if an "
+                        "epoch exceeds this many seconds; 0 disables")
     p.add_argument("--resident", type=str, default="device",
                    choices=["device", "host"],
                    help="dataset residency: device = in HBM with on-device "
@@ -143,7 +146,7 @@ def main(argv=None) -> dict:
         weight_decay=args.weight_decay, epochs=args.epochs,
         print_every=args.print_every, seed=args.seed, save_dir=args.save,
         expid=args.expid, rng_impl=args.rng_impl,
-        scan_steps=args.scan_steps)
+        scan_steps=args.scan_steps, epoch_timeout_s=args.epoch_timeout)
 
     t1 = time.time()
     if args.data == "syn":

@@ -174,6 +174,11 @@ class TrainConfig:
     # compute overlaps serialization + disk IO (the reference's torch.save
     # blocks the loop, train.py:295).
     async_checkpoint: bool = True
+    # Failure detection: raise DeviceWedgedError (after writing
+    # save_dir/emergency.json diagnostics) if one epoch exceeds this many
+    # seconds — wedged remote device transports otherwise hang forever.
+    # 0 disables. Pairs with resume_from= for recovery.
+    epoch_timeout_s: float = 0.0
     # Fused multi-step training: run this many optimizer steps per dispatch
     # (lax.scan over on-device batch gathers) when the train loader is
     # device-resident. Amortizes per-dispatch overhead; 1 disables.

@@ -15,7 +15,11 @@ Parity target: the epoch loops that live in the reference CLI
 
 from __future__ import annotations
 
+import contextlib
+import json
 import os
+import signal
+import threading
 import time
 from dataclasses import dataclass, field
 import jax
@@ -27,6 +31,49 @@ from graph_wavenet_tpu.data.prefetch import prefetch_to_device
 from graph_wavenet_tpu.train import checkpoint as ckpt
 from graph_wavenet_tpu.train.engine import Engine, cluster_mean_projector
 from graph_wavenet_tpu.train.metrics import metric
+
+
+class DeviceWedgedError(RuntimeError):
+    """An epoch exceeded ``TrainConfig.epoch_timeout_s`` — through remote or
+    tunneled device transports the typical cause is a wedged dispatch that
+    will never return (observed in practice, bench.py watchdog). The runner
+    writes diagnostics before raising; restart with ``resume_from=`` the
+    last epoch checkpoint to continue (full train state is checkpointed)."""
+
+
+@contextlib.contextmanager
+def _epoch_watchdog(timeout_s: float, epoch: int):
+    """SIGALRM-based stall detector around one epoch.
+
+    Failure detection the reference lacks entirely (SURVEY.md §5). Only
+    armable from the main thread with a real signal module; silently a
+    no-op elsewhere. A blocked device fetch cannot be interrupted from
+    another thread, which is why this is signal-based.
+    """
+    usable = (timeout_s > 0 and hasattr(signal, "setitimer")
+              and threading.current_thread() is threading.main_thread())
+    if not usable:
+        yield
+        return
+
+    def fire(signum, frame):
+        # re-arm before raising: if this raise lands inside C code or a GC
+        # callback and gets swallowed, the next fire retries; once the
+        # exception propagates, the finally below disarms. The retry
+        # period is >= 1 s so exception handling itself is not interrupted.
+        signal.setitimer(signal.ITIMER_REAL, max(timeout_s, 1.0))
+        raise DeviceWedgedError(
+            f"epoch {epoch} exceeded {timeout_s}s — device transport "
+            "appears wedged; restart with resume_from= the last epoch "
+            "checkpoint")
+
+    prev = signal.signal(signal.SIGALRM, fire)
+    signal.setitimer(signal.ITIMER_REAL, timeout_s)
+    try:
+        yield
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0.0)
+        signal.signal(signal.SIGALRM, prev)
 
 
 def _epoch_mean(steps: list[dict]) -> dict:
@@ -128,60 +175,66 @@ class Runner:
         supports = None if supports is None else [jnp.asarray(s)
                                                   for s in supports]
         for epoch in range(start_epoch, self.cfg.epochs + 1):
-            t1 = time.time()
-            loader = data["train_loader"]
-            loader.shuffle()
-            steps = []
-            scan = self.cfg.scan_steps
-            if scan > 1 and hasattr(loader, "resident_series"):
-                # fused path, windows-on-demand: gather inside the scan
-                sx, sy = loader.resident_series()
-                for sel in loader.superbatches(scan):
-                    state, m = engine.train_steps_windows(
-                        state, sx, jnp.asarray(sel), loader.window,
-                        loader.horizon, loader.y_start, supports,
-                        y_series=sy)
-                    steps.append(m)
-                for x, y in loader.remainder_batches(scan):
-                    state, m = engine.train_step(state, x, y, supports)
-                    steps.append(m)
-            elif scan > 1 and hasattr(loader, "superbatches"):
-                # fused path: scan_steps optimizer steps per dispatch
-                xs, ys = loader.resident_arrays()
-                for sel in loader.superbatches(scan):
-                    state, m = engine.train_steps_resident(
-                        state, xs, ys, jnp.asarray(sel), supports)
-                    steps.append(m)
-                for x, y in loader.remainder_batches(scan):
-                    state, m = engine.train_step(state, x, y, supports)
-                    steps.append(m)
-            else:
-                for it, (x, y) in enumerate(self._feed(loader)):
-                    state, m = engine.train_step(state, jnp.asarray(x),
-                                                 jnp.asarray(y), supports)
-                    steps.append(m)
-                    if it % self.cfg.print_every == 0:
-                        mm = _epoch_mean([m])
-                        self.log(f"Iter: {it:03d}, Train Loss: "
-                                 f"{mm['loss']:.4f}, Train MAPE: "
-                                 f"{mm['mape']:.4f}, Train RMSE: "
-                                 f"{mm['rmse']:.4f}")
-            train_m = _epoch_mean(steps)   # device sync: epoch time is
-            t2 = time.time()               # honest, not dispatch-only
+            try:
+                with _epoch_watchdog(self.cfg.epoch_timeout_s,
+                                     epoch):
+                    t1 = time.time()
+                    loader = data["train_loader"]
+                    loader.shuffle()
+                    steps = []
+                    scan = self.cfg.scan_steps
+                    if scan > 1 and hasattr(loader, "resident_series"):
+                        # fused path, windows-on-demand: gather inside the scan
+                        sx, sy = loader.resident_series()
+                        for sel in loader.superbatches(scan):
+                            state, m = engine.train_steps_windows(
+                                state, sx, jnp.asarray(sel), loader.window,
+                                loader.horizon, loader.y_start, supports,
+                                y_series=sy)
+                            steps.append(m)
+                        for x, y in loader.remainder_batches(scan):
+                            state, m = engine.train_step(state, x, y, supports)
+                            steps.append(m)
+                    elif scan > 1 and hasattr(loader, "superbatches"):
+                        # fused path: scan_steps optimizer steps per dispatch
+                        xs, ys = loader.resident_arrays()
+                        for sel in loader.superbatches(scan):
+                            state, m = engine.train_steps_resident(
+                                state, xs, ys, jnp.asarray(sel), supports)
+                            steps.append(m)
+                        for x, y in loader.remainder_batches(scan):
+                            state, m = engine.train_step(state, x, y, supports)
+                            steps.append(m)
+                    else:
+                        for it, (x, y) in enumerate(self._feed(loader)):
+                            state, m = engine.train_step(state, jnp.asarray(x),
+                                                         jnp.asarray(y), supports)
+                            steps.append(m)
+                            if it % self.cfg.print_every == 0:
+                                mm = _epoch_mean([m])
+                                self.log(f"Iter: {it:03d}, Train Loss: "
+                                         f"{mm['loss']:.4f}, Train MAPE: "
+                                         f"{mm['mape']:.4f}, Train RMSE: "
+                                         f"{mm['rmse']:.4f}")
+                    train_m = _epoch_mean(steps)   # device sync: epoch time is
+                    t2 = time.time()               # honest, not dispatch-only
 
-            s1 = time.time()
-            vsteps = self._eval_split(engine, state, data["val_loader"],
-                                      supports)
-            valid_m = _epoch_mean(vsteps)
-            s2 = time.time()
+                    s1 = time.time()
+                    vsteps = self._eval_split(engine, state, data["val_loader"],
+                                              supports)
+                    valid_m = _epoch_mean(vsteps)
+                    s2 = time.time()
 
-            log = EpochLog(epoch, train_m, valid_m, t2 - t1, s2 - s1)
-            result.history.append(log)
-            self.log(
-                f"Epoch: {epoch:03d}, Train Loss: {train_m['loss']:.4f}, "
-                f"Valid Loss: {valid_m['loss']:.4f}, Training Time: "
-                f"{log.train_time:.4f}/epoch")
-            self._save_epoch(state, epoch, valid_m["loss"], result)
+                    log = EpochLog(epoch, train_m, valid_m, t2 - t1, s2 - s1)
+                    result.history.append(log)
+                    self.log(
+                        f"Epoch: {epoch:03d}, Train Loss: {train_m['loss']:.4f}, "
+                        f"Valid Loss: {valid_m['loss']:.4f}, Training Time: "
+                        f"{log.train_time:.4f}/epoch")
+                    self._save_epoch(state, epoch, valid_m["loss"], result)
+            except DeviceWedgedError as e:
+                self._emergency_dump(result, epoch, str(e))
+                raise
 
         engine.state = state
         self._finalize_best(result)
@@ -398,6 +451,24 @@ class Runner:
         return result
 
     # ------------------------------------------------------------------
+
+    def _emergency_dump(self, result: RunResult, epoch: int,
+                        reason: str) -> None:
+        """Diagnostics for a wedged run: epoch history + the last usable
+        checkpoint, written WITHOUT touching the (stuck) device."""
+        os.makedirs(self.cfg.save_dir, exist_ok=True)
+        path = os.path.join(self.cfg.save_dir, "emergency.json")
+        info = {
+            "reason": reason,
+            "epoch": epoch,
+            "best_checkpoint": result.best_checkpoint,
+            "best_val_loss": result.best_val_loss,
+            "epochs_completed": len(result.history),
+            "history_val_loss": [h.valid["loss"] for h in result.history],
+        }
+        with open(path, "w") as f:
+            json.dump(info, f, indent=2)
+        self.log(f"device wedged at epoch {epoch}; diagnostics -> {path}")
 
     def _save_epoch(self, state, epoch: int, val_loss: float,
                     result: RunResult):

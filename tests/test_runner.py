@@ -86,3 +86,20 @@ def test_checkpoint_pruning(tmp_path, dataset):
     runner.fit(data, supports)
     ckpts = [p for p in os.listdir(tmp_path) if p.endswith(".msgpack")]
     assert len(ckpts) == 2
+
+
+def test_epoch_watchdog_detects_wedge(tmp_path, dataset):
+    """An epoch that exceeds epoch_timeout_s raises DeviceWedgedError and
+    writes emergency diagnostics (failure detection — SURVEY.md §5 gap)."""
+    import dataclasses
+    import json
+    from graph_wavenet_tpu.train.runner import DeviceWedgedError
+
+    data, supports = dataset
+    runner, cfg, tcfg = make_runner(tmp_path, epochs=2)
+    tcfg = dataclasses.replace(tcfg, epoch_timeout_s=1e-3)
+    runner = Runner(runner.engine, tcfg, log_fn=lambda *a: None)
+    with pytest.raises(DeviceWedgedError):
+        runner.fit(data, supports)
+    info = json.load(open(os.path.join(str(tmp_path), "emergency.json")))
+    assert "exceeded" in info["reason"] or "wedged" in info["reason"]
