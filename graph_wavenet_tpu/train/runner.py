@@ -227,6 +227,7 @@ class Runner:
 
                     log = EpochLog(epoch, train_m, valid_m, t2 - t1, s2 - s1)
                     result.history.append(log)
+                    self._log_epoch_jsonl(log)
                     self.log(
                         f"Epoch: {epoch:03d}, Train Loss: {train_m['loss']:.4f}, "
                         f"Valid Loss: {valid_m['loss']:.4f}, Training Time: "
@@ -319,6 +320,7 @@ class Runner:
             s2 = time.time()
             log = EpochLog(epoch, train_m, valid_m, t2 - t1, s2 - s1)
             result.history.append(log)
+            self._log_epoch_jsonl(log)
             self.log(
                 f"Epoch: {epoch:03d}, Train Loss: {train_m['loss']:.4f}, "
                 f"Valid Loss: {valid_m['loss']:.4f}, Training Time: "
@@ -409,6 +411,7 @@ class Runner:
 
             log = EpochLog(epoch, train_m, valid_m, t2 - t1, s2 - s1)
             result.history.append(log)
+            self._log_epoch_jsonl(log)
             self.log(
                 f"Epoch: {epoch:03d}, Train Loss: {train_m['loss']:.4f}, "
                 f"Valid Loss: {valid_m['loss']:.4f}, Training Time: "
@@ -469,6 +472,18 @@ class Runner:
         with open(path, "w") as f:
             json.dump(info, f, indent=2)
         self.log(f"device wedged at epoch {epoch}; diagnostics -> {path}")
+
+    def _log_epoch_jsonl(self, log: EpochLog) -> None:
+        """Append one machine-readable line per epoch to
+        save_dir/history.jsonl — durable observability beyond stdout (the
+        reference only prints, SURVEY.md §5)."""
+        os.makedirs(self.cfg.save_dir, exist_ok=True)
+        path = os.path.join(self.cfg.save_dir, "history.jsonl")
+        rec = {"epoch": log.epoch, "train": log.train, "valid": log.valid,
+               "train_time_s": log.train_time,
+               "valid_time_s": log.valid_time, "ts": time.time()}
+        with open(path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
     def _save_epoch(self, state, epoch: int, val_loss: float,
                     result: RunResult):

@@ -64,6 +64,18 @@ def test_fit_learns_and_selects_best(tmp_path, dataset):
     assert all(np.isfinite(v) for v in res2.test_metrics.values())
 
 
+def test_history_jsonl_written(tmp_path, dataset):
+    import json
+    data, supports = dataset
+    runner, cfg, tcfg = make_runner(tmp_path, epochs=2)
+    runner.fit(data, supports)
+    lines = open(os.path.join(str(tmp_path), "history.jsonl")).read(
+        ).strip().splitlines()
+    assert len(lines) == 2
+    rec = json.loads(lines[-1])
+    assert rec["epoch"] == 2 and "loss" in rec["valid"]
+
+
 def test_resume_continues_from_checkpoint(tmp_path, dataset):
     data, supports = dataset
     runner, cfg, tcfg = make_runner(tmp_path, epochs=2)
