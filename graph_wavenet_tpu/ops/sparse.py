@@ -95,11 +95,11 @@ def _build(idx: np.ndarray, w: np.ndarray) -> SparseSupport:
     perm_t = np.full((n, dt), n * d, dtype=np.int64)   # sentinel: zero slot
     starts = np.zeros(n + 1, np.int64)
     np.cumsum(counts, out=starts[1:])
-    for v in range(n):
-        lo, hi = starts[v], starts[v + 1]
-        edges = flat_sorted[lo:hi]
-        idx_t[v, :hi - lo] = edges // d               # source row n
-        perm_t[v, :hi - lo] = edges
+    # vectorized fill: each sorted edge lands at (its target row, its
+    # position within the target's group)
+    pos = np.arange(len(tgt_sorted), dtype=np.int64) - starts[tgt_sorted]
+    idx_t[tgt_sorted, pos] = flat_sorted // d          # source row n
+    perm_t[tgt_sorted, pos] = flat_sorted
     return SparseSupport(jnp.asarray(idx, jnp.int32),
                          jnp.asarray(w),
                          jnp.asarray(idx_t, jnp.int32),
@@ -122,15 +122,14 @@ def from_dense(a: np.ndarray, max_degree: int | None = None,
     cols = a.T                                   # row r = incoming weights
     nnz = (cols != 0).sum(1)
     d = int(max_degree if max_degree is not None else max(int(nnz.max()), 1))
-    idx = np.zeros((n, d), np.int64)
-    w = np.zeros((n, d), np.float32)
-    for r in range(n):
-        order = np.argsort(-np.abs(cols[r]))[:d]
-        keep = order[cols[r, order] != 0]
-        idx[r, :len(keep)] = keep
-        idx[r, len(keep):] = r                    # pad: self-index, weight 0
-        w[r, :len(keep)] = cols[r, keep]
-    return _build(idx, w)
+    # vectorized top-|w| per row: zeros sort last, so kept nonzeros are
+    # already compacted to the front of each row
+    order = np.argsort(-np.abs(cols), axis=1, kind="stable")[:, :d]
+    vals = np.take_along_axis(cols, order, axis=1)
+    live = vals != 0
+    idx = np.where(live, order, np.arange(n, dtype=np.int64)[:, None])
+    w = np.where(live, vals, 0.0).astype(np.float32)
+    return _build(idx.astype(np.int64), w)
 
 
 def from_edges(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
