@@ -1,0 +1,212 @@
+"""Block-sparse diffusion supports: the MXU form of graph sparsity.
+
+Complement to the ELL form (`ops.sparse`): ELL hops are gather-bound
+(~180 GB/s effective on v5e), while the TPU's strength is dense matmuls.
+For graphs with cluster structure (road networks, SBM communities — which
+the reorderings in ``graphs.ordering`` expose), most 128x128 node blocks of
+the support are exactly zero. Keeping only the nonzero blocks turns a hop
+into a batched dense (BS, BS) x (BS, R) matmul over each block-row's
+nonzero blocks — MXU work, no per-row gathers:
+
+    blocks    (NB, MB, BS, BS)  — nonzero blocks, padded per block-row
+    block_idx (NB, MB) int32    — source block-row of each, NB = zero pad
+
+Backward is scatter-free by the same construction as ELL: a transpose
+block table is precomputed, ``dx`` contracts the transposed blocks
+(materialized from the CURRENT ``blocks`` via a flat permutation, so
+gradients through the weights stay exact), and ``dblocks`` is a per-block
+outer contraction.
+
+``nconv`` orientation (`/root/reference/model.py:13`): out node j of block
+row n aggregates x over A's column j — ``out[n,j] = sum_{m,k}
+blocks[n,m,k,j] * x[block_idx[n,m], k]``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graph_wavenet_tpu.ops.linear import accum_dtype
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class BlockSparseSupport:
+    """Nonzero 128x128 (or ``block_size``) blocks of a support matrix."""
+
+    blocks: jnp.ndarray      # (NB, MB, BS, BS)
+    block_idx: jnp.ndarray   # (NB, MB) int32; NB = zero-block sentinel
+    idx_t: jnp.ndarray       # (NB, MBt) int32: source BLOCK-ROW n per t-edge
+    perm_t: jnp.ndarray      # (NB, MBt) int32 into blocks[:NB*MB]; NB*MB = 0
+
+    @property
+    def n_nodes(self) -> int:
+        return self.blocks.shape[0] * self.blocks.shape[2]
+
+    @property
+    def block_size(self) -> int:
+        return self.blocks.shape[2]
+
+    def mix_2d(self, x2: jnp.ndarray) -> jnp.ndarray:
+        """Node-leading (N, R) -> (N, R) mix (duck-typed sparse API)."""
+        return _block_mix(x2, self.blocks, self.block_idx, self.idx_t,
+                          self.perm_t)
+
+    def to_dense(self) -> np.ndarray:
+        nb, mb, bs, _ = self.blocks.shape
+        n = nb * bs
+        dense = np.zeros((n, n), np.float32)
+        blocks = np.asarray(self.blocks, np.float32)
+        bidx = np.asarray(self.block_idx)
+        for r in range(nb):
+            for m in range(mb):
+                src = bidx[r, m]
+                if src >= nb:
+                    continue
+                dense[src * bs:(src + 1) * bs, r * bs:(r + 1) * bs] += (
+                    blocks[r, m])
+        return dense
+
+
+def from_dense(a: np.ndarray, block_size: int = 128) -> BlockSparseSupport:
+    """Partition a dense support into blocks, keep the nonzero ones.
+
+    N must divide by ``block_size`` (pad the graph first if not — zero
+    rows/cols are inert under diffusion). Use a cluster-exposing node
+    permutation (``graphs.ordering``) beforehand: block count is what
+    determines the speedup.
+    """
+    a = np.asarray(a, np.float32)
+    n = a.shape[0]
+    assert n % block_size == 0, (
+        f"N={n} must divide by block_size={block_size}; zero-pad the "
+        "support first (zero rows/cols are inert)")
+    nb = n // block_size
+    # block (s, r): rows of source block s, columns of dest block-row r
+    tiles = a.reshape(nb, block_size, nb, block_size)
+    nz = np.abs(tiles).sum((1, 3)).T != 0          # (dest r, src s)
+    mb = max(int(nz.sum(1).max()), 1)
+    blocks = np.zeros((nb, mb, block_size, block_size), np.float32)
+    bidx = np.full((nb, mb), nb, np.int64)
+    for r in range(nb):
+        srcs = np.nonzero(nz[r])[0]
+        for m, s in enumerate(srcs):
+            blocks[r, m] = tiles[s, :, r, :]
+            bidx[r, m] = s
+    return _finish(blocks, bidx)
+
+
+def _finish(blocks: np.ndarray, bidx: np.ndarray) -> BlockSparseSupport:
+    """Derive the transpose block table (scatter-free backward)."""
+    nb, mb = bidx.shape
+    live = bidx.reshape(-1) < nb
+    flat = np.arange(nb * mb, dtype=np.int64)
+    targets = bidx.reshape(-1)                     # source block-row
+    order = np.argsort(targets[live], kind="stable")
+    tgt_sorted = targets[live][order]
+    flat_sorted = flat[live][order]
+    counts = np.bincount(tgt_sorted, minlength=nb)
+    mbt = max(int(counts.max()) if counts.size else 0, 1)
+    idx_t = np.tile(np.arange(nb, dtype=np.int64)[:, None], (1, mbt))
+    perm_t = np.full((nb, mbt), nb * mb, dtype=np.int64)
+    starts = np.zeros(nb + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    pos = np.arange(len(tgt_sorted), dtype=np.int64) - starts[tgt_sorted]
+    idx_t[tgt_sorted, pos] = flat_sorted // mb     # dest block-row r
+    perm_t[tgt_sorted, pos] = flat_sorted
+    return BlockSparseSupport(jnp.asarray(blocks),
+                              jnp.asarray(bidx, jnp.int32),
+                              jnp.asarray(idx_t, jnp.int32),
+                              jnp.asarray(perm_t, jnp.int32))
+
+
+def random_block_support(n_blocks: int, blocks_per_row: int,
+                         block_size: int = 128,
+                         rng: np.random.Generator | None = None,
+                         ) -> BlockSparseSupport:
+    """Synthetic clustered support built directly in block form (no O(N^2)
+    dense intermediate) — benchmarks / large-graph tests. Each block-row
+    gets its own diagonal block plus ``blocks_per_row - 1`` random others;
+    columns are normalized within the materialized blocks."""
+    rng = rng or np.random.default_rng()
+    mb = blocks_per_row
+    bidx = np.zeros((n_blocks, mb), np.int64)
+    blocks = rng.random((n_blocks, mb, block_size, block_size)).astype(
+        np.float32)
+    for r in range(n_blocks):
+        others = rng.choice(n_blocks, size=mb - 1, replace=False)
+        bidx[r] = np.concatenate([[r], others])[:mb]
+    col_sums = blocks.sum((1, 2), keepdims=True)   # normalize per column j
+    blocks = blocks / col_sums
+    return _finish(blocks, bidx)
+
+
+def _mix_blocks(xb_pad, blocks_g, idx, acc):
+    """out[r] = sum_m blocks_g[r, m].T-contract x block idx[r, m].
+    xb_pad (NB+1, BS, R); blocks_g (NB, MB, BS, BS) -> (NB, BS, R)."""
+    g = jnp.take(xb_pad, idx, axis=0)              # (NB, MB, BS, R)
+    return jnp.einsum("nmkj,nmkr->njr", blocks_g, g,
+                      preferred_element_type=acc)
+
+
+@jax.custom_vjp
+def _block_mix(x2, blocks, block_idx, idx_t, perm_t):
+    """x2 (N, R) -> (N, R) through the block structure."""
+    n, r = x2.shape
+    nb, mb, bs, _ = blocks.shape
+    acc = accum_dtype(x2.dtype)
+    xb = x2.reshape(nb, bs, r)
+    xb_pad = jnp.concatenate([xb, jnp.zeros((1, bs, r), x2.dtype)])
+    out = _mix_blocks(xb_pad, blocks.astype(x2.dtype), block_idx, acc)
+    return out.reshape(n, r).astype(x2.dtype)
+
+
+def _block_mix_fwd(x2, blocks, block_idx, idx_t, perm_t):
+    return (_block_mix(x2, blocks, block_idx, idx_t, perm_t),
+            (x2, blocks, block_idx, idx_t, perm_t))
+
+
+def _block_mix_bwd(res, gout):
+    x2, blocks, block_idx, idx_t, perm_t = res
+    n, r = x2.shape
+    nb, mb, bs, _ = blocks.shape
+    acc = accum_dtype(x2.dtype)
+    gb = gout.reshape(nb, bs, r).astype(x2.dtype)
+    gb_pad = jnp.concatenate([gb, jnp.zeros((1, bs, r), x2.dtype)])
+    # dx[s] = sum over transposed edges (r, m): blocks[r, m] @ gout[r]
+    # (contract the DEST index j): materialize transpose blocks from the
+    # CURRENT weights via the flat permutation (exact grads through blocks)
+    bflat = jnp.concatenate([
+        blocks.reshape(nb * mb, bs, bs),
+        jnp.zeros((1, bs, bs), blocks.dtype)])
+    bt = jnp.take(bflat, perm_t.reshape(-1), axis=0).reshape(
+        nb, perm_t.shape[1], bs, bs).astype(x2.dtype)   # (NB, MBt, BSk, BSj)
+    gt = jnp.take(gb_pad, idx_t, axis=0)           # (NB, MBt, BS, R)
+    dxb = jnp.einsum("vtkj,vtjr->vkr", bt, gt,
+                     preferred_element_type=acc)
+    dx2 = dxb.reshape(n, r).astype(x2.dtype)
+    # dblocks[r, m, k, j] = <x block idx[r, m] row k, gout[r] row j>
+    xb = x2.reshape(nb, bs, r)
+    xb_pad = jnp.concatenate([xb, jnp.zeros((1, bs, r), x2.dtype)])
+    xg = jnp.take(xb_pad, block_idx, axis=0)       # (NB, MB, BS, R)
+    dblocks = jnp.einsum("nmkr,njr->nmkj", xg, gb,
+                         preferred_element_type=acc).astype(blocks.dtype)
+    zero = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return dx2, dblocks, zero(block_idx), zero(idx_t), zero(perm_t)
+
+
+_block_mix.defvjp(_block_mix_fwd, _block_mix_bwd)
+
+
+def nconv_block_sparse(x: jnp.ndarray,
+                       sp: BlockSparseSupport) -> jnp.ndarray:
+    """Block-sparse diffusion step, same contract as ``nconv``:
+    x (B, T, N, C) -> (B, T, N, C)."""
+    b, t, n, c = x.shape
+    x2 = jnp.transpose(x, (2, 0, 1, 3)).reshape(n, b * t * c)
+    out = _block_mix(x2, sp.blocks, sp.block_idx, sp.idx_t, sp.perm_t)
+    return jnp.transpose(out.reshape(n, b, t, c), (1, 2, 0, 3))

@@ -63,7 +63,7 @@ def diffusion_hops(x: jnp.ndarray, supports: list[jnp.ndarray],
     order. Supports may be (N, N) or batched (B, N, N)."""
     hops = [x]
     for a in supports:
-        if isinstance(a, SparseSupport):
+        if hasattr(a, "mix_2d"):          # ELL or block-sparse support
             step = nconv_sparse
         else:
             step = nconv_batched if a.ndim == 3 else nconv
@@ -128,8 +128,6 @@ def _gcn_apply_sparse(params: dict, x: jnp.ndarray,
     slice contracts channels in place. Output matches the dense modes to
     accumulation rounding.
     """
-    from graph_wavenet_tpu.ops.sparse import ell_mix_2d
-
     b, t, n, c_in = x.shape
     w, bias = params["w"].astype(x.dtype), params["b"]
     acc = accum_dtype(x.dtype)
@@ -145,7 +143,7 @@ def _gcn_apply_sparse(params: dict, x: jnp.ndarray,
     for sp in supports:
         xk = xn
         for _ in range(order):
-            xk = ell_mix_2d(xk, sp)
+            xk = sp.mix_2d(xk)
             h = h + project(xk, k)
             k += 1
     h = (h + bias).astype(x.dtype)                 # (N, B*T, F)
@@ -180,14 +178,13 @@ def gcn_apply(params: dict, x: jnp.ndarray, supports: list[jnp.ndarray],
     """
     c_in = x.shape[-1]
     w, b = params["w"].astype(x.dtype), params["b"]
-    if supports and all(isinstance(a, SparseSupport) for a in supports):
+    if supports and all(hasattr(a, "mix_2d") for a in supports):
         # all-sparse fast path: one node-leading transpose for the WHOLE
         # hop block instead of two per hop (the transposes, not the
         # gathers, dominate the naive per-hop form — BENCH_NOTES.md)
         return _gcn_apply_sparse(params, x, supports, order, dropout, rng,
                                  train)
-    if mode == "stacked" and any(isinstance(a, SparseSupport)
-                                 for a in supports):
+    if mode == "stacked" and any(hasattr(a, "mix_2d") for a in supports):
         # power stacks are a dense-support construct; mixed sparse/dense
         # support lists run the hop chain (each sparse hop O(N*D))
         mode = "fused"

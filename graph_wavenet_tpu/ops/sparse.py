@@ -68,6 +68,10 @@ class SparseSupport:
     def max_degree(self) -> int:
         return self.idx.shape[1]
 
+    def mix_2d(self, x2: jnp.ndarray) -> jnp.ndarray:
+        """Node-leading (N, R) -> (N, R) mix (duck-typed sparse API)."""
+        return _ell_mix(x2, self.w, self.idx, self.idx_t, self.perm_t)
+
     def to_dense(self) -> np.ndarray:
         """Dense (N, N) support with identical ``nconv`` semantics."""
         n, d = self.idx.shape
@@ -208,5 +212,5 @@ def nconv_sparse(x: jnp.ndarray, sp: SparseSupport) -> jnp.ndarray:
     """
     b, t, n, c = x.shape
     x2 = jnp.transpose(x, (2, 0, 1, 3)).reshape(n, b * t * c)
-    out = _ell_mix(x2, sp.w, sp.idx, sp.idx_t, sp.perm_t)
+    out = sp.mix_2d(x2)
     return jnp.transpose(out.reshape(n, b, t, c), (1, 2, 0, 3))

@@ -337,3 +337,25 @@ def test_gwnet_sparse_supports_match_dense(rng):
     got, _ = apply_gwnet(cfg, params, state, x,
                          [sparse.from_dense(a) for a in dense])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_gwnet_block_sparse_supports_match_dense(rng):
+    """Full model with block-sparse fixed supports equals dense forward."""
+    from graph_wavenet_tpu.ops import block_sparse
+
+    cfg = small_cfg(gcn_bool=True, addaptadj=False)
+    params, state = init_gwnet(jax.random.key(3), cfg)
+    x = jnp.asarray(rng.normal(size=(2, 13, N_NODES, 2)).astype(np.float32))
+    dense = []
+    for _ in range(cfg.n_supports):
+        a = np.zeros((N_NODES, N_NODES), np.float32)
+        for (sb, db) in ((0, 0), (1, 1), (2, 3), (3, 2), (0, 3)):
+            a[sb * 5:(sb + 1) * 5, db * 5:(db + 1) * 5] = rng.random(
+                (5, 5)).astype(np.float32)
+        dense.append(a)
+    want, _ = apply_gwnet(cfg, params, state, x,
+                          [jnp.asarray(a) for a in dense])
+    got, _ = apply_gwnet(cfg, params, state, x,
+                         [block_sparse.from_dense(a, block_size=5)
+                          for a in dense])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)

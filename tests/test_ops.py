@@ -275,3 +275,51 @@ def test_sparse_support_topk_truncation(rng):
     d = sp.to_dense()
     np.testing.assert_allclose(d[:3, 0], [5.0, -4.0, 3.0])
     assert (d[3:, 0] == 0).all()                      # smallest dropped
+
+
+def test_block_sparse_matches_dense(x, rng):
+    from graph_wavenet_tpu.ops import block_sparse
+
+    # 12-node graph in 3 blocks of 4, with block structure: only some
+    # block pairs populated
+    n, bs = 12, 4
+    a = np.zeros((n, n), np.float32)
+    for (sb, db) in ((0, 0), (1, 0), (2, 2), (0, 1)):
+        a[sb * bs:(sb + 1) * bs, db * bs:(db + 1) * bs] = rng.random(
+            (bs, bs)).astype(np.float32)
+    sp = block_sparse.from_dense(a, block_size=bs)
+    np.testing.assert_allclose(sp.to_dense(), a, atol=1e-7)
+
+    xb = jnp.asarray(rng.normal(size=(3, 9, n, 5)).astype(np.float32))
+    got = np.asarray(block_sparse.nconv_block_sparse(xb, sp))
+    want = np.asarray(diffusion.nconv(xb, jnp.asarray(a)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    # through gcn_apply (duck-typed sparse fast path), vs dense
+    p = diffusion.gcn_init(jax.random.key(21), 5, 4, n_supports=1, order=2)
+    want = diffusion.gcn_apply(p, xb, [jnp.asarray(a)], order=2)
+    got = diffusion.gcn_apply(p, xb, [sp], order=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    # gradients (dx and dblocks) vs dense autodiff
+    def loss_sp(xx, blocks):
+        s2 = block_sparse.BlockSparseSupport(blocks, sp.block_idx,
+                                             sp.idx_t, sp.perm_t)
+        return (block_sparse.nconv_block_sparse(xx, s2) ** 2).sum()
+
+    def loss_d(xx, aa):
+        return (diffusion.nconv(xx, aa) ** 2).sum()
+
+    dx_s, db_s = jax.grad(loss_sp, argnums=(0, 1))(xb, sp.blocks)
+    dx_d, da_d = jax.grad(loss_d, argnums=(0, 1))(xb, jnp.asarray(a))
+    np.testing.assert_allclose(np.asarray(dx_s), np.asarray(dx_d), atol=1e-3)
+    bidx = np.asarray(sp.block_idx)
+    for r in range(3):
+        for m in range(bidx.shape[1]):
+            s = bidx[r, m]
+            if s >= 3:
+                continue
+            np.testing.assert_allclose(
+                np.asarray(db_s[r, m]),
+                np.asarray(da_d)[s * bs:(s + 1) * bs, r * bs:(r + 1) * bs],
+                atol=1e-3)
