@@ -251,3 +251,53 @@ if __name__ == "__main__":
     import json
 
     print(json.dumps(run_all(), indent=2))
+
+
+def bench_sparse_train_step(n_nodes: int = 40960, batch: int = 4,
+                            seq: int = 12, steps: int = 24,
+                            form: str = "block", degree: int = 8,
+                            blocks_per_row: int = 4) -> dict:
+    """Large-graph sparse-support train step (BENCH_NOTES.md): form
+    "block" = 128x128 block-sparse (MXU form), "ell" = padded neighbor
+    tables (bandwidth form). Dense supports at these sizes do not fit."""
+    from dataclasses import replace as _replace
+
+    from graph_wavenet_tpu.ops import block_sparse, sparse
+
+    cfg = _replace(FLAGSHIP, num_nodes=n_nodes, out_dim=seq,
+                   dtype="bfloat16", addaptadj=False)
+    if form == "block":
+        sup = [block_sparse.random_block_support(
+            n_nodes // 128, blocks_per_row, 128, np.random.default_rng(s))
+            for s in (1, 2)]
+    else:
+        sup = [sparse.random_sparse_support(n_nodes, degree,
+                                            np.random.default_rng(s))
+               for s in (1, 2)]
+    engine = Engine(cfg, TrainConfig(), StandardScaler(54.0, 20.0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, seq, n_nodes, 2)).astype(
+        np.float32))
+    y = jnp.asarray(rng.normal(size=(batch, seq, n_nodes, 2)).astype(
+        np.float32) + 50.0)
+    state = engine.state
+    for _ in range(3):
+        state, m = engine.train_step(state, x, y, sup)
+    float(m["loss"])
+    holder = {"s": state}
+
+    def run_steps(n):
+        s = holder["s"]
+        t0 = time.perf_counter()
+        for _ in range(n):
+            s, m = engine.train_step(s, x, y, sup)
+        holder["s"] = s
+        float(m["loss"])
+        return time.perf_counter() - t0
+
+    per = _differential_time(run_steps, max(steps // 3, 1), steps)
+    return {
+        "form": form,
+        "step_ms": per * 1e3,
+        "node_timesteps_per_s": batch * n_nodes * seq / per,
+    }

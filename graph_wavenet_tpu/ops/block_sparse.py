@@ -133,7 +133,7 @@ def random_block_support(n_blocks: int, blocks_per_row: int,
     gets its own diagonal block plus ``blocks_per_row - 1`` random others;
     columns are normalized within the materialized blocks."""
     rng = rng or np.random.default_rng()
-    mb = blocks_per_row
+    mb = min(blocks_per_row, n_blocks)
     bidx = np.zeros((n_blocks, mb), np.int64)
     blocks = rng.random((n_blocks, mb, block_size, block_size)).astype(
         np.float32)

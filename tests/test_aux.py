@@ -27,6 +27,13 @@ def test_bench_train_step_smoke():
     assert r["node_timesteps_per_s"] > 0
 
 
+def test_bench_sparse_train_step_smoke():
+    for form in ("block", "ell"):
+        r = benchmarks.bench_sparse_train_step(n_nodes=256, batch=2, seq=6,
+                                               steps=3, form=form)
+        assert r["node_timesteps_per_s"] > 0
+
+
 def test_bench_sharded_train_step_smoke():
     mcfg = MeshConfig(model_axis=2, shard_nodes=True)
     r = benchmarks.bench_sharded_train_step(SMALL, mcfg, batch=4, seq=6,
