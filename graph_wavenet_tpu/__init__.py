@@ -31,3 +31,8 @@ from graph_wavenet_tpu.config import (  # noqa: F401
     ModelConfig,
     TrainConfig,
 )
+
+from graph_wavenet_tpu.ops.block_sparse import (  # noqa: F401
+    BlockSparseSupport,
+)
+from graph_wavenet_tpu.ops.sparse import SparseSupport  # noqa: F401

@@ -124,6 +124,48 @@ def _finish(blocks: np.ndarray, bidx: np.ndarray) -> BlockSparseSupport:
                               jnp.asarray(perm_t, jnp.int32))
 
 
+def from_edges_blocked(src: np.ndarray, dst: np.ndarray,
+                       weight: np.ndarray, n_nodes: int,
+                       block_size: int = 128,
+                       perm: np.ndarray | None = None,
+                       ) -> BlockSparseSupport:
+    """Build directly from an edge list — O(E) memory, no dense
+    intermediate (city-scale graphs cannot afford the (N, N) matrix).
+
+    Edge (src -> dst, weight) contributes ``weight * x[src]`` to node dst
+    (``A[src, dst] = weight``; duplicate edges accumulate). ``perm``:
+    optional node permutation applied first (new_id = perm[old_id]) — use a
+    cluster-exposing ordering from ``graphs.ordering`` to minimize the
+    number of nonzero blocks, which is what determines the speedup.
+    N is zero-padded up to a multiple of ``block_size`` (inert rows).
+    """
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    weight = np.asarray(weight, np.float32)
+    if perm is not None:
+        perm = np.asarray(perm, np.int64)
+        src, dst = perm[src], perm[dst]
+    n_pad = -(-n_nodes // block_size) * block_size
+    nb = n_pad // block_size
+    sb, db = src // block_size, dst // block_size
+    pair = db * nb + sb                             # dest-major block pair
+    uniq, inv = np.unique(pair, return_inverse=True)
+    # per dest block-row slot assignment
+    u_db, u_sb = uniq // nb, uniq % nb
+    counts = np.bincount(u_db, minlength=nb)
+    mb = max(int(counts.max()) if counts.size else 0, 1)
+    starts = np.zeros(nb + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot_of_uniq = np.arange(len(uniq), dtype=np.int64) - starts[u_db]
+    bidx = np.full((nb, mb), nb, np.int64)
+    bidx[u_db, slot_of_uniq] = u_sb
+    blocks = np.zeros((nb, mb, block_size, block_size), np.float32)
+    np.add.at(blocks,
+              (db, slot_of_uniq[inv], src % block_size, dst % block_size),
+              weight)
+    return _finish(blocks, bidx)
+
+
 def random_block_support(n_blocks: int, blocks_per_row: int,
                          block_size: int = 128,
                          rng: np.random.Generator | None = None,

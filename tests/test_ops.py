@@ -323,3 +323,20 @@ def test_block_sparse_matches_dense(x, rng):
                 np.asarray(db_s[r, m]),
                 np.asarray(da_d)[s * bs:(s + 1) * bs, r * bs:(r + 1) * bs],
                 atol=1e-3)
+
+
+def test_block_sparse_from_edges(rng):
+    from graph_wavenet_tpu.ops import block_sparse
+
+    # random edges on 11 nodes (pads to 12 with block_size 4), with a
+    # duplicate edge (accumulates) and a permutation
+    src = np.array([0, 3, 3, 7, 10, 2, 5])
+    dst = np.array([1, 4, 4, 2, 9, 10, 5])
+    w = rng.random(7).astype(np.float32)
+    perm = rng.permutation(11)
+    sp = block_sparse.from_edges_blocked(src, dst, w, 11, block_size=4,
+                                         perm=perm)
+    dense = np.zeros((12, 12), np.float32)
+    for s_, d_, w_ in zip(perm[src], perm[dst], w):
+        dense[s_, d_] += w_
+    np.testing.assert_allclose(sp.to_dense(), dense, atol=1e-6)
