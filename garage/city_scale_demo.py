@@ -6,7 +6,7 @@ matmuls, 3.2x the ELL form's speed) — a graph whose dense (N, N) supports
 Data is a genuinely graph-coupled AR process generated ON DEVICE with the
 same sparse mix op the model uses, so the forecasting task is learnable and
 the graph structure matters. A short run demonstrating the loss descends;
-~756 ms/step (BENCH_NOTES.md).
+~477 ms/step wall, 234 ms device (BENCH_NOTES.md).
 
 Usage: python garage/city_scale_demo.py [--nodes 40960] [--steps 100]
 """
@@ -32,7 +32,7 @@ def main():
 
     from graph_wavenet_tpu.config import ModelConfig, TrainConfig
     from graph_wavenet_tpu.data.scaler import StandardScaler
-    from graph_wavenet_tpu.ops import block_sparse, sparse
+    from graph_wavenet_tpu.ops import block_sparse
     from graph_wavenet_tpu.train.engine import Engine
 
     n = args.nodes
@@ -76,7 +76,6 @@ def main():
     # device from int32 anchors (engine.train_steps_windows)
     feat = np.stack([std, np.zeros_like(std)], -1).astype(np.float32)
     yfeat = np.stack([series, np.zeros_like(series)], -1).astype(np.float32)
-    import jax.numpy as jnp
     dev_x = jnp.asarray(feat)
     dev_y = jnp.asarray(yfeat)
     scan = 10

@@ -238,21 +238,6 @@ def bench_inference(cfg: ModelConfig = FLAGSHIP, seq: int = 12,
     return out
 
 
-def run_all(batch: int = 64, steps: int = 30) -> dict:
-    out = {}
-    for name, cfg in CONFIGS.items():
-        if cfg.num_nodes > 1000:
-            continue  # config 5 runs via bench_sharded_train_step
-        out[name] = bench_train_step(cfg, batch=batch, steps=steps)
-    return out
-
-
-if __name__ == "__main__":
-    import json
-
-    print(json.dumps(run_all(), indent=2))
-
-
 def bench_sparse_train_step(n_nodes: int = 40960, batch: int = 4,
                             seq: int = 12, steps: int = 24,
                             form: str = "block", degree: int = 8,
@@ -301,3 +286,20 @@ def bench_sparse_train_step(n_nodes: int = 40960, batch: int = 4,
         "step_ms": per * 1e3,
         "node_timesteps_per_s": batch * n_nodes * seq / per,
     }
+
+
+def run_all(batch: int = 64, steps: int = 30) -> dict:
+    out = {}
+    for name, cfg in CONFIGS.items():
+        if cfg.num_nodes > 1000:
+            continue  # config 5 runs via bench_sharded_train_step
+        out[name] = bench_train_step(cfg, batch=batch, steps=steps)
+    out["syn-40k-block-sparse"] = bench_sparse_train_step(
+        steps=max(steps // 3, 6))
+    return out
+
+
+if __name__ == "__main__":
+    import json
+
+    print(json.dumps(run_all(), indent=2))

@@ -180,7 +180,9 @@ def random_block_support(n_blocks: int, blocks_per_row: int,
     blocks = rng.random((n_blocks, mb, block_size, block_size)).astype(
         np.float32)
     for r in range(n_blocks):
-        others = rng.choice(n_blocks, size=mb - 1, replace=False)
+        pool = np.delete(np.arange(n_blocks), r)
+        others = rng.choice(pool, size=mb - 1, replace=False) if mb > 1 \
+            else np.empty(0, np.int64)
         bidx[r] = np.concatenate([[r], others])[:mb]
     col_sums = blocks.sum((1, 2), keepdims=True)   # normalize per column j
     blocks = blocks / col_sums

@@ -130,6 +130,10 @@ def _gcn_apply_sparse(params: dict, x: jnp.ndarray,
     """
     b, t, n, c_in = x.shape
     w, bias = params["w"].astype(x.dtype), params["b"]
+    n_hops = len(supports) * order + 1
+    assert w.shape[0] == n_hops * c_in, (
+        f"gcn weight expects {w.shape[0] // c_in} hops, got {n_hops}: "
+        "n_supports passed at init must match the supports list")
     acc = accum_dtype(x.dtype)
     xn = jnp.transpose(x, (2, 0, 1, 3)).reshape(n, b * t * c_in)
 

@@ -138,11 +138,37 @@ def from_dense(a: np.ndarray, max_degree: int | None = None,
 
 def from_edges(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
                n_nodes: int, max_degree: int | None = None) -> SparseSupport:
-    """Build from an edge list: edge (src -> dst, weight) contributes
-    ``weight * x[src]`` to node dst (matching ``A[src, dst] = weight``)."""
-    dense = np.zeros((n_nodes, n_nodes), np.float32)
-    dense[np.asarray(src), np.asarray(dst)] = np.asarray(weight)
-    return from_dense(dense, max_degree)
+    """Build from an edge list — O(E), no dense intermediate. Edge
+    (src -> dst, weight) contributes ``weight * x[src]`` to node dst
+    (``A[src, dst] = weight``); duplicate (src, dst) pairs accumulate, like
+    ``block_sparse.from_edges_blocked``. ``max_degree``: keep the top-|w|
+    incoming edges per node (the `sparsifyGraph` 'NN' policy)."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    weight = np.asarray(weight, np.float32)
+    # accumulate duplicates
+    pair = dst * n_nodes + src
+    uniq, inv = np.unique(pair, return_inverse=True)
+    wsum = np.zeros(len(uniq), np.float32)
+    np.add.at(wsum, inv, weight)
+    u_dst, u_src = uniq // n_nodes, uniq % n_nodes
+    live = wsum != 0
+    u_dst, u_src, wsum = u_dst[live], u_src[live], wsum[live]
+    # sort per dest node by descending |w| for the top-k cut
+    order = np.lexsort((-np.abs(wsum), u_dst))
+    u_dst, u_src, wsum = u_dst[order], u_src[order], wsum[order]
+    counts = np.bincount(u_dst, minlength=n_nodes)
+    d_full = max(int(counts.max()) if counts.size else 0, 1)
+    d = min(max_degree, d_full) if max_degree is not None else d_full
+    starts = np.zeros(n_nodes + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    pos = np.arange(len(u_dst), dtype=np.int64) - starts[u_dst]
+    keep = pos < d
+    idx = np.tile(np.arange(n_nodes, dtype=np.int64)[:, None], (1, d))
+    w = np.zeros((n_nodes, d), np.float32)
+    idx[u_dst[keep], pos[keep]] = u_src[keep]
+    w[u_dst[keep], pos[keep]] = wsum[keep]
+    return _build(idx, w)
 
 
 def random_sparse_support(n_nodes: int, degree: int,

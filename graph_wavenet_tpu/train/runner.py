@@ -33,6 +33,13 @@ from graph_wavenet_tpu.train.engine import Engine, cluster_mean_projector
 from graph_wavenet_tpu.train.metrics import metric
 
 
+def _as_support(s):
+    """Device-coerce a support: dense arrays via jnp.asarray; ELL /
+    block-sparse support objects (duck-typed by mix_2d) pass through —
+    their leaves are already jax arrays."""
+    return s if hasattr(s, "mix_2d") else jnp.asarray(s)
+
+
 class DeviceWedgedError(RuntimeError):
     """An epoch exceeded ``TrainConfig.epoch_timeout_s`` — through remote or
     tunneled device transports the typical cause is a wedged dispatch that
@@ -47,8 +54,14 @@ def _epoch_watchdog(timeout_s: float, epoch: int):
 
     Failure detection the reference lacks entirely (SURVEY.md §5). Only
     armable from the main thread with a real signal module; silently a
-    no-op elsewhere. A blocked device fetch cannot be interrupted from
-    another thread, which is why this is signal-based.
+    no-op elsewhere. Mechanism limitation: CPython delivers signal
+    handlers between bytecodes, so the alarm fires whenever the epoch loop
+    re-enters the interpreter (dispatch loops, host-side work, fetches
+    that poll) — but a single C-level wait that never returns control
+    cannot be interrupted in-process. For hard wedges of that kind use an
+    external supervisor on the process plus ``resume_from=``; this
+    watchdog turns the common soft-wedge/slowdown cases into a diagnosed
+    failure instead of a silent hang.
     """
     usable = (timeout_s > 0 and hasattr(signal, "setitimer")
               and threading.current_thread() is threading.main_thread())
@@ -172,7 +185,8 @@ class Runner:
             start_epoch = int(meta.get("extra", {}).get("epoch", 0)) + 1
             self.log(f"resumed from {resume_from} at epoch {start_epoch}")
         state = engine.state
-        supports = None if supports is None else [jnp.asarray(s)
+        self._log_run_start(start_epoch, resume_from)
+        supports = None if supports is None else [_as_support(s)
                                                   for s in supports]
         for epoch in range(start_epoch, self.cfg.epochs + 1):
             try:
@@ -249,7 +263,7 @@ class Runner:
         result = result or RunResult()
         engine = self.engine
         scaler = scaler or engine.scaler
-        supports = None if supports is None else [jnp.asarray(s)
+        supports = None if supports is None else [_as_support(s)
                                                   for s in supports]
         outputs = []
         for batch in self._feed(data["test_loader"]):
@@ -296,7 +310,7 @@ class Runner:
         result = RunResult()
         engine = self.engine
         state = engine.state
-        sup = None if supports is None else [jnp.asarray(s)
+        sup = None if supports is None else [_as_support(s)
                                              for s in supports]
         proj = jnp.asarray(cluster_mean_projector(G.community_labels,
                                                   n_communities))
@@ -336,7 +350,7 @@ class Runner:
         """Shared-graph synthetic test loop (`train.py:316-327`)."""
         result = result or RunResult()
         engine = self.engine
-        sup = None if supports is None else [jnp.asarray(s)
+        sup = None if supports is None else [_as_support(s)
                                              for s in supports]
         proj = jnp.asarray(cluster_mean_projector(G.community_labels,
                                                   n_communities))
@@ -430,7 +444,7 @@ class Runner:
         predictions for sequence reconstruction."""
         result = result or RunResult()
         engine = self.engine
-        sup = [jnp.asarray(s) for s in supports_by_split["test"]]
+        sup = [_as_support(s) for s in supports_by_split["test"]]
         proj = jnp.asarray(np.stack(
             [cluster_mean_projector(g.community_labels, n_communities)
              for g in graphs_by_split["test"]]))
@@ -465,13 +479,26 @@ class Runner:
             "reason": reason,
             "epoch": epoch,
             "best_checkpoint": result.best_checkpoint,
-            "best_val_loss": result.best_val_loss,
+            "best_val_loss": (result.best_val_loss
+                              if np.isfinite(result.best_val_loss)
+                              else None),
             "epochs_completed": len(result.history),
             "history_val_loss": [h.valid["loss"] for h in result.history],
         }
         with open(path, "w") as f:
             json.dump(info, f, indent=2)
         self.log(f"device wedged at epoch {epoch}; diagnostics -> {path}")
+
+    def _log_run_start(self, start_epoch: int,
+                       resume_from: str | None) -> None:
+        """Segment marker in history.jsonl so resumed/re-run histories in
+        the same save_dir can be told apart by consumers."""
+        os.makedirs(self.cfg.save_dir, exist_ok=True)
+        with open(os.path.join(self.cfg.save_dir, "history.jsonl"),
+                  "a") as f:
+            f.write(json.dumps({"run_start": time.time(),
+                                "start_epoch": start_epoch,
+                                "resumed_from": resume_from}) + "\n")
 
     def _log_epoch_jsonl(self, log: EpochLog) -> None:
         """Append one machine-readable line per epoch to

@@ -340,3 +340,23 @@ def test_block_sparse_from_edges(rng):
     for s_, d_, w_ in zip(perm[src], perm[dst], w):
         dense[s_, d_] += w_
     np.testing.assert_allclose(sp.to_dense(), dense, atol=1e-6)
+
+
+def test_sparse_from_edges_accumulates_and_topk(rng):
+    from graph_wavenet_tpu.ops import sparse
+
+    # duplicate (src, dst) pairs accumulate; top-|w| per dest under
+    # max_degree — consistent with block_sparse.from_edges_blocked
+    src = np.array([0, 0, 2, 3, 4, 5])
+    dst = np.array([1, 1, 1, 1, 2, 2])
+    w = np.array([0.5, 0.25, -2.0, 0.1, 1.0, 3.0], np.float32)
+    sp = sparse.from_edges(src, dst, w, 6)
+    d = sp.to_dense()
+    np.testing.assert_allclose(d[0, 1], 0.75, atol=1e-6)   # accumulated
+    np.testing.assert_allclose(d[2, 1], -2.0, atol=1e-6)
+    # max_degree=2 keeps the largest-|w| incoming edges of node 1
+    sp2 = sparse.from_edges(src, dst, w, 6, max_degree=2)
+    d2 = sp2.to_dense()
+    np.testing.assert_allclose(d2[2, 1], -2.0, atol=1e-6)
+    np.testing.assert_allclose(d2[0, 1], 0.75, atol=1e-6)
+    assert d2[3, 1] == 0.0                                   # dropped

@@ -71,7 +71,8 @@ def test_history_jsonl_written(tmp_path, dataset):
     runner.fit(data, supports)
     lines = open(os.path.join(str(tmp_path), "history.jsonl")).read(
         ).strip().splitlines()
-    assert len(lines) == 2
+    assert len(lines) == 3               # run-start marker + 2 epochs
+    assert "run_start" in json.loads(lines[0])
     rec = json.loads(lines[-1])
     assert rec["epoch"] == 2 and "loss" in rec["valid"]
 
@@ -115,3 +116,19 @@ def test_epoch_watchdog_detects_wedge(tmp_path, dataset):
         runner.fit(data, supports)
     info = json.load(open(os.path.join(str(tmp_path), "emergency.json")))
     assert "exceeded" in info["reason"] or "wedged" in info["reason"]
+
+
+def test_fit_with_sparse_supports(tmp_path, dataset):
+    """Runner.fit must accept ELL/block-sparse support objects (they are
+    pytrees, not arrays — regression: jnp.asarray coercion crashed them)."""
+    from graph_wavenet_tpu.ops import block_sparse, sparse
+
+    data, _ = dataset
+    runner, cfg, tcfg = make_runner(tmp_path, epochs=1)
+    sup = [sparse.random_sparse_support(N, 3, np.random.default_rng(1)),
+           block_sparse.random_block_support(3, 2, 4,
+                                             np.random.default_rng(2))]
+    res = runner.fit(data, sup)
+    assert np.isfinite(res.best_val_loss)
+    res = runner.test(data, sup, res)
+    assert np.isfinite(res.test_metrics["mae"])
