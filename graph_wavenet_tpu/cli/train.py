@@ -69,6 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scan_steps", type=int, default=1,
                    help="fused multi-step training: optimizer steps per "
                         "dispatch (device-resident loaders only)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="micro-batches per optimizer step (averaged grads; "
+                        "~n-fold lower activation memory)")
+    p.add_argument("--early_stop", type=int, default=0,
+                   help="stop after this many epochs without val "
+                        "improvement; 0 = train all epochs")
     p.add_argument("--epoch_timeout", type=float, default=0.0,
                    help="failure detection: abort (with diagnostics) if an "
                         "epoch exceeds this many seconds; 0 disables")
@@ -146,7 +152,8 @@ def main(argv=None) -> dict:
         weight_decay=args.weight_decay, epochs=args.epochs,
         print_every=args.print_every, seed=args.seed, save_dir=args.save,
         expid=args.expid, rng_impl=args.rng_impl,
-        scan_steps=args.scan_steps, epoch_timeout_s=args.epoch_timeout)
+        scan_steps=args.scan_steps, epoch_timeout_s=args.epoch_timeout,
+        grad_accum=args.grad_accum, early_stop_patience=args.early_stop)
 
     t1 = time.time()
     if args.data == "syn":

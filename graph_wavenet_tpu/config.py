@@ -174,6 +174,14 @@ class TrainConfig:
     # compute overlaps serialization + disk IO (the reference's torch.save
     # blocks the loop, train.py:295).
     async_checkpoint: bool = True
+    # Gradient accumulation: micro-batches per optimizer step (grads
+    # averaged before one clip+Adam update) — ~n-fold lower activation
+    # memory for large-N configs. 1 disables.
+    grad_accum: int = 1
+    # Early stopping: end training after this many epochs without a new
+    # best validation loss (best-model selection is unchanged). 0 disables
+    # (the reference always runs all epochs, train.py:233).
+    early_stop_patience: int = 0
     # Failure detection: raise DeviceWedgedError (after writing
     # save_dir/emergency.json diagnostics) if one epoch exceeds this many
     # seconds — wedged remote device transports otherwise hang forever.

@@ -245,6 +245,49 @@ class Engine:
     def train_step(self, state: TrainState, x, y, supports):
         return self._train_step_core(state, x, y, supports)
 
+    @functools.partial(jax.jit, static_argnums=(0, 5), donate_argnums=1)
+    def train_step_accum(self, state: TrainState, x, y, supports,
+                         n_micro: int):
+        """One optimizer step over ``n_micro`` sequential micro-batches:
+        grads (and the loss-weighted metrics) averaged across micro-batches
+        before the single clip+Adam update. Peak activation memory drops
+        ~n_micro-fold — the TPU-native answer to the reference's
+        memory-limited chunking (`/root/reference/Utils/util.py:352-356`).
+
+        x/y: (B, ...) with B divisible by n_micro. NOT bit-identical to a
+        full-batch step (the standard accumulation semantics): BatchNorm
+        normalizes each micro-batch with its OWN statistics (and the
+        running stats keep the last micro-batch's update), and the loss is
+        a mean of micro-batch masked means. Differences are O(BN batch
+        noise) — shrink with micro-batch size.
+        """
+        b = x.shape[0]
+        assert b % n_micro == 0, (
+            f"batch {b} must divide by n_micro={n_micro}")
+        mb = b // n_micro
+        xm = x.reshape(n_micro, mb, *x.shape[1:])
+        ym = y.reshape(n_micro, mb, *y.shape[1:])
+        rng = jax.random.fold_in(state.rng, state.step)
+        grad_fn = jax.value_and_grad(self._loss_real, has_aux=True)
+
+        def body(carry, xy):
+            acc, _ = carry
+            xi, yi = xy
+            (loss, (predict, real, ms)), grads = grad_fn(
+                state.params, state.model_state, xi, yi, supports, rng)
+            acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+            metrics = {"loss": loss,
+                       "mape": masked_mape(predict, real, 0.0),
+                       "rmse": masked_rmse(predict, real, 0.0)}
+            return (acc, ms), metrics
+
+        zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (gsum, new_ms), metrics = jax.lax.scan(
+            body, (zero, state.model_state), (xm, ym))
+        grads = jax.tree_util.tree_map(lambda g: g / n_micro, gsum)
+        new_state = self._update(state, grads, new_ms)
+        return new_state, jax.tree_util.tree_map(jnp.mean, metrics)
+
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_steps_resident(self, state: TrainState, xs, ys, idx,
                              supports):

@@ -220,9 +220,16 @@ class Runner:
                             state, m = engine.train_step(state, x, y, supports)
                             steps.append(m)
                     else:
+                        accum = self.cfg.grad_accum
                         for it, (x, y) in enumerate(self._feed(loader)):
-                            state, m = engine.train_step(state, jnp.asarray(x),
-                                                         jnp.asarray(y), supports)
+                            if accum > 1:
+                                state, m = engine.train_step_accum(
+                                    state, jnp.asarray(x), jnp.asarray(y),
+                                    supports, accum)
+                            else:
+                                state, m = engine.train_step(
+                                    state, jnp.asarray(x), jnp.asarray(y),
+                                    supports)
                             steps.append(m)
                             if it % self.cfg.print_every == 0:
                                 mm = _epoch_mean([m])
@@ -247,6 +254,13 @@ class Runner:
                         f"Valid Loss: {valid_m['loss']:.4f}, Training Time: "
                         f"{log.train_time:.4f}/epoch")
                     self._save_epoch(state, epoch, valid_m["loss"], result)
+                    patience = self.cfg.early_stop_patience
+                    if (patience > 0
+                            and epoch - result.best_epoch >= patience):
+                        self.log(f"early stop at epoch {epoch}: no val "
+                                 f"improvement for {patience} epochs "
+                                 f"(best epoch {result.best_epoch})")
+                        break
             except DeviceWedgedError as e:
                 self._emergency_dump(result, epoch, str(e))
                 raise

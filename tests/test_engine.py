@@ -252,3 +252,34 @@ def test_lr_decay_schedule(rng):
     # epoch boundaries at steps 2 and 4: lr drops 10x each time
     assert lrs[1] / lrs[3] == pytest.approx(10.0, rel=0.2)
     assert lrs[3] / lrs[5] == pytest.approx(10.0, rel=0.2)
+
+
+def test_train_step_accum_matches_full_batch(rng):
+    """Gradient accumulation: n_micro micro-batches average to the
+    full-batch gradient (dropout off, balanced masks) within tolerance."""
+    cfg = ModelConfig(num_nodes=10, out_dim=12, residual_channels=8,
+                      dilation_channels=8, skip_channels=16,
+                      end_channels=32, blocks=2, layers=2, dropout=0.0,
+                      n_supports=1)
+    tc = TrainConfig(learning_rate=1e-3)
+    x = rng.normal(size=(8, 12, 10, 2)).astype(np.float32)
+    y = (rng.normal(size=(8, 12, 10, 2)) + 10).astype(np.float32)
+    a = rng.random((10, 10)).astype(np.float32)
+    sup = [jnp.asarray(a / a.sum(-1, keepdims=True))]
+
+    e1 = eng.Engine(cfg, tc, StandardScaler(10.0, 2.0), seed=4)
+    s1, m1 = e1.train_step(e1.state, jnp.asarray(x), jnp.asarray(y), sup)
+    e2 = eng.Engine(cfg, tc, StandardScaler(10.0, 2.0), seed=4)
+    s2, m2 = e2.train_step_accum(e2.state, jnp.asarray(x), jnp.asarray(y),
+                                 sup, 4)
+    # per-micro-batch BatchNorm statistics make this approximate (the
+    # standard gradient-accumulation semantics) — close, not bit-equal
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=5e-3)
+    # Adam steps are +-lr per element, so a BN-noise-induced gradient
+    # sign flip shows up as a 2*lr difference: bound by 2.5*lr
+    jax.tree_util.tree_map(
+        lambda p, q: np.testing.assert_allclose(np.asarray(p),
+                                                np.asarray(q), atol=2.5e-3),
+        jax.device_get(s1.params), jax.device_get(s2.params))
+

@@ -132,3 +132,19 @@ def test_fit_with_sparse_supports(tmp_path, dataset):
     assert np.isfinite(res.best_val_loss)
     res = runner.test(data, sup, res)
     assert np.isfinite(res.test_metrics["mae"])
+
+
+def test_early_stopping(tmp_path, dataset):
+    import dataclasses
+    data, supports = dataset
+    runner, cfg, tcfg = make_runner(tmp_path, epochs=6)
+    tcfg = dataclasses.replace(tcfg, early_stop_patience=2)
+    runner = Runner(runner.engine, tcfg, log_fn=lambda *a: None)
+    # deterministic plateau: every epoch evaluates to the same val loss,
+    # so epoch 1 is the best and patience=2 stops training at epoch 3
+    runner._eval_split = lambda *a, **k: [
+        {"loss": jnp.asarray(1.0), "mape": jnp.asarray(0.1),
+         "rmse": jnp.asarray(1.0)}]
+    res = runner.fit(data, supports)
+    assert len(res.history) == 3
+    assert res.best_epoch == 1
