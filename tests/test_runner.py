@@ -148,3 +148,36 @@ def test_early_stopping(tmp_path, dataset):
     res = runner.fit(data, supports)
     assert len(res.history) == 3
     assert res.best_epoch == 1
+
+
+def test_wedge_then_resume_roundtrip(tmp_path, dataset):
+    """The full failure-recovery story: a run that wedges after epoch 1
+    leaves a usable checkpoint + diagnostics; a new runner resumes from it
+    and finishes. (The wedge is injected — the timer mechanics are covered
+    by test_epoch_watchdog_detects_wedge.)"""
+    import glob
+    import json
+    from graph_wavenet_tpu.train.runner import DeviceWedgedError
+
+    data, supports = dataset
+    runner, cfg, tcfg = make_runner(tmp_path, epochs=3)
+    orig_eval = runner._eval_split
+    calls = {"n": 0}
+
+    def eval_then_wedge(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:                 # epoch 2's validation
+            raise DeviceWedgedError("injected wedge")
+        return orig_eval(*a, **k)
+
+    runner._eval_split = eval_then_wedge
+    with pytest.raises(DeviceWedgedError):
+        runner.fit(data, supports)
+    info = json.load(open(os.path.join(str(tmp_path), "emergency.json")))
+    assert info["epochs_completed"] == 1
+    ckpts = sorted(glob.glob(os.path.join(str(tmp_path), "*.msgpack")))
+    assert ckpts, "epoch-1 checkpoint must exist"
+
+    runner2, _, _ = make_runner(tmp_path, epochs=3)
+    res = runner2.fit(data, supports, resume_from=ckpts[0])
+    assert res.history[-1].epoch == 3
