@@ -56,7 +56,10 @@ class ModelConfig:
     param_dtype: str = "float32"
     # kernels: use the fused Pallas TPU kernels (gated TCN + diffusion GCN)
     # instead of the XLA reference ops; falls back to interpret mode off-TPU.
-    # Shared-graph supports only — the diff-G batched-support path stays XLA.
+    # EXPERIMENTAL and off by default: XLA wins at the reference shapes
+    # (BENCH_NOTES.md), bf16 configs always use XLA (the kernels' layouts
+    # miss Mosaic's bf16 minimum tile), and Mosaic compile times blow up at
+    # flagship row counts. Shared-graph fp32 supports only.
     use_pallas: bool = False
     # diffusion dataflow: "fused" (per-hop chain, accumulated projection),
     # "stacked" (all hops of a support in one wide matmul over precomputed

@@ -130,11 +130,11 @@ def _hops_xla(x, a_stack, order, n_supports):
 def _fwd(x, a_stack, w, b, order, n_supports, row_block, interpret):
     out = _forward(x, a_stack, w, b, order, n_supports, row_block,
                    interpret)
-    return out, (x, a_stack, w)
+    return out, (x, a_stack, w, b)
 
 
 def _bwd(order, n_supports, row_block, interpret, res, g):
-    x, a_stack, w = res
+    x, a_stack, w, b = res
     r, n, c = x.shape
     hops = _hops_xla(x, a_stack, order, n_supports)   # recompute
     db = g.sum(axis=(0, 1))
@@ -161,7 +161,10 @@ def _bwd(order, n_supports, row_block, interpret, res, g):
             carry = jnp.einsum("rwc,vw->rvc", carry, a)
         dx = dx + carry
         da.append(da_s)
-    return dx, jnp.stack(da), dw, db
+    # cotangents must carry the primal dtypes (bf16 activations with fp32
+    # params otherwise promote and poison downstream adds/scatters)
+    return (dx.astype(x.dtype), jnp.stack(da).astype(a_stack.dtype),
+            dw.astype(w.dtype), db.astype(b.dtype))
 
 
 fused_gcn.defvjp(_fwd, _bwd)

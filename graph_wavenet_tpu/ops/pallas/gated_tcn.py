@@ -125,13 +125,14 @@ def _bwd(dilation, interpret, res, g):
     g_sg = g * th
     g_pre = jnp.concatenate(
         [g_th * (1.0 - th * th), g_sg * sg * (1.0 - sg)], axis=-1)
-    db = g_pre.sum(axis=(0, 1, 2))
+    db = g_pre.sum(axis=(0, 1, 2)).astype(b.dtype)
     dw = jnp.stack(
-        [jnp.einsum("btnc,btnf->cf", taps[i], g_pre) for i in range(k)])
+        [jnp.einsum("btnc,btnf->cf", taps[i], g_pre) for i in range(k)]
+    ).astype(w.dtype)
     dx = jnp.zeros_like(x)
     for i in range(k):
         dx = dx.at[:, i * dilation:i * dilation + t_out].add(
-            jnp.einsum("btnf,cf->btnc", g_pre, w[i]))
+            jnp.einsum("btnf,cf->btnc", g_pre, w[i]).astype(x.dtype))
     return dx, dw, db
 
 
