@@ -181,3 +181,29 @@ def test_wedge_then_resume_roundtrip(tmp_path, dataset):
     runner2, _, _ = make_runner(tmp_path, epochs=3)
     res = runner2.fit(data, supports, resume_from=ckpts[0])
     assert res.history[-1].epoch == 3
+
+
+def test_fit_is_deterministic(tmp_path, rng):
+    """Same seed + same data -> bit-identical loss history (reproducibility
+    the reference approximates with global seeds, train.py:46-49)."""
+    n = 96
+    x = rng.normal(size=(n, 12, N, 2)).astype(np.float32)
+    y = (np.roll(x, -1, axis=1) * 2.0 + 5.0).astype(np.float32)
+    a = rng.random((2, N, N)).astype(np.float32)
+    supports = [s / s.sum(-1, keepdims=True) for s in a]
+
+    def run(subdir):
+        data = {
+            "x_test": x[80:], "y_test": y[80:],
+            "train_loader": DataLoader(x[:64], y[:64], 16,
+                                       rng=np.random.default_rng(7)),
+            "val_loader": DataLoader(x[64:80], y[64:80], 16,
+                                     rng=np.random.default_rng(8)),
+            "test_loader": DataLoader(x[80:], y[80:], 16,
+                                      rng=np.random.default_rng(9)),
+        }
+        runner, cfg, tcfg = make_runner(tmp_path / subdir, epochs=2)
+        res = runner.fit(data, supports)
+        return [h.train["loss"] for h in res.history]
+
+    assert run("a") == run("b")
