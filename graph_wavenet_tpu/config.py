@@ -196,6 +196,19 @@ class TrainConfig:
     scan_steps: int = 1
 
 
+    def __post_init__(self):
+        if self.grad_accum < 1:
+            raise ValueError(f"grad_accum must be >= 1, got "
+                             f"{self.grad_accum}")
+        if self.grad_accum > 1 and self.batch_size % self.grad_accum:
+            raise ValueError(
+                f"batch_size {self.batch_size} must divide by "
+                f"grad_accum {self.grad_accum}")
+        if self.scan_steps < 1:
+            raise ValueError(f"scan_steps must be >= 1, got "
+                             f"{self.scan_steps}")
+
+
 @dataclass(frozen=True)
 class DataConfig:
     """Dataset selection and synthesis configuration.

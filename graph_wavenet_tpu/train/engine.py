@@ -228,18 +228,21 @@ class Engine:
     # real-dataset steps (`engine.py:41-58,119-130`)
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _train_metrics(loss, predict, real) -> dict:
+        return {
+            "loss": loss,
+            "mape": masked_mape(predict, real, 0.0),
+            "rmse": masked_rmse(predict, real, 0.0),
+        }
+
     def _train_step_core(self, state: TrainState, x, y, supports):
         rng = jax.random.fold_in(state.rng, state.step)
         (loss, (predict, real, new_ms)), grads = jax.value_and_grad(
             self._loss_real, has_aux=True)(
                 state.params, state.model_state, x, y, supports, rng)
         new_state = self._update(state, grads, new_ms)
-        metrics = {
-            "loss": loss,
-            "mape": masked_mape(predict, real, 0.0),
-            "rmse": masked_rmse(predict, real, 0.0),
-        }
-        return new_state, metrics
+        return new_state, self._train_metrics(loss, predict, real)
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, state: TrainState, x, y, supports):
@@ -270,20 +273,21 @@ class Engine:
         rng = jax.random.fold_in(state.rng, state.step)
         grad_fn = jax.value_and_grad(self._loss_real, has_aux=True)
 
-        def body(carry, xy):
+        def body(carry, xyi):
             acc, _ = carry
-            xi, yi = xy
+            xi, yi, i = xyi
+            # fresh dropout stream per micro-batch (identical masks across
+            # micro-batches would correlate the regularization noise)
+            rng_i = jax.random.fold_in(rng, i)
             (loss, (predict, real, ms)), grads = grad_fn(
-                state.params, state.model_state, xi, yi, supports, rng)
+                state.params, state.model_state, xi, yi, supports, rng_i)
             acc = jax.tree_util.tree_map(jnp.add, acc, grads)
-            metrics = {"loss": loss,
-                       "mape": masked_mape(predict, real, 0.0),
-                       "rmse": masked_rmse(predict, real, 0.0)}
-            return (acc, ms), metrics
+            return (acc, ms), self._train_metrics(loss, predict, real)
 
         zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
         (gsum, new_ms), metrics = jax.lax.scan(
-            body, (zero, state.model_state), (xm, ym))
+            body, (zero, state.model_state),
+            (xm, ym, jnp.arange(n_micro, dtype=jnp.int32)))
         grads = jax.tree_util.tree_map(lambda g: g / n_micro, gsum)
         new_state = self._update(state, grads, new_ms)
         return new_state, jax.tree_util.tree_map(jnp.mean, metrics)

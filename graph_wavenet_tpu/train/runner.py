@@ -178,6 +178,12 @@ class Runner:
         """
         result = RunResult()
         engine = self.engine
+        if (self.cfg.grad_accum > 1 and self.cfg.scan_steps > 1
+                and hasattr(data["train_loader"], "superbatches")):
+            raise ValueError(
+                "grad_accum > 1 is not supported together with the fused "
+                "multi-step path (scan_steps > 1 on a device-resident "
+                "loader) — set scan_steps=1 to accumulate")
         start_epoch = 1
         if resume_from:
             engine.state = ckpt.load_checkpoint(resume_from, engine.state)
@@ -255,7 +261,7 @@ class Runner:
                         f"{log.train_time:.4f}/epoch")
                     self._save_epoch(state, epoch, valid_m["loss"], result)
                     patience = self.cfg.early_stop_patience
-                    if (patience > 0
+                    if (patience > 0 and result.best_epoch > 0
                             and epoch - result.best_epoch >= patience):
                         self.log(f"early stop at epoch {epoch}: no val "
                                  f"improvement for {patience} epochs "
@@ -321,6 +327,10 @@ class Runner:
         """Epoch loop for the shared-graph synthetic task: the reference
         drives `train_syn`/`eval_syn` with the single graph's cluster map
         (`/root/reference/train.py:248-249,272-273`)."""
+        if self.cfg.grad_accum > 1:
+            raise NotImplementedError(
+                "grad_accum is implemented for the real-dataset fit() path "
+                "only; set grad_accum=1 for synthetic/CRASH training")
         result = RunResult()
         engine = self.engine
         state = engine.state
@@ -354,6 +364,13 @@ class Runner:
                 f"Valid Loss: {valid_m['loss']:.4f}, Training Time: "
                 f"{log.train_time:.4f}/epoch")
             self._save_epoch(state, epoch, valid_m["loss"], result)
+            patience = self.cfg.early_stop_patience
+            if (patience > 0 and result.best_epoch > 0
+                    and epoch - result.best_epoch >= patience):
+                self.log(f"early stop at epoch {epoch}: no val improvement "
+                         f"for {patience} epochs "
+                         f"(best epoch {result.best_epoch})")
+                break
         engine.state = state
         self._finalize_best(result)
         return result
@@ -389,6 +406,10 @@ class Runner:
                 n_communities: int) -> RunResult:
         """Epoch loop for the diff-G synthetic task (`train.py:145-208`):
         per-batch gather of each sample's supports and cluster projector."""
+        if self.cfg.grad_accum > 1:
+            raise NotImplementedError(
+                "grad_accum is implemented for the real-dataset fit() path "
+                "only; set grad_accum=1 for synthetic/CRASH training")
         result = RunResult()
         engine = self.engine
         state = engine.state
@@ -445,6 +466,13 @@ class Runner:
                 f"Valid Loss: {valid_m['loss']:.4f}, Training Time: "
                 f"{log.train_time:.4f}/epoch")
             self._save_epoch(state, epoch, valid_m["loss"], result)
+            patience = self.cfg.early_stop_patience
+            if (patience > 0 and result.best_epoch > 0
+                    and epoch - result.best_epoch >= patience):
+                self.log(f"early stop at epoch {epoch}: no val improvement "
+                         f"for {patience} epochs "
+                         f"(best epoch {result.best_epoch})")
+                break
 
         engine.state = state
         self._finalize_best(result)
@@ -487,6 +515,14 @@ class Runner:
                         reason: str) -> None:
         """Diagnostics for a wedged run: epoch history + the last usable
         checkpoint, written WITHOUT touching the (stuck) device."""
+        if self._ckpt_writer is not None:
+            try:
+                # drain in-flight writes so the checkpoint the diagnostics
+                # point to is complete (states were already fetched to host
+                # at enqueue time — this never touches the wedged device)
+                self._ckpt_writer.wait()
+            except Exception:
+                pass
         os.makedirs(self.cfg.save_dir, exist_ok=True)
         path = os.path.join(self.cfg.save_dir, "emergency.json")
         info = {

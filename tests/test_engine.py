@@ -283,3 +283,11 @@ def test_train_step_accum_matches_full_batch(rng):
                                                 np.asarray(q), atol=2.5e-3),
         jax.device_get(s1.params), jax.device_get(s2.params))
 
+
+
+def test_train_config_validation():
+    with pytest.raises(ValueError):
+        TrainConfig(grad_accum=0)
+    with pytest.raises(ValueError):
+        TrainConfig(batch_size=32, grad_accum=5)
+    TrainConfig(batch_size=32, grad_accum=4)  # ok
