@@ -52,3 +52,42 @@ def batch_norm_apply(params: dict, state: dict, x: jnp.ndarray,
     inv = jax.lax.rsqrt(var + eps)
     y = (x - mean) * inv * params["scale"] + params["bias"]
     return y.astype(in_dtype), new_state
+
+
+def masked_batch_norm_apply(params: dict, state: dict, x: jnp.ndarray,
+                            t_valid: jnp.ndarray, train: bool,
+                            momentum: float = 0.1,
+                            eps: float = 1e-5) -> tuple[jnp.ndarray, dict]:
+    """:func:`batch_norm_apply` with statistics restricted to the LAST
+    ``t_valid`` timesteps of the time axis.
+
+    Used by the pipeline-parallel stack (``parallel/pipeline.py``), where
+    every stage re-pads its activations to a uniform width so all stages run
+    one SPMD program: the causal prefix holds garbage that the valid tail
+    never reads — except through BN's batch statistics, which this variant
+    masks out. ``t_valid`` may be a traced scalar (it depends on the stage
+    index); shapes stay static. Matches ``batch_norm_apply`` on the valid
+    region up to fp32 summation-order rounding.
+    """
+    in_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    t = x.shape[1]
+    mask = (jnp.arange(t) >= t - t_valid).astype(jnp.float32)
+    mask = mask[None, :, None, None]
+    reduce_axes = tuple(range(x.ndim - 1))
+    if train:
+        n = (x.size // (x.shape[-1] * t)) * t_valid
+        n = n.astype(jnp.float32) if hasattr(n, "astype") else float(n)
+        mean = jnp.sum(x * mask, axis=reduce_axes) / n
+        var = jnp.sum(jnp.square(x - mean) * mask, axis=reduce_axes) / n
+        unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    inv = jax.lax.rsqrt(var + eps)
+    y = (x - mean) * inv * params["scale"] + params["bias"]
+    return y.astype(in_dtype), new_state
