@@ -34,5 +34,7 @@ from graph_wavenet_tpu.config import (  # noqa: F401
 
 from graph_wavenet_tpu.ops.block_sparse import (  # noqa: F401
     BlockSparseSupport,
+    PallasBlockSparseSupport,
+    as_pallas,
 )
 from graph_wavenet_tpu.ops.sparse import SparseSupport  # noqa: F401

@@ -251,10 +251,12 @@ def bench_sparse_train_step(n_nodes: int = 40960, batch: int = 4,
 
     cfg = _replace(FLAGSHIP, num_nodes=n_nodes, out_dim=seq,
                    dtype="bfloat16", addaptadj=False)
-    if form == "block":
+    if form in ("block", "block-pallas"):
         sup = [block_sparse.random_block_support(
             n_nodes // 128, blocks_per_row, 128, np.random.default_rng(s))
             for s in (1, 2)]
+        if form == "block-pallas":
+            sup = [block_sparse.as_pallas(s) for s in sup]
     else:
         sup = [sparse.random_sparse_support(n_nodes, degree,
                                             np.random.default_rng(s))

@@ -252,5 +252,93 @@ def nconv_block_sparse(x: jnp.ndarray,
     x (B, T, N, C) -> (B, T, N, C)."""
     b, t, n, c = x.shape
     x2 = jnp.transpose(x, (2, 0, 1, 3)).reshape(n, b * t * c)
-    out = _block_mix(x2, sp.blocks, sp.block_idx, sp.idx_t, sp.perm_t)
+    out = sp.mix_2d(x2)
     return jnp.transpose(out.reshape(n, b, t, c), (1, 2, 0, 3))
+
+
+# ---------------------------------------------------------------------------
+# Pallas-backed variant: the hop never materializes the gathered blocks
+# ---------------------------------------------------------------------------
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@jax.custom_vjp
+def _block_mix_pallas(x2, blocks, block_idx, idx_t, perm_t):
+    """Same contract as ``_block_mix``, but each hop is a Pallas gathered
+    block matmul (``ops.pallas.block_diffusion``): the block table rides as
+    a scalar-prefetch argument and the source tiles are DMA'd straight from
+    HBM by the BlockSpec index maps — the XLA path's (NB, MB, BS, R)
+    gather (545 MB/hop at 41k nodes) never exists."""
+    from graph_wavenet_tpu.ops.pallas.block_diffusion import (
+        gathered_block_mix,
+    )
+
+    n, r = x2.shape
+    nb, mb, bs, _ = blocks.shape
+    assert _interpret() or bs % 128 == 0, (
+        f"Pallas block-sparse kernels need block_size % 128 == 0 on TPU "
+        f"(got {bs}); use the XLA BlockSparseSupport for smaller blocks")
+    xb_pad = jnp.concatenate(
+        [x2.reshape(nb, bs, r), jnp.zeros((1, bs, r), x2.dtype)])
+    bflat = blocks.reshape(nb * mb, bs, bs).astype(x2.dtype)
+    slot = jnp.arange(nb * mb, dtype=jnp.int32).reshape(nb, mb)
+    out = gathered_block_mix(bflat, slot, xb_pad, block_idx,
+                             transpose_lhs=True, interpret=_interpret())
+    return out.reshape(n, r)
+
+
+def _block_mix_pallas_fwd(x2, blocks, block_idx, idx_t, perm_t):
+    return (_block_mix_pallas(x2, blocks, block_idx, idx_t, perm_t),
+            (x2, blocks, block_idx, idx_t, perm_t))
+
+
+def _block_mix_pallas_bwd(res, gout):
+    from graph_wavenet_tpu.ops.pallas.block_diffusion import (
+        gathered_block_mix,
+        gathered_block_outer,
+    )
+
+    x2, blocks, block_idx, idx_t, perm_t = res
+    n, r = x2.shape
+    nb, mb, bs, _ = blocks.shape
+    interp = _interpret()
+    gout = gout.astype(x2.dtype)
+    gb = gout.reshape(nb, bs, r)
+    gb_pad = jnp.concatenate([gb, jnp.zeros((1, bs, r), x2.dtype)])
+    bflat = blocks.reshape(nb * mb, bs, bs).astype(x2.dtype)
+    bflat_z = jnp.concatenate([bflat, jnp.zeros((1, bs, bs), x2.dtype)])
+    # dx: transpose table, contract the block's dest axis with gout
+    dxb = gathered_block_mix(bflat_z, perm_t, gb_pad, idx_t,
+                             transpose_lhs=False, interpret=interp)
+    dx2 = dxb.reshape(n, r).astype(x2.dtype)
+    xb_pad = jnp.concatenate(
+        [x2.reshape(nb, bs, r), jnp.zeros((1, bs, r), x2.dtype)])
+    dblocks = gathered_block_outer(xb_pad, gb, block_idx,
+                                   out_dtype=blocks.dtype, interpret=interp)
+    zero = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return dx2, dblocks, zero(block_idx), zero(idx_t), zero(perm_t)
+
+
+_block_mix_pallas.defvjp(_block_mix_pallas_fwd, _block_mix_pallas_bwd)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class PallasBlockSparseSupport(BlockSparseSupport):
+    """A :class:`BlockSparseSupport` whose hops run the Pallas gathered
+    block-matmul kernels. Same semantics (custom VJP, scatter-free both
+    directions); build with :func:`as_pallas`. Falls back to interpret mode
+    off-TPU."""
+
+    def mix_2d(self, x2: jnp.ndarray) -> jnp.ndarray:
+        return _block_mix_pallas(x2, self.blocks, self.block_idx,
+                                 self.idx_t, self.perm_t)
+
+
+def as_pallas(sp: BlockSparseSupport) -> PallasBlockSparseSupport:
+    """Rewrap a block-sparse support to run on the Pallas kernels."""
+    return PallasBlockSparseSupport(sp.blocks, sp.block_idx, sp.idx_t,
+                                    sp.perm_t)

@@ -1,0 +1,185 @@
+"""Pallas block-sparse diffusion kernels: gathered block matmuls.
+
+The XLA block-sparse hop (`ops.block_sparse._block_mix`) materializes the
+gathered source blocks ``take(x_blocks, block_idx) -> (NB, MB, BS, R)``
+before the contraction — at 41k nodes that is ~545 MB of HBM write + read
+per hop that exists only to feed the einsum. These kernels delete it with
+the canonical TPU sparse pattern: the block table is a **scalar-prefetch**
+argument, and each grid step's ``BlockSpec`` index_map uses it to DMA the
+right (BS, RT) source tile straight from HBM into VMEM — the gather never
+exists as a tensor.
+
+Per grid step: one (BS, BS) @ (BS, RT) MXU matmul accumulated in fp32
+VMEM scratch over the MB nonzero blocks of a block-row; the out tile is
+written once. HBM traffic per hop drops from ~3x the gathered volume to
+1x read of the needed tiles + 1x write of the output.
+
+Three uses, one kernel skeleton:
+- forward mix:      out[i] = sum_m blocks[i,m]^T-contract x[block_idx[i,m]]
+- backward dx:      dx[v]  = sum_t bflat[perm_t[v,t]] @ g[idx_t[v,t]]
+  (the transpose table, same kernel with the other contraction side)
+- backward dblocks: dW[i,m] = x[block_idx[i,m]] @ g[i]^T (contract R).
+
+All shapes are native MXU tiles (BS = 128); works for fp32 and bf16
+activations (blocks cast to the activation dtype, fp32 accumulation).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_rt(r_pad: int) -> int:
+    """Columns per grid step. Small grids win: per-step DMA/launch overhead
+    dominates tiny tiles (measured: RT=128 runs 9 TFLOPS, whole-row 416 KB
+    tiles ~3x faster), so take the whole padded row when it fits a VMEM
+    budget of ~1 MB/tile and fall back to the largest aligned divisor."""
+    cap = 4096                      # bf16: 1 MB per (128, RT) tile
+    if r_pad <= cap:
+        return r_pad
+    for rt in (4096, 2048, 1024, 512, 256, 128):
+        if r_pad % rt == 0:
+            return rt
+    raise AssertionError(f"r_pad={r_pad} not a multiple of 128")
+
+
+def _mix_kernel(slot_ref, src_ref, blocks_ref, x_ref, o_ref, acc_ref, *,
+                mb: int, transpose_lhs: bool):
+    del slot_ref, src_ref  # consumed by the index maps
+    m = pl.program_id(2)
+
+    @pl.when(m == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    dims = ((((0,), (0,)) if transpose_lhs else ((1,), (0,))), ((), ()))
+    acc_ref[...] += jax.lax.dot_general(
+        blocks_ref[0], x_ref[0], dimension_numbers=dims,
+        preferred_element_type=jnp.float32)
+
+    @pl.when(m == mb - 1)
+    def _():
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("transpose_lhs", "interpret"))
+def gathered_block_mix(blocks_flat: jnp.ndarray, slot_tbl: jnp.ndarray,
+                       x_pad: jnp.ndarray, src_tbl: jnp.ndarray,
+                       *, transpose_lhs: bool,
+                       interpret: bool = False) -> jnp.ndarray:
+    """out (NB, BS, R): for each block-row i, accumulate over its MB slots
+    ``blocks_flat[slot_tbl[i*MB+m]] (contract) x_pad[src_tbl[i*MB+m]]``.
+
+    blocks_flat: (L, BS, BS) — include a zero block at a sentinel slot if
+    the table pads. x_pad: (NBx, BS, R) — include the zero block-row
+    sentinel. transpose_lhs: contract the block's FIRST axis with x's node
+    axis (the ``nconv`` orientation); False contracts the second.
+    """
+    assert slot_tbl.ndim == 2 and src_tbl.shape == slot_tbl.shape, (
+        "pass slot/src tables as (NB, MB)")
+    nb, mb = src_tbl.shape
+    bs = blocks_flat.shape[1]
+    r = x_pad.shape[-1]
+    slot_flat = slot_tbl.reshape(-1).astype(jnp.int32)
+    src_flat = src_tbl.reshape(-1).astype(jnp.int32)
+
+    pad_r = (-r) % 128
+    if pad_r:
+        x_pad = jnp.pad(x_pad, ((0, 0), (0, 0), (0, pad_r)))
+    rp = r + pad_r
+    rt = _pick_rt(rp)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb, rp // rt, mb),
+        in_specs=[
+            pl.BlockSpec((1, bs, bs),
+                         lambda i, j, m, slot, src: (slot[i * mb + m], 0, 0)),
+            pl.BlockSpec((1, bs, rt),
+                         lambda i, j, m, slot, src: (src[i * mb + m], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, bs, rt),
+                               lambda i, j, m, slot, src: (i, 0, j)),
+        scratch_shapes=[pltpu.VMEM((bs, rt), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_mix_kernel, mb=mb, transpose_lhs=transpose_lhs),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, bs, rp), x_pad.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * mb * bs * bs * rp,
+            bytes_accessed=(nb * mb * (bs * bs + bs * rt)
+                            + nb * bs * rp) * x_pad.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(slot_flat, src_flat, blocks_flat, x_pad)
+    return out[..., :r] if pad_r else out
+
+
+def _dblocks_kernel(src_ref, x_ref, g_ref, o_ref, acc_ref, *, nj: int):
+    del src_ref
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # dW[k, jnode] = sum_r x[k, r] * g[jnode, r]
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[0], g_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _():
+        o_ref[0, 0] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def gathered_block_outer(x_pad: jnp.ndarray, g_blocks: jnp.ndarray,
+                         src_tbl: jnp.ndarray, *, out_dtype,
+                         interpret: bool = False) -> jnp.ndarray:
+    """dblocks (NB, MB, BS, BS): per (i, m), contract the R axis of
+    ``x_pad[src_tbl[i, m]]`` (BS, R) with ``g_blocks[i]`` (BS, R)."""
+    nb, mb = src_tbl.shape
+    bs = x_pad.shape[1]
+    r = x_pad.shape[-1]
+    src_flat = src_tbl.reshape(-1).astype(jnp.int32)
+    pad_r = (-r) % 128
+    if pad_r:
+        x_pad = jnp.pad(x_pad, ((0, 0), (0, 0), (0, pad_r)))
+        g_blocks = jnp.pad(g_blocks, ((0, 0), (0, 0), (0, pad_r)))
+    rp = r + pad_r
+    rt = _pick_rt(rp)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb, mb, rp // rt),
+        in_specs=[
+            pl.BlockSpec((1, bs, rt),
+                         lambda i, m, j, src: (src[i * mb + m], 0, j)),
+            pl.BlockSpec((1, bs, rt), lambda i, m, j, src: (i, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bs, bs),
+                               lambda i, m, j, src: (i, m, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((bs, bs), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_dblocks_kernel, nj=rp // rt),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, mb, bs, bs), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * mb * bs * bs * rp,
+            bytes_accessed=(2 * nb * mb * bs * rt + nb * mb * bs * bs
+                            ) * x_pad.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(src_flat, x_pad, g_blocks)

@@ -1,0 +1,88 @@
+"""Pallas block-sparse diffusion kernels (ops/pallas/block_diffusion.py).
+
+CPU runs the kernels in interpret mode; the parity target is the XLA
+block-sparse path (itself pinned against dense supports in test_ops.py).
+Hardware numbers: 1.30x full train step at 41k nodes, 1.17x at 5k
+(BENCH_NOTES.md).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graph_wavenet_tpu.ops import block_sparse as B
+
+
+@pytest.fixture
+def support(rng):
+    return B.random_block_support(4, 2, block_size=128, rng=rng)
+
+
+def test_pallas_forward_matches_xla(rng, support):
+    x2 = jnp.asarray(
+        rng.normal(size=(support.n_nodes, 96)).astype(np.float32))
+    ref = support.mix_2d(x2)
+    out = B.as_pallas(support).mix_2d(x2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_forward_bf16(rng, support):
+    x2 = jnp.asarray(
+        rng.normal(size=(support.n_nodes, 160)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    ref = support.mix_2d(x2).astype(jnp.float32)
+    out = B.as_pallas(support).mix_2d(x2).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=1e-2)
+    assert B.as_pallas(support).mix_2d(x2).dtype == jnp.bfloat16
+
+
+def test_pallas_gradients_match_xla(rng, support):
+    x2 = jnp.asarray(
+        rng.normal(size=(support.n_nodes, 96)).astype(np.float32))
+
+    def loss(cls, x2, blocks):
+        s = cls(blocks, support.block_idx, support.idx_t, support.perm_t)
+        return jnp.sum(jnp.sin(s.mix_2d(x2)))
+
+    gr = jax.grad(lambda *a: loss(B.BlockSparseSupport, *a),
+                  argnums=(0, 1))(x2, support.blocks)
+    gp = jax.grad(lambda *a: loss(B.PallasBlockSparseSupport, *a),
+                  argnums=(0, 1))(x2, support.blocks)
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gr[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gr[1]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_model_level_matches_xla(rng, support):
+    """Full gwnet forward with Pallas block supports == XLA block supports
+    (duck-typed through the all-sparse gcn fast path)."""
+    from graph_wavenet_tpu.config import ModelConfig
+    from graph_wavenet_tpu.models.gwnet import apply_gwnet, init_gwnet
+
+    n = support.n_nodes
+    cfg = ModelConfig(num_nodes=n, in_dim=1, out_dim=4,
+                      residual_channels=4, dilation_channels=4,
+                      skip_channels=8, end_channels=8, blocks=1, layers=2,
+                      gcn_bool=True, addaptadj=False, n_supports=1,
+                      dropout=0.0)
+    params, state = init_gwnet(jax.random.key(0), cfg)
+    x = jnp.asarray(rng.normal(size=(2, 13, n, 1)).astype(np.float32))
+    ref, _ = apply_gwnet(cfg, params, state, x, [support], train=False)
+    out, _ = apply_gwnet(cfg, params, state, x, [B.as_pallas(support)],
+                         train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_as_pallas_preserves_structure(support):
+    p = B.as_pallas(support)
+    assert isinstance(p, B.BlockSparseSupport)
+    np.testing.assert_array_equal(p.block_idx, support.block_idx)
+    # pytree roundtrip (checkpoint/device_put paths flatten supports)
+    leaves, treedef = jax.tree_util.tree_flatten(p)
+    p2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert isinstance(p2, B.PallasBlockSparseSupport)
