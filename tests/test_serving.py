@@ -85,3 +85,25 @@ def test_forecaster_from_checkpoint(tmp_path, rng):
                          x, f.supports)
     want = np.transpose(np.asarray(out)[:, -1], (0, 2, 1)) * 2.0 + 3.0
     np.testing.assert_allclose(np.asarray(p2), want, atol=1e-5)
+
+
+def test_export_roundtrip(tmp_path, rng):
+    """AOT deployment artifact: serialized predictor reproduces
+    Forecaster.predict exactly, without the model objects."""
+    f = make_forecaster(rng)
+    x = jnp.asarray(rng.normal(size=(4, 12, N, 2)).astype(np.float32))
+    want = np.asarray(f.predict(x))
+    path = serving.export_forecaster(f, str(tmp_path / "model.jaxexp"),
+                                     batch_size=4, seq_len=12)
+    loaded = serving.load_exported_forecaster(path)
+    assert loaded.in_shape == (4, 12, N, 2)
+    got = np.asarray(loaded.predict(x))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_export_default_seq_len(tmp_path, rng):
+    f = make_forecaster(rng)
+    path = serving.export_forecaster(f, str(tmp_path / "m.jaxexp"),
+                                     batch_size=1)
+    loaded = serving.load_exported_forecaster(path)
+    assert loaded.in_shape[0] == 1
