@@ -28,20 +28,40 @@ def batch_norm_init(c: int, dtype=jnp.float32) -> tuple[dict, dict]:
 
 def batch_norm_apply(params: dict, state: dict, x: jnp.ndarray,
                      train: bool, momentum: float = 0.1,
-                     eps: float = 1e-5) -> tuple[jnp.ndarray, dict]:
+                     eps: float = 1e-5,
+                     t_valid: jnp.ndarray | None = None
+                     ) -> tuple[jnp.ndarray, dict]:
     """x: (B, T, N, C); stats per channel over (B, T, N).
 
     Statistics and normalization run in fp32 regardless of the activation
     dtype (standard mixed-precision practice); output returns to the input
-    dtype."""
+    dtype.
+
+    ``t_valid`` (optional, may be a traced scalar): restrict the statistics
+    to the LAST ``t_valid`` timesteps. Used by the pipeline-parallel stack
+    (``parallel/pipeline.py``), where every stage re-pads its activations to
+    a uniform width so all stages run one SPMD program: the causal prefix
+    holds garbage the valid tail never reads — except through BN's batch
+    statistics, which the mask excludes. Matches the unmasked path on the
+    valid region up to fp32 summation-order rounding; ``None`` (the hot
+    path) takes the plain ``jnp.mean`` branch with no mask multiply.
+    """
     in_dtype = x.dtype
     x = x.astype(jnp.float32)
     reduce_axes = tuple(range(x.ndim - 1))
     if train:
-        mean = jnp.mean(x, axis=reduce_axes)
-        var = jnp.mean((x - mean) ** 2, axis=reduce_axes)  # biased
-        n = x.size // x.shape[-1]
-        unbiased = var * (n / max(n - 1, 1))
+        if t_valid is None:
+            mean = jnp.mean(x, axis=reduce_axes)
+            var = jnp.mean((x - mean) ** 2, axis=reduce_axes)  # biased
+            n = float(x.size // x.shape[-1])
+        else:
+            t = x.shape[1]
+            mask = (jnp.arange(t) >= t - t_valid).astype(jnp.float32)
+            mask = mask[None, :, None, None]
+            n = ((x.size // (x.shape[-1] * t)) * t_valid).astype(jnp.float32)
+            mean = jnp.sum(x * mask, axis=reduce_axes) / n
+            var = jnp.sum(jnp.square(x - mean) * mask, axis=reduce_axes) / n
+        unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
         new_state = {
             "mean": (1 - momentum) * state["mean"] + momentum * mean,
             "var": (1 - momentum) * state["var"] + momentum * unbiased,
@@ -58,36 +78,7 @@ def masked_batch_norm_apply(params: dict, state: dict, x: jnp.ndarray,
                             t_valid: jnp.ndarray, train: bool,
                             momentum: float = 0.1,
                             eps: float = 1e-5) -> tuple[jnp.ndarray, dict]:
-    """:func:`batch_norm_apply` with statistics restricted to the LAST
-    ``t_valid`` timesteps of the time axis.
-
-    Used by the pipeline-parallel stack (``parallel/pipeline.py``), where
-    every stage re-pads its activations to a uniform width so all stages run
-    one SPMD program: the causal prefix holds garbage that the valid tail
-    never reads — except through BN's batch statistics, which this variant
-    masks out. ``t_valid`` may be a traced scalar (it depends on the stage
-    index); shapes stay static. Matches ``batch_norm_apply`` on the valid
-    region up to fp32 summation-order rounding.
-    """
-    in_dtype = x.dtype
-    x = x.astype(jnp.float32)
-    t = x.shape[1]
-    mask = (jnp.arange(t) >= t - t_valid).astype(jnp.float32)
-    mask = mask[None, :, None, None]
-    reduce_axes = tuple(range(x.ndim - 1))
-    if train:
-        n = (x.size // (x.shape[-1] * t)) * t_valid
-        n = n.astype(jnp.float32) if hasattr(n, "astype") else float(n)
-        mean = jnp.sum(x * mask, axis=reduce_axes) / n
-        var = jnp.sum(jnp.square(x - mean) * mask, axis=reduce_axes) / n
-        unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
-        new_state = {
-            "mean": (1 - momentum) * state["mean"] + momentum * mean,
-            "var": (1 - momentum) * state["var"] + momentum * unbiased,
-        }
-    else:
-        mean, var = state["mean"], state["var"]
-        new_state = state
-    inv = jax.lax.rsqrt(var + eps)
-    y = (x - mean) * inv * params["scale"] + params["bias"]
-    return y.astype(in_dtype), new_state
+    """:func:`batch_norm_apply` with statistics restricted to the last
+    ``t_valid`` timesteps (thin alias; see the ``t_valid`` parameter)."""
+    return batch_norm_apply(params, state, x, train, momentum, eps,
+                            t_valid=t_valid)

@@ -42,9 +42,12 @@ def _pick_rt(r_pad: int) -> int:
     cap = 4096                      # bf16: 1 MB per (128, RT) tile
     if r_pad <= cap:
         return r_pad
-    for rt in (4096, 2048, 1024, 512, 256, 128):
-        if r_pad % rt == 0:
-            return rt
+    # largest 128-multiple divisor <= cap (NOT just powers of two: e.g.
+    # r_pad = 128*33 has divisor 128*11 — falling to RT=128 is the
+    # measured 3x launch-bound cliff)
+    for k in range(cap // 128, 0, -1):
+        if r_pad % (k * 128) == 0:
+            return k * 128
     raise AssertionError(f"r_pad={r_pad} not a multiple of 128")
 
 

@@ -125,6 +125,10 @@ def pipeline_apply(cfg: ModelConfig, params: Params, state: State,
     assert cfg.blocks % n_stages == 0, (
         f"blocks={cfg.blocks} must divide by n_stages={n_stages} (stages "
         "are whole blocks)")
+    assert not cfg.use_pallas, (
+        "pipeline_apply runs the XLA layer path only — the fused Pallas "
+        "kernels are not wired into the pipelined stage (and lose to XLA "
+        "at these shapes anyway, BENCH_NOTES.md); set use_pallas=False")
     b = x.shape[0]
     assert b % n_micro == 0, (
         f"batch {b} must divide by n_micro={n_micro}")
@@ -207,17 +211,15 @@ def pipeline_apply(cfg: ModelConfig, params: Params, state: State,
             lambda a: a[0, j], stage_bn)
         fwd_perm = [(i, i + 1) for i in range(n_stages - 1)]
 
-        def tick(carry, inp):
-            t, act, skip, bn_carry = carry
-            act = jnp.where(s_idx == 0, inp, act)
-            mb = jnp.clip(t - s_idx, 0, n_micro - 1)
+        def stage_fwd(act, skip, mb, t_valid_in):
+            """The stage's layer chain for one tick; factored out so
+            ``cfg.remat`` can rematerialize it in the backward pipeline
+            (activations recomputed per tick instead of kept live across
+            the whole scan — the same memory trade as apply_gwnet's
+            per-layer ``jax.checkpoint``)."""
             h = act
             new_bn = []
-            # valid tail width entering this stage: the re-pad trick keeps
-            # shapes uniform but leaves garbage in the causal prefix, so BN
-            # statistics must be restricted to the last t_valid steps (the
-            # unsharded stack's BN reduces over exactly that region)
-            t_valid = t0 - s_idx * delta
+            t_valid = t_valid_in
             for j in range(lps):
                 lp = layer_j(j)
                 hg = gated_tcn_apply(lp["filter"], lp["gate"], h,
@@ -245,6 +247,20 @@ def pipeline_apply(cfg: ModelConfig, params: Params, state: State,
             # re-pad to the stage-input width: the zeros live in the causal
             # prefix that later stages' valid tails never read
             h = jnp.pad(h, ((0, 0), (t0 - h.shape[1], 0), (0, 0), (0, 0)))
+            return h, skip, new_bn
+
+        if cfg.remat:
+            stage_fwd = jax.checkpoint(stage_fwd)
+
+        def tick(carry, inp):
+            t, act, skip, bn_carry = carry
+            act = jnp.where(s_idx == 0, inp, act)
+            mb = jnp.clip(t - s_idx, 0, n_micro - 1)
+            # valid tail width entering this stage: the re-pad trick keeps
+            # shapes uniform but leaves garbage in the causal prefix, so BN
+            # statistics must be restricted to the valid steps (the
+            # unsharded stack's BN reduces over exactly that region)
+            h, skip, new_bn = stage_fwd(act, skip, mb, t0 - s_idx * delta)
             take = t == s_idx + n_micro - 1
             bn_new = stack_stages(new_bn, 1)
             bn_carry = jax.tree_util.tree_map(
@@ -294,14 +310,14 @@ def make_pipeline_train_step(engine, mesh: Mesh, n_micro: int):
     checkpointing, eval, and serving are unchanged.
     """
     from graph_wavenet_tpu.train.engine import horizon_target
-    from graph_wavenet_tpu.train.metrics import (
-        masked_mae,
-        masked_mape,
-        masked_rmse,
-    )
+    from graph_wavenet_tpu.train.metrics import masked_mae
 
     cfg = engine.model_cfg
     scaler = engine.scaler
+    assert not engine.diff_g, (
+        "pipeline parallelism supports the shared-graph gwnet only — the "
+        "diff-G variant's per-sample supports and param layout are not "
+        "wired into the pipelined stage")
 
     @functools.partial(jax.jit, donate_argnums=0)
     def step(state, x, y, supports):
@@ -323,13 +339,11 @@ def make_pipeline_train_step(engine, mesh: Mesh, n_micro: int):
         (loss, (pm, rm, new_ms)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         new_state = engine._update(state, grads, new_ms)
-        metrics = {
-            "loss": loss,
-            "mape": jax.vmap(lambda p, r: masked_mape(p, r, 0.0))(
-                pm, rm).mean(),
-            "rmse": jax.vmap(lambda p, r: masked_rmse(p, r, 0.0))(
-                pm, rm).mean(),
-        }
-        return new_state, metrics
+        # per-micro metrics through the shared Engine helper, then the mean
+        # over micro-batches — train_step_accum's exact construction
+        per_micro = jax.vmap(
+            lambda p, r: engine._train_metrics(masked_mae(p, r, 0.0), p, r)
+        )(pm, rm)
+        return new_state, jax.tree_util.tree_map(jnp.mean, per_micro)
 
     return step

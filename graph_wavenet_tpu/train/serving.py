@@ -153,14 +153,16 @@ def export_forecaster(forecaster: Forecaster, path: str, batch_size: int,
     `/root/reference/test.py:48-50`).
 
     seq_len: input window (default: the model's receptive field, the
-    canonical serving shape). platforms: lowering targets, e.g.
+    canonical serving shape — the same window :meth:`Forecaster.predict` is
+    fed by the test loop). platforms: lowering targets, e.g.
     ``["tpu", "cpu"]`` — a CPU host can export for TPU serving; default is
     the current backend only.
     """
     from jax import export as jexport
 
     cfg = forecaster.cfg
-    seq_len = seq_len or cfg.out_dim
+    if seq_len is None:
+        seq_len = cfg.receptive_field
     spec = jax.ShapeDtypeStruct(
         (batch_size, seq_len, cfg.num_nodes, cfg.in_dim), jnp.float32)
     exp = jexport.export(jax.jit(forecaster._predict_impl),

@@ -86,3 +86,12 @@ def test_as_pallas_preserves_structure(support):
     leaves, treedef = jax.tree_util.tree_flatten(p)
     p2 = jax.tree_util.tree_unflatten(treedef, leaves)
     assert isinstance(p2, B.PallasBlockSparseSupport)
+
+
+def test_pick_rt_prefers_large_divisors():
+    from graph_wavenet_tpu.ops.pallas.block_diffusion import _pick_rt
+    assert _pick_rt(1664) == 1664          # whole row under the cap
+    assert _pick_rt(4096) == 4096
+    assert _pick_rt(128 * 33) == 128 * 11  # odd multiple: largest divisor,
+    #                                        not the RT=128 launch cliff
+    assert _pick_rt(8192) == 4096

@@ -146,3 +146,35 @@ def test_pipeline_rejects_misaligned_stages(rng):
     with pytest.raises(AssertionError, match="blocks"):
         pipeline_apply(cfg, eng.state.params, eng.state.model_state, x,
                        supports, mesh=mesh, n_micro=2)
+
+
+def test_pipeline_remat_matches_unrematted(rng):
+    """cfg.remat rematerializes the stage in the backward pipeline without
+    changing a single number."""
+    tcfg = TrainConfig(batch_size=8)
+    x, y, supports = _data(rng)
+    mesh = make_pipeline_mesh(4)
+    states = {}
+    for remat in (False, True):
+        eng = Engine(_cfg(dropout=0.3, remat=remat), tcfg,
+                     StandardScaler(5.0, 2.0))
+        step = make_pipeline_train_step(eng, mesh, 2)
+        states[remat], _ = step(eng.state, x, y, supports)
+    for a, b in zip(jax.tree_util.tree_leaves(states[False].params),
+                    jax.tree_util.tree_leaves(states[True].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_pipeline_rejects_diff_g_and_pallas(rng):
+    mesh = make_pipeline_mesh(2)
+    eng_dg = Engine(_cfg(start_dilation=1), TrainConfig(),
+                    StandardScaler(0.0, 1.0), diff_g=True)
+    with pytest.raises(AssertionError, match="shared-graph"):
+        make_pipeline_train_step(eng_dg, mesh, 2)
+    cfg = _cfg(use_pallas=True)
+    eng = Engine(cfg, TrainConfig(), StandardScaler(0.0, 1.0))
+    x, _, supports = _data(rng)
+    with pytest.raises(AssertionError, match="use_pallas"):
+        pipeline_apply(cfg, eng.state.params, eng.state.model_state, x,
+                       supports, mesh=mesh, n_micro=2)
