@@ -129,13 +129,53 @@ class Runner:
     """Drives an Engine over a dataset dict from the data layer."""
 
     def __init__(self, engine: Engine, train_cfg: TrainConfig,
-                 log_fn=_print_flush):
+                 log_fn=_print_flush, mesh=None, mesh_cfg=None):
+        """``mesh``/``mesh_cfg`` (optional): a `jax.sharding.Mesh` +
+        `MeshConfig` from ``parallel.mesh`` — the loop then replicates the
+        train state, shards every batch with ``batch_sharding`` and the
+        supports with ``support_sharding``, and GSPMD partitions the jitted
+        steps (DP / node-TP / time-SP per the MeshConfig). Multi-chip runs
+        get the full production loop (watchdog, checkpoints, history.jsonl,
+        early stopping) unchanged. Not compatible with the device-resident
+        fast paths (``scan_steps>1`` / ``prefetch``), which assume a single
+        device's HBM."""
         self.engine = engine
         self.cfg = train_cfg
         self.log = log_fn
+        self.mesh = mesh
+        if mesh is not None:
+            from graph_wavenet_tpu.config import MeshConfig
+            self.mesh_cfg = mesh_cfg or MeshConfig()
+            if train_cfg.scan_steps > 1 or train_cfg.prefetch > 0:
+                raise ValueError(
+                    "Runner(mesh=...) does not compose with scan_steps>1 "
+                    "or prefetch>0 — the device-resident/prefetch feeds "
+                    "assume a single device; feed plain batches and let "
+                    "GSPMD shard them")
         self._ckpt_scores: dict[str, float] = {}
         self._ckpt_writer = (ckpt.AsyncCheckpointer()
                              if train_cfg.async_checkpoint else None)
+
+    def _shard_xy(self, x, y):
+        """Lay a host batch out over the mesh (no-op without one)."""
+        if self.mesh is None:
+            return jnp.asarray(x), jnp.asarray(y)
+        from graph_wavenet_tpu.parallel import mesh as M
+        return M.shard_batch(self.mesh, self.mesh_cfg, x, y)
+
+    def _place_for_mesh(self, state, supports):
+        """Replicate the train state and shard the supports over the mesh."""
+        if self.mesh is None:
+            return state, supports
+        from graph_wavenet_tpu.parallel import mesh as M
+        state = M.shard_state(self.mesh, state)
+        if supports is not None:
+            ssh = M.support_sharding(self.mesh, self.mesh_cfg)
+            supports = [jax.device_put(s, ssh)
+                        if getattr(s, "ndim", None) == 2
+                        else jax.device_put(s, M.replicated(self.mesh))
+                        for s in supports]
+        return state, supports
 
     def _feed(self, loader):
         """Batch iterator, prefetched to device ``cfg.prefetch`` steps ahead
@@ -159,8 +199,7 @@ class Runner:
             sel = next(loader.superbatches(loader.num_batch))
             return [engine.eval_steps_resident(state, xs, ys,
                                                jnp.asarray(sel), supports)]
-        return [engine.eval_step(state, jnp.asarray(x), jnp.asarray(y),
-                                 supports)
+        return [engine.eval_step(state, *self._shard_xy(x, y), supports)
                 for x, y in self._feed(loader)]
 
     # ------------------------------------------------------------------
@@ -194,6 +233,7 @@ class Runner:
         self._log_run_start(start_epoch, resume_from)
         supports = None if supports is None else [_as_support(s)
                                                   for s in supports]
+        state, supports = self._place_for_mesh(state, supports)
         for epoch in range(start_epoch, self.cfg.epochs + 1):
             try:
                 with _epoch_watchdog(self.cfg.epoch_timeout_s,
@@ -228,14 +268,13 @@ class Runner:
                     else:
                         accum = self.cfg.grad_accum
                         for it, (x, y) in enumerate(self._feed(loader)):
+                            xs, ys = self._shard_xy(x, y)
                             if accum > 1:
                                 state, m = engine.train_step_accum(
-                                    state, jnp.asarray(x), jnp.asarray(y),
-                                    supports, accum)
+                                    state, xs, ys, supports, accum)
                             else:
                                 state, m = engine.train_step(
-                                    state, jnp.asarray(x), jnp.asarray(y),
-                                    supports)
+                                    state, xs, ys, supports)
                             steps.append(m)
                             if it % self.cfg.print_every == 0:
                                 mm = _epoch_mean([m])

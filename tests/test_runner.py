@@ -207,3 +207,65 @@ def test_fit_is_deterministic(tmp_path, rng):
         return [h.train["loss"] for h in res.history]
 
     assert run("a") == run("b")
+
+
+def test_fit_on_mesh_matches_single_device(tmp_path, dataset):
+    """Runner(mesh=...): the full production loop on a DP mesh produces the
+    same history as the single-device loop (GSPMD exactness at loop level;
+    engine-level exactness is test_parallel.py)."""
+    from graph_wavenet_tpu.config import MeshConfig
+    from graph_wavenet_tpu.parallel import mesh as M
+
+    del dataset
+
+    def build():
+        # one generator threaded through data AND loaders, so both runs see
+        # bit-identical batches in identical shuffle order
+        g = np.random.default_rng(7)
+        x = g.normal(size=(96, 12, N, 2)).astype(np.float32)
+        y = (np.roll(x, -1, axis=1) * 2.0 + 5.0).astype(np.float32)
+        d = {
+            "x_test": x[80:], "y_test": y[80:],
+            "train_loader": DataLoader(x[:64], y[:64], 16, rng=g),
+            "val_loader": DataLoader(x[64:80], y[64:80], 16, rng=g),
+            "test_loader": DataLoader(x[80:], y[80:], 16, rng=g),
+        }
+        a = g.random((2, N, N)).astype(np.float32)
+        return d, [s / s.sum(-1, keepdims=True) for s in a]
+
+    data, supports = build()
+    runner_ref, _, _ = make_runner(tmp_path / "ref", epochs=2)
+    ref = runner_ref.fit(data, supports)
+
+    data2, supports2 = build()
+    mcfg = MeshConfig()
+    mesh = M.make_mesh(mcfg)
+    cfg = ModelConfig(num_nodes=N, out_dim=12, residual_channels=8,
+                      dilation_channels=8, skip_channels=16,
+                      end_channels=32, blocks=2, layers=2, dropout=0.0,
+                      n_supports=2)
+    tcfg = TrainConfig(epochs=2, learning_rate=3e-3,
+                       save_dir=str(tmp_path / "mesh"), print_every=1000)
+    engine = Engine(cfg, tcfg, StandardScaler(5.0, 2.0))
+    runner = Runner(engine, tcfg, log_fn=lambda *a: None, mesh=mesh,
+                    mesh_cfg=mcfg)
+    got = runner.fit(data2, supports2)
+    # identical data + seeds -> same losses to fp tolerance
+    for h_ref, h_got in zip(ref.history, got.history):
+        np.testing.assert_allclose(h_got.train["loss"],
+                                   h_ref.train["loss"], rtol=1e-5)
+        np.testing.assert_allclose(h_got.valid["loss"],
+                                   h_ref.valid["loss"], rtol=1e-5)
+
+
+def test_runner_mesh_rejects_resident_fast_paths(tmp_path):
+    from graph_wavenet_tpu.config import MeshConfig
+    from graph_wavenet_tpu.parallel import mesh as M
+
+    cfg = ModelConfig(num_nodes=N, out_dim=12, residual_channels=8,
+                      dilation_channels=8, skip_channels=16,
+                      end_channels=32, blocks=2, layers=2, n_supports=2)
+    tcfg = TrainConfig(scan_steps=4, save_dir=str(tmp_path))
+    engine = Engine(cfg, tcfg, StandardScaler(0.0, 1.0))
+    with pytest.raises(ValueError, match="scan_steps"):
+        Runner(engine, tcfg, mesh=M.make_mesh(MeshConfig()))
