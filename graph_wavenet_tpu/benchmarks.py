@@ -290,14 +290,22 @@ def bench_sparse_train_step(n_nodes: int = 40960, batch: int = 4,
     }
 
 
-def run_all(batch: int = 64, steps: int = 30) -> dict:
+def run_all(batch: int = 64, steps: int = 30,
+            dtype: str = "bfloat16") -> dict:
+    """All dense BASELINE configs + the city-scale sparse config.
+
+    dtype defaults to the production mixed-precision setting (the
+    BENCH_NOTES.md tables and bench.py measure bf16); pass "float32" for
+    the full-precision numbers.
+    """
     out = {}
     for name, cfg in CONFIGS.items():
         if cfg.num_nodes > 1000:
             continue  # config 5 runs via bench_sharded_train_step
-        out[name] = bench_train_step(cfg, batch=batch, steps=steps)
+        out[name] = bench_train_step(replace(cfg, dtype=dtype), batch=batch,
+                                     steps=steps)
     out["syn-40k-block-sparse"] = bench_sparse_train_step(
-        steps=max(steps // 3, 6))
+        steps=max(steps // 3, 6), form="block-pallas")
     return out
 
 
