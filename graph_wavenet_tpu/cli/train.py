@@ -83,6 +83,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dataset residency: device = in HBM with on-device "
                         "batch gathers (~7.5x faster epochs, default), "
                         "host = numpy batches copied per step")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="node-dim tensor-parallel mesh axis size (real "
+                        "datasets only; implies a multi-device mesh)")
+    p.add_argument("--mesh_time", type=int, default=1,
+                   help="time-dim sequence-parallel mesh axis size")
+    p.add_argument("--mesh_dp", action="store_true",
+                   help="enable the device mesh with pure data "
+                        "parallelism over all devices")
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint to resume training from (full state)")
     p.add_argument("--plot", type=str, default=None,
@@ -233,7 +241,23 @@ def main(argv=None) -> dict:
                 params=params, opt_state=engine.optimizer.init(params),
                 model_state=mstate, step=engine.state.step,
                 rng=engine.state.rng)
-        runner = Runner(engine, train_cfg)
+        mesh = mesh_cfg = None
+        if args.mesh_dp or args.mesh_model > 1 or args.mesh_time > 1:
+            from graph_wavenet_tpu.config import MeshConfig
+            from graph_wavenet_tpu.parallel import mesh as M
+
+            if args.resident == "device" or args.scan_steps > 1:
+                raise SystemExit(
+                    "--mesh_* requires --resident host and scan_steps=1 "
+                    "(the device-resident fast paths are single-chip; "
+                    "batches are GSPMD-sharded from the host feed)")
+            mesh_cfg = MeshConfig(model_axis=args.mesh_model,
+                                  time_axis=args.mesh_time,
+                                  shard_nodes=args.mesh_model > 1,
+                                  shard_time=args.mesh_time > 1)
+            mesh = M.make_mesh(mesh_cfg)
+            print(f"mesh: {dict(mesh.shape)}", flush=True)
+        runner = Runner(engine, train_cfg, mesh=mesh, mesh_cfg=mesh_cfg)
         result = runner.fit(data, supports, resume_from=args.resume)
         runner.test(data, supports, result)
 
