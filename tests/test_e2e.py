@@ -169,3 +169,28 @@ def test_misc_write_var_values(tmp_path):
     with open(path) as f:
         content = f.read()
     assert "lr = 0.001" in content and "epoch = 3" in content
+
+
+def test_cli_train_on_mesh(tmp_path, metr_fixture):
+    """--mesh_dp runs the whole train+test CLI on the virtual 8-device
+    mesh; device-resident feeds are rejected with a clear message."""
+    from graph_wavenet_tpu.cli import train as train_cli
+
+    data_dir, adj_path, n_nodes = metr_fixture
+    out = train_cli.main([
+        "--data", data_dir, "--adjdata", adj_path, "--gcn_bool",
+        "--addaptadj", "--randomadj", "--num_nodes", str(n_nodes),
+        "--seq_length", "12", "--nhid", "4", "--blocks", "2", "--layers",
+        "2", "--batch_size", "8", "--epochs", "1", "--resident", "host",
+        "--mesh_dp", "--save", str(tmp_path / "garage")])
+    result = out["result"]
+    assert len(result.history) == 1
+    assert np.isfinite(result.test_metrics["mae"])
+
+    with pytest.raises(SystemExit, match="resident host"):
+        train_cli.main([
+            "--data", data_dir, "--adjdata", adj_path, "--gcn_bool",
+            "--num_nodes", str(n_nodes), "--seq_length", "12", "--nhid",
+            "4", "--blocks", "2", "--layers", "2", "--batch_size", "8",
+            "--epochs", "1", "--mesh_dp",
+            "--save", str(tmp_path / "garage2")])

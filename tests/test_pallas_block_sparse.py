@@ -95,3 +95,34 @@ def test_pick_rt_prefers_large_divisors():
     assert _pick_rt(128 * 33) == 128 * 11  # odd multiple: largest divisor,
     #                                        not the RT=128 launch cliff
     assert _pick_rt(8192) == 4096
+
+
+def test_pallas_sentinel_padded_rows(rng):
+    """Block-rows with fewer nonzero blocks than MB carry the sentinel
+    (block_idx == NB); the kernel must read the zero x row for them."""
+    n = 3 * 128
+    a = np.zeros((n, n), np.float32)
+    # block (0,0) dense, block-row 1 gets two sources, row 2 one source
+    a[:128, :128] = rng.random((128, 128))
+    a[:128, 128:256] = rng.random((128, 128))
+    a[128:256, 128:256] = rng.random((128, 128))
+    a[256:, 256:] = rng.random((128, 128))
+    sp = B.from_dense(a, block_size=128)
+    assert (np.asarray(sp.block_idx) == 3).any()   # sentinel present
+    x2 = jnp.asarray(rng.normal(size=(n, 64)).astype(np.float32))
+    ref = sp.mix_2d(x2)
+    got = B.as_pallas(sp).mix_2d(x2)
+    # fp32 accumulation-order noise across 128-wide block dots; a sentinel
+    # bug would produce O(1) errors (wrong rows mixed in), not 1e-5
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # gradients through the sentinel rows too
+    g1 = jax.grad(lambda b: jnp.sum(B.BlockSparseSupport(
+        b, sp.block_idx, sp.idx_t, sp.perm_t).mix_2d(x2) ** 2))(sp.blocks)
+    g2 = jax.grad(lambda b: jnp.sum(B.PallasBlockSparseSupport(
+        b, sp.block_idx, sp.idx_t, sp.perm_t).mix_2d(x2) ** 2))(sp.blocks)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               rtol=1e-3, atol=1e-3)
+    # sentinel slots contribute exactly zero gradient
+    sent = np.asarray(sp.block_idx) == sp.blocks.shape[0]
+    assert np.all(np.asarray(g2)[sent] == 0.0)
