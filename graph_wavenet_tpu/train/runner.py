@@ -163,6 +163,27 @@ class Runner:
         from graph_wavenet_tpu.parallel import mesh as M
         return M.shard_batch(self.mesh, self.mesh_cfg, x, y)
 
+    def _throttle(self, metrics):
+        """Serialize steps on an EMULATED (CPU) mesh: XLA:CPU's in-process
+        collectives rendezvous over a shared device thread pool, and two
+        overlapping executions of a collective program can each capture only
+        part of the pool — a deadlock that aborts the process (observed at
+        ~100 async steps). Real TPU meshes order executions in the runtime;
+        no sync is inserted there."""
+        if self.mesh is not None and jax.default_backend() == "cpu":
+            jax.block_until_ready(metrics)
+        return metrics
+
+    def _shard_batched(self, *arrays):
+        """Shard per-sample (B, N, N) supports/projectors along the batch
+        axis of the mesh (no-op without one)."""
+        if self.mesh is None:
+            return arrays if len(arrays) > 1 else arrays[0]
+        from graph_wavenet_tpu.parallel import mesh as M
+        bsh = M.support_sharding(self.mesh, self.mesh_cfg, batched=True)
+        out = tuple(jax.device_put(a, bsh) for a in arrays)
+        return out if len(out) > 1 else out[0]
+
     def _place_for_mesh(self, state, supports):
         """Replicate the train state and shard the supports over the mesh."""
         if self.mesh is None:
@@ -199,7 +220,8 @@ class Runner:
             sel = next(loader.superbatches(loader.num_batch))
             return [engine.eval_steps_resident(state, xs, ys,
                                                jnp.asarray(sel), supports)]
-        return [engine.eval_step(state, *self._shard_xy(x, y), supports)
+        return [self._throttle(
+            engine.eval_step(state, *self._shard_xy(x, y), supports))
                 for x, y in self._feed(loader)]
 
     # ------------------------------------------------------------------
@@ -275,7 +297,7 @@ class Runner:
                             else:
                                 state, m = engine.train_step(
                                     state, xs, ys, supports)
-                            steps.append(m)
+                            steps.append(self._throttle(m))
                             if it % self.cfg.print_every == 0:
                                 mm = _epoch_mean([m])
                                 self.log(f"Iter: {it:03d}, Train Loss: "
@@ -377,22 +399,28 @@ class Runner:
                                              for s in supports]
         proj = jnp.asarray(cluster_mean_projector(G.community_labels,
                                                   n_communities))
+        state, sup = self._place_for_mesh(state, sup)
+        if self.mesh is not None:
+            from graph_wavenet_tpu.parallel import mesh as M
+            proj = jax.device_put(proj, M.replicated(self.mesh))
         for epoch in range(1, self.cfg.epochs + 1):
             t1 = time.time()
             data["train_loader"].shuffle()
             steps = []
             for x, y in self._feed(data["train_loader"]):
-                state, m = engine.train_step_syn(
-                    state, jnp.asarray(x), jnp.asarray(y), sup, proj, F_t)
-                steps.append(m)
+                xs, ys = self._shard_xy(x, y)
+                state, m = engine.train_step_syn(state, xs, ys, sup, proj,
+                                                 F_t)
+                steps.append(self._throttle(m))
             train_m = _epoch_mean(steps)   # device sync before stopping
             t2 = time.time()
             s1 = time.time()
             vsteps = []
             for x, y in self._feed(data["val_loader"]):
-                ev = engine.eval_step_syn(state, jnp.asarray(x),
-                                          jnp.asarray(y), sup, proj, F_t)
-                vsteps.append({k: ev[k] for k in ("loss", "mape", "rmse")})
+                ev = engine.eval_step_syn(state, *self._shard_xy(x, y),
+                                          sup, proj, F_t)
+                vsteps.append(self._throttle(
+                    {k: ev[k] for k in ("loss", "mape", "rmse")}))
             valid_m = _epoch_mean(vsteps)
             s2 = time.time()
             log = EpochLog(epoch, train_m, valid_m, t2 - t1, s2 - s1)
@@ -452,6 +480,7 @@ class Runner:
         result = RunResult()
         engine = self.engine
         state = engine.state
+        state, _ = self._place_for_mesh(state, None)
         sup = {k: [jnp.asarray(s) for s in v]
                for k, v in supports_by_split.items()}
         proj = {k: jnp.asarray(np.stack(
@@ -478,11 +507,12 @@ class Runner:
                 batches = self._feed(loader)
             for x, y, adj_idx in batches:
                 idx = jnp.asarray(adj_idx)
-                batch_sup = [s[idx] for s in sup["train"]]
+                batch_sup = [self._shard_batched(s[idx])
+                             for s in sup["train"]]
                 state, m = engine.train_step_syn(
-                    state, jnp.asarray(x), jnp.asarray(y), batch_sup,
-                    proj["train"][idx], F_t)
-                steps.append(m)
+                    state, *self._shard_xy(x, y), batch_sup,
+                    self._shard_batched(proj["train"][idx]), F_t)
+                steps.append(self._throttle(m))
             train_m = _epoch_mean(steps)   # device sync before stopping
             t2 = time.time()
 
@@ -490,10 +520,11 @@ class Runner:
             vsteps = []
             for x, y, adj_idx in self._feed(data["val_loader"]):
                 idx = jnp.asarray(adj_idx)
-                batch_sup = [s[idx] for s in sup["val"]]
-                vsteps.append(engine.eval_step_syn(
-                    state, jnp.asarray(x), jnp.asarray(y), batch_sup,
-                    proj["val"][idx], F_t))
+                batch_sup = [self._shard_batched(s[idx])
+                             for s in sup["val"]]
+                vsteps.append(self._throttle(engine.eval_step_syn(
+                    state, *self._shard_xy(x, y), batch_sup,
+                    self._shard_batched(proj["val"][idx]), F_t)))
             valid_m = _epoch_mean(vsteps)
             s2 = time.time()
 

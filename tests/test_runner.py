@@ -269,3 +269,48 @@ def test_runner_mesh_rejects_resident_fast_paths(tmp_path):
     engine = Engine(cfg, tcfg, StandardScaler(0.0, 1.0))
     with pytest.raises(ValueError, match="scan_steps"):
         Runner(engine, tcfg, mesh=M.make_mesh(MeshConfig()))
+
+
+def _syn_runner(tmp_path, same_g, mesh=None, mesh_cfg=None, seed=3):
+    from graph_wavenet_tpu.config import DataConfig
+    from graph_wavenet_tpu.data.synthetic import (
+        load_dataset_syn,
+        stack_support_splits,
+    )
+
+    dcfg = DataConfig(dataset="syn", num_nodes=10, seq_length=12,
+                      n_train=16, n_valid=8, n_test=8, num_timestep=80,
+                      same_g=same_g, n_communities=2)
+    data, adjs, F_t, G = load_dataset_syn(dcfg, batch_size=8, seed=seed,
+                                          resident="host")
+    cfg = ModelConfig(num_nodes=10, in_dim=1, out_dim=dcfg.seq_length,
+                      residual_channels=4, dilation_channels=4,
+                      skip_channels=8, end_channels=8, blocks=4, layers=2,
+                      dropout=0.0, n_supports=2, start_dilation=1)
+    tcfg = TrainConfig(epochs=2, save_dir=str(tmp_path), print_every=1000)
+    engine = Engine(cfg, tcfg, data["scaler"], diff_g=not same_g)
+    runner = Runner(engine, tcfg, log_fn=lambda *a: None, mesh=mesh,
+                    mesh_cfg=mesh_cfg)
+    if same_g:
+        return runner.fit_syn_shared(data, adjs, G, F_t,
+                                     dcfg.n_communities)
+    sup = stack_support_splits(adjs, dcfg.n_train, dcfg.n_test)
+    return runner.fit_syn(data, sup, G, F_t, dcfg.n_communities)
+
+
+@pytest.mark.parametrize("same_g", [True, False])
+def test_fit_syn_on_mesh_matches_single_device(tmp_path, same_g):
+    """Synthetic fit variants (shared-graph and per-sample diff-G) under a
+    DP mesh reproduce the single-device training history."""
+    from graph_wavenet_tpu.config import MeshConfig
+    from graph_wavenet_tpu.parallel import mesh as M
+
+    ref = _syn_runner(tmp_path / "ref", same_g)
+    mcfg = MeshConfig()
+    got = _syn_runner(tmp_path / "mesh", same_g, mesh=M.make_mesh(mcfg),
+                      mesh_cfg=mcfg)
+    for h_ref, h_got in zip(ref.history, got.history):
+        np.testing.assert_allclose(h_got.train["loss"],
+                                   h_ref.train["loss"], rtol=1e-5)
+        np.testing.assert_allclose(h_got.valid["loss"],
+                                   h_ref.valid["loss"], rtol=1e-5)
