@@ -84,8 +84,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "batch gathers (~7.5x faster epochs, default), "
                         "host = numpy batches copied per step")
     p.add_argument("--mesh_model", type=int, default=1,
-                   help="node-dim tensor-parallel mesh axis size (real "
-                        "datasets only; implies a multi-device mesh)")
+                   help="node-dim tensor-parallel mesh axis size "
+                        "(implies a multi-device mesh)")
     p.add_argument("--mesh_time", type=int, default=1,
                    help="time-dim sequence-parallel mesh axis size")
     p.add_argument("--mesh_dp", action="store_true",
@@ -163,6 +163,23 @@ def main(argv=None) -> dict:
         scan_steps=args.scan_steps, epoch_timeout_s=args.epoch_timeout,
         grad_accum=args.grad_accum, early_stop_patience=args.early_stop)
 
+    mesh = mesh_cfg = None
+    if args.mesh_dp or args.mesh_model > 1 or args.mesh_time > 1:
+        from graph_wavenet_tpu.config import MeshConfig
+        from graph_wavenet_tpu.parallel import mesh as M
+
+        if args.resident == "device" or args.scan_steps > 1:
+            raise SystemExit(
+                "--mesh_* requires --resident host and scan_steps=1 "
+                "(the device-resident fast paths are single-chip; "
+                "batches are GSPMD-sharded from the host feed)")
+        mesh_cfg = MeshConfig(model_axis=args.mesh_model,
+                              time_axis=args.mesh_time,
+                              shard_nodes=args.mesh_model > 1,
+                              shard_time=args.mesh_time > 1)
+        mesh = M.make_mesh(mesh_cfg)
+        print(f"mesh: {dict(mesh.shape)}", flush=True)
+
     t1 = time.time()
     if args.data == "syn":
         from graph_wavenet_tpu.data.synthetic import (
@@ -182,7 +199,7 @@ def main(argv=None) -> dict:
         if args.same_g:
             cfg = model_config(args, diff_g=False)
             engine = Engine(cfg, train_cfg, data["scaler"])
-            runner = Runner(engine, train_cfg)
+            runner = Runner(engine, train_cfg, mesh=mesh, mesh_cfg=mesh_cfg)
             supports = [] if args.aptonly else adjs
             result = runner.fit_syn_shared(data, supports, G, F_t,
                                            data_cfg.n_communities)
@@ -191,7 +208,7 @@ def main(argv=None) -> dict:
         else:
             cfg = model_config(args, diff_g=True)
             engine = Engine(cfg, train_cfg, data["scaler"], diff_g=True)
-            runner = Runner(engine, train_cfg)
+            runner = Runner(engine, train_cfg, mesh=mesh, mesh_cfg=mesh_cfg)
             supports = stack_support_splits(adjs, data_cfg.n_train,
                                             data_cfg.n_test)
             if args.aptonly:
@@ -214,7 +231,7 @@ def main(argv=None) -> dict:
             model_config(args, diff_g=True),
             out_dim=data["K"], num_nodes=data["x_train"].shape[2])
         engine = Engine(cfg, train_cfg, data["scaler"], diff_g=True)
-        runner = Runner(engine, train_cfg)
+        runner = Runner(engine, train_cfg, mesh=mesh, mesh_cfg=mesh_cfg)
         result = runner.fit_syn(data, supports, G, F_t,
                                 data["n_communities"])
         runner.test_syn(data, supports, G, F_t, data["n_communities"],
@@ -241,22 +258,6 @@ def main(argv=None) -> dict:
                 params=params, opt_state=engine.optimizer.init(params),
                 model_state=mstate, step=engine.state.step,
                 rng=engine.state.rng)
-        mesh = mesh_cfg = None
-        if args.mesh_dp or args.mesh_model > 1 or args.mesh_time > 1:
-            from graph_wavenet_tpu.config import MeshConfig
-            from graph_wavenet_tpu.parallel import mesh as M
-
-            if args.resident == "device" or args.scan_steps > 1:
-                raise SystemExit(
-                    "--mesh_* requires --resident host and scan_steps=1 "
-                    "(the device-resident fast paths are single-chip; "
-                    "batches are GSPMD-sharded from the host feed)")
-            mesh_cfg = MeshConfig(model_axis=args.mesh_model,
-                                  time_axis=args.mesh_time,
-                                  shard_nodes=args.mesh_model > 1,
-                                  shard_time=args.mesh_time > 1)
-            mesh = M.make_mesh(mesh_cfg)
-            print(f"mesh: {dict(mesh.shape)}", flush=True)
         runner = Runner(engine, train_cfg, mesh=mesh, mesh_cfg=mesh_cfg)
         result = runner.fit(data, supports, resume_from=args.resume)
         runner.test(data, supports, result)

@@ -145,6 +145,7 @@ class Runner:
         self.mesh = mesh
         if mesh is not None:
             from graph_wavenet_tpu.config import MeshConfig
+            from graph_wavenet_tpu.parallel import mesh as M
             self.mesh_cfg = mesh_cfg or MeshConfig()
             if train_cfg.scan_steps > 1 or train_cfg.prefetch > 0:
                 raise ValueError(
@@ -152,6 +153,12 @@ class Runner:
                     "or prefetch>0 — the device-resident/prefetch feeds "
                     "assume a single device; feed plain batches and let "
                     "GSPMD shard them")
+            self._batched_sharding = M.support_sharding(
+                mesh, self.mesh_cfg, batched=True)
+            # emulated (CPU-device) meshes need step serialization; see
+            # _throttle. Keyed off the mesh's own devices, not the default
+            # backend — a CPU test mesh on a TPU/GPU host still deadlocks.
+            self._emulated = mesh.devices.flat[0].platform == "cpu"
         self._ckpt_scores: dict[str, float] = {}
         self._ckpt_writer = (ckpt.AsyncCheckpointer()
                              if train_cfg.async_checkpoint else None)
@@ -170,19 +177,16 @@ class Runner:
         part of the pool — a deadlock that aborts the process (observed at
         ~100 async steps). Real TPU meshes order executions in the runtime;
         no sync is inserted there."""
-        if self.mesh is not None and jax.default_backend() == "cpu":
+        if self.mesh is not None and self._emulated:
             jax.block_until_ready(metrics)
         return metrics
 
-    def _shard_batched(self, *arrays):
-        """Shard per-sample (B, N, N) supports/projectors along the batch
-        axis of the mesh (no-op without one)."""
+    def _shard_batched(self, array):
+        """Shard a per-sample (B, N, N) support/projector stack along the
+        batch axis of the mesh (no-op without one)."""
         if self.mesh is None:
-            return arrays if len(arrays) > 1 else arrays[0]
-        from graph_wavenet_tpu.parallel import mesh as M
-        bsh = M.support_sharding(self.mesh, self.mesh_cfg, batched=True)
-        out = tuple(jax.device_put(a, bsh) for a in arrays)
-        return out if len(out) > 1 else out[0]
+            return array
+        return jax.device_put(array, self._batched_sharding)
 
     def _place_for_mesh(self, state, supports):
         """Replicate the train state and shard the supports over the mesh."""
@@ -486,6 +490,16 @@ class Runner:
         proj = {k: jnp.asarray(np.stack(
             [cluster_mean_projector(g.community_labels, n_communities)
              for g in v])) for k, v in graphs_by_split.items()}
+        if self.mesh is not None:
+            # place the full per-split stacks on the mesh ONCE: the per-step
+            # s[idx] gather then runs replicated on every device instead of
+            # funneling (B, N, N) gathers through device 0's queue, and
+            # _shard_batched's reshard to batch-sharded is a local slice
+            from graph_wavenet_tpu.parallel import mesh as M
+            rep = M.replicated(self.mesh)
+            sup = {k: [jax.device_put(s, rep) for s in v]
+                   for k, v in sup.items()}
+            proj = {k: jax.device_put(p, rep) for k, p in proj.items()}
 
         for epoch in range(1, self.cfg.epochs + 1):
             t1 = time.time()

@@ -17,6 +17,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# XLA:CPU's thunk runtime is unstable under OVERLAPPING in-process
+# executions on an emulated multi-device host: collective programs can
+# deadlock splitting the device thread pool (Runner._throttle documents
+# the observed hang) and a long test session can segfault inside the
+# Eigen execution pool mid-compile (observed at ~92% of this suite on a
+# 2-vCPU host, jaxlib 0.9.0). Synchronous dispatch removes the overlap;
+# per-test runtime is unaffected because tests block on results anyway.
+jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -194,3 +194,21 @@ def test_cli_train_on_mesh(tmp_path, metr_fixture):
             "4", "--blocks", "2", "--layers", "2", "--batch_size", "8",
             "--epochs", "1", "--mesh_dp",
             "--save", str(tmp_path / "garage2")])
+
+
+def test_cli_train_syn_on_mesh(tmp_path):
+    """--mesh_dp is honored on the synthetic (diff-G) dataset too — the
+    mesh used to be wired only into the real-dataset branch, silently
+    training single-device for --data syn."""
+    from graph_wavenet_tpu.cli import train as train_cli
+
+    out = train_cli.main([
+        "--data", "syn", "--gcn_bool", "--addaptadj", "--num_nodes", "10",
+        "--n_train", "16", "--n_valid", "8", "--n_test", "8",
+        "--num_timestep", "80", "--seq_length", "12", "--nhid", "4",
+        "--blocks", "2", "--layers", "2", "--batch_size", "8",
+        "--epochs", "1", "--resident", "host", "--mesh_dp",
+        "--save", str(tmp_path / "garage")])
+    result = out["result"]
+    assert len(result.history) == 1
+    assert np.isfinite(result.test_metrics["loss"])

@@ -298,17 +298,21 @@ def _syn_runner(tmp_path, same_g, mesh=None, mesh_cfg=None, seed=3):
     return runner.fit_syn(data, sup, G, F_t, dcfg.n_communities)
 
 
+@pytest.mark.parametrize("mesh_kind", ["dp", "tp"])
 @pytest.mark.parametrize("same_g", [True, False])
-def test_fit_syn_on_mesh_matches_single_device(tmp_path, same_g):
+def test_fit_syn_on_mesh_matches_single_device(tmp_path, same_g, mesh_kind):
     """Synthetic fit variants (shared-graph and per-sample diff-G) under a
-    DP mesh reproduce the single-device training history."""
+    pure-DP mesh and a DPxnode-TP mesh reproduce the single-device
+    training history."""
     from graph_wavenet_tpu.config import MeshConfig
     from graph_wavenet_tpu.parallel import mesh as M
 
     ref = _syn_runner(tmp_path / "ref", same_g)
-    mcfg = MeshConfig()
+    mcfg = (MeshConfig() if mesh_kind == "dp"
+            else MeshConfig(data_axis=4, model_axis=2, shard_nodes=True))
     got = _syn_runner(tmp_path / "mesh", same_g, mesh=M.make_mesh(mcfg),
                       mesh_cfg=mcfg)
+    assert len(got.history) == len(ref.history) and ref.history
     for h_ref, h_got in zip(ref.history, got.history):
         np.testing.assert_allclose(h_got.train["loss"],
                                    h_ref.train["loss"], rtol=1e-5)
