@@ -41,6 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--blocks", type=int, default=4)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--learning_rate", type=float, default=1e-3)
+    p.add_argument("--lr_decay", type=float, default=1.0,
+                   help="per-interval learning-rate decay factor; 1.0 = "
+                        "constant (the reference ships a commented-out "
+                        "0.1-per-10-epochs schedule, train.py:146-149)")
+    p.add_argument("--lr_decay_every", type=int, default=10,
+                   help="epochs between lr decay steps")
     p.add_argument("--dropout", type=float, default=0.3)
     p.add_argument("--weight_decay", type=float, default=1e-4)
     p.add_argument("--epochs", type=int, default=100)
@@ -160,6 +166,7 @@ def main(argv=None) -> dict:
         weight_decay=args.weight_decay, epochs=args.epochs,
         print_every=args.print_every, seed=args.seed, save_dir=args.save,
         expid=args.expid, rng_impl=args.rng_impl,
+        lr_decay=args.lr_decay, lr_decay_every=args.lr_decay_every,
         scan_steps=args.scan_steps, epoch_timeout_s=args.epoch_timeout,
         grad_accum=args.grad_accum, early_stop_patience=args.early_stop)
 
@@ -196,9 +203,11 @@ def main(argv=None) -> dict:
             data_cfg, args.batch_size, seed=args.seed,
             resident=args.resident)
 
+        spe = data["train_loader"].num_batch
         if args.same_g:
             cfg = model_config(args, diff_g=False)
-            engine = Engine(cfg, train_cfg, data["scaler"])
+            engine = Engine(cfg, train_cfg, data["scaler"],
+                            steps_per_epoch=spe)
             runner = Runner(engine, train_cfg, mesh=mesh, mesh_cfg=mesh_cfg)
             supports = [] if args.aptonly else adjs
             result = runner.fit_syn_shared(data, supports, G, F_t,
@@ -207,7 +216,8 @@ def main(argv=None) -> dict:
                                    data_cfg.n_communities, result)
         else:
             cfg = model_config(args, diff_g=True)
-            engine = Engine(cfg, train_cfg, data["scaler"], diff_g=True)
+            engine = Engine(cfg, train_cfg, data["scaler"], diff_g=True,
+                            steps_per_epoch=spe)
             runner = Runner(engine, train_cfg, mesh=mesh, mesh_cfg=mesh_cfg)
             supports = stack_support_splits(adjs, data_cfg.n_train,
                                             data_cfg.n_test)
@@ -230,7 +240,8 @@ def main(argv=None) -> dict:
         cfg = dataclasses.replace(
             model_config(args, diff_g=True),
             out_dim=data["K"], num_nodes=data["x_train"].shape[2])
-        engine = Engine(cfg, train_cfg, data["scaler"], diff_g=True)
+        engine = Engine(cfg, train_cfg, data["scaler"], diff_g=True,
+                        steps_per_epoch=data["train_loader"].num_batch)
         runner = Runner(engine, train_cfg, mesh=mesh, mesh_cfg=mesh_cfg)
         result = runner.fit_syn(data, supports, G, F_t,
                                 data["n_communities"])
@@ -250,7 +261,8 @@ def main(argv=None) -> dict:
         from graph_wavenet_tpu.models.gwnet import init_gwnet
         import jax
 
-        engine = Engine(cfg, train_cfg, data["scaler"])
+        engine = Engine(cfg, train_cfg, data["scaler"],
+                        steps_per_epoch=data["train_loader"].num_batch)
         if aptinit is not None and cfg.gcn_bool and cfg.addaptadj:
             params, mstate = init_gwnet(jax.random.key(args.seed), cfg,
                                         aptinit=np.asarray(aptinit))

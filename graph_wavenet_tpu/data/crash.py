@@ -302,10 +302,18 @@ def load_dataset_crash(batch_size: int, records: list[CrashRecord] | None
 
     if K is None:
         K = int(F_t * 5)                                  # `util.py:417`
-    # integer F-pool factor for supervision; must divide K
-    F_t_int = max(1, round(F_t))
+    # integer F-pool factor for supervision; must divide K. Start at the
+    # documented ceil of the rate ratio and fall back to the largest
+    # divisor of K below it — warn when that degrades pooling to 1 (no
+    # F-modality coarsening), rather than silently disabling supervision.
+    F_t_int = max(1, int(np.ceil(F_t)))
     while K % F_t_int:
         F_t_int -= 1
+    if F_t_int == 1 and F_t > 1.5:
+        print(f"CRASH loader: no divisor of K={K} near the fMRI/EEG rate "
+              f"ratio {F_t:.2f} — F-modality pooling degraded to 1 "
+              "(pass an explicit K divisible by the intended factor)",
+              flush=True)
 
     # stride-1 windows: x = window, y = next K steps (`dataTools.py:148-150`)
     windows = sliding_windows(signals, K, axis=1)          # (S, n_win, K, N, 2)
@@ -314,10 +322,15 @@ def load_dataset_crash(batch_size: int, records: list[CrashRecord] | None
 
     # chronological per-session split of SESSIONS (subjects held together)
     n_sessions = len(kept)
+    if n_sessions < 3:
+        raise ValueError(
+            f"CRASH split needs >= 3 aligned sessions (one per split), got "
+            f"{n_sessions} — add sessions or relax alignment (pad_seq)")
     n_train = max(1, round(n_sessions * train_frac))
     n_val = max(1, round(n_sessions * val_frac))
     n_test = max(1, n_sessions - n_train - n_val)
     n_train = n_sessions - n_val - n_test
+    assert n_train >= 1
 
     graphs = []
     supports = []

@@ -106,6 +106,13 @@ def load_dataset_streaming(values: np.ndarray, index=None,
     n_test = round(n * 0.2)
     n_train = round(n * 0.7)
     n_val = n - n_test - n_train
+    if min(n_train, n_val, n_test) < 1:
+        # anchors[-0:] would silently make test = ALL anchors, overlapping
+        # the train split — refuse tiny series instead
+        raise ValueError(
+            f"series yields only {n} windowed samples — too few for the "
+            f"70/10/20 chronological split "
+            f"(train/val/test = {n_train}/{n_val}/{n_test})")
     splits = {"train": anchors[:n_train],
               "val": anchors[n_train:n_train + n_val],
               "test": anchors[-n_test:]}

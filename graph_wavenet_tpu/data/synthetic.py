@@ -34,12 +34,29 @@ from graph_wavenet_tpu.graphs.generate import Graph, compute_gft
 from graph_wavenet_tpu.graphs.normalize import mod_adj
 
 
+def _cov_factor(cov: np.ndarray) -> np.ndarray:
+    """L with L @ L.T = cov for a PSD (possibly singular) covariance.
+
+    Cholesky when positive definite; an eigen factor otherwise — sigma=0
+    and/or rho=0 are legitimate "no noise" settings (the reference's
+    np.random.multivariate_normal defaults to SVD and accepts them,
+    `dataTools.py:125-127`), and rank-1 rho^2*ones is singular by
+    construction."""
+    if not cov.any():
+        return np.zeros_like(cov)
+    try:
+        return np.linalg.cholesky(cov)
+    except np.linalg.LinAlgError:
+        vals, vecs = np.linalg.eigh(cov)
+        return vecs * np.sqrt(np.maximum(vals, 0.0))[None, :]
+
+
 def _mvn(rng: np.random.Generator, n_dim: int, sigma: float, rho: float,
          size) -> np.ndarray:
     """MVN(0, sigma^2 I + rho^2 * ones) samples of shape (*size, n_dim)."""
     cov = sigma ** 2 * np.eye(n_dim) + rho ** 2 * np.ones((n_dim, n_dim))
-    return rng.multivariate_normal(np.zeros(n_dim), cov, size,
-                                   method="cholesky")
+    size = tuple(np.atleast_1d(size))
+    return rng.standard_normal(size + (n_dim,)) @ _cov_factor(cov).T
 
 
 def diffusion_rollout(G: Graph, n_samples: int, horizon: int,
@@ -49,12 +66,11 @@ def diffusion_rollout(G: Graph, n_samples: int, horizon: int,
     """x_{t+1} = x_t A + spatial noise + temporal noise, A = W / lambda_max
     (`dataTools.py:104-132`). Returns (n_samples, N, horizon).
 
-    All noise is sampled up front with a single Cholesky factor per
-    covariance (the reference re-factorizes the spatial covariance every
-    timestep, `dataTools.py:125-127` — same distribution, ~100x faster
-    dataset builds)."""
-    E, _ = compute_gft(G.W, order="totalVariation")
-    A = G.W / np.max(np.diag(E).real)
+    All noise is sampled up front with a single covariance factor (the
+    reference re-factorizes the spatial covariance every timestep,
+    `dataTools.py:125-127` — same distribution, ~100x faster dataset
+    builds)."""
+    A = G.W / G.lambda_max()   # reuses the cached GFT when computed
     x_t = rng.random((n_samples, G.N))
     x = [x_t]
     temp_noise = _mvn(rng, horizon, sigma_temporal, rho_temporal,
@@ -62,9 +78,8 @@ def diffusion_rollout(G: Graph, n_samples: int, horizon: int,
     temp_noise = np.transpose(temp_noise, (2, 0, 1))
     cov_spatial = (sigma_spatial ** 2 * np.eye(G.N) +
                    rho_spatial ** 2 * np.ones((G.N, G.N)))
-    chol = np.linalg.cholesky(cov_spatial)
     spatial_all = rng.standard_normal(
-        (horizon - 1, n_samples, G.N)) @ chol.T
+        (horizon - 1, n_samples, G.N)) @ _cov_factor(cov_spatial).T
     for t in range(horizon - 1):
         x_t = x_t @ A + spatial_all[t] + temp_noise[t]
         x.append(x_t)
@@ -231,6 +246,11 @@ def load_dataset_syn(cfg: DataConfig, batch_size: int,
                      "probIntra": cfg.prob_intra,
                      "probInter": cfg.prob_inter}
     F_t = cfg.seq_length // 12  # K % F_t == 0 convention (`util.py:234`)
+    if F_t < 1:
+        raise ValueError(
+            f"synthetic dataset needs seq_length >= 12: F_t = "
+            f"seq_length//12 = {F_t} (the reference convention, "
+            "util.py:234) must be a positive pooling factor")
     gen_kw = dict(F_t=F_t, pooltype=cfg.pooltype,
                   sigma_spatial=cfg.sigma_spatial,
                   sigma_temporal=cfg.sigma_temporal,
@@ -316,10 +336,19 @@ def stack_support_splits(adjs: list[list[np.ndarray]], n_train: int,
     layout the diff-G engine gathers from (`/root/reference/train.py:94-121`).
     """
     n_supports = len(adjs[0])
-    splits = {"train": adjs[:n_train], "val": adjs[n_train:-n_test],
-              "test": adjs[-n_test:]}
+    n = len(adjs)
+    # explicit bounds: adjs[n_train:-0] would be empty and adjs[-0:] the
+    # whole list for n_test == 0
+    splits = {"train": adjs[:n_train], "val": adjs[n_train:n - n_test],
+              "test": adjs[n - n_test:]}
+
+    def _stack(samples, s):
+        if not samples:
+            return np.zeros((0,) + np.asarray(adjs[0][s]).shape,
+                            np.asarray(adjs[0][s]).dtype)
+        return np.stack([sample[s] for sample in samples])
+
     return {
-        split: [np.stack([sample[s] for sample in samples])
-                for s in range(n_supports)]
+        split: [_stack(samples, s) for s in range(n_supports)]
         for split, samples in splits.items()
     }

@@ -99,9 +99,11 @@ def compute_nonzero_rows(S: np.ndarray, n_layers: int = 1) -> list:
     `graphTools.py:204-256` semantics): returns a list of length n_layers,
     each a list of per-row index arrays."""
     S = np.asarray(S)
-    rows = [np.flatnonzero(np.abs(S[r]) > ZERO_TOL).tolist()
-            for r in range(S.shape[0])]
-    return [rows for _ in range(n_layers)]
+    # fresh lists per layer: callers may mutate one layer's rows without
+    # corrupting the others (the reference computes them per layer)
+    return [[np.flatnonzero(np.abs(S[r]) > ZERO_TOL).tolist()
+             for r in range(S.shape[0])]
+            for _ in range(n_layers)]
 
 
 def k_hop_neighborhood(S: np.ndarray, K: int) -> list[list[int]]:
@@ -316,6 +318,9 @@ class Graph:
 
     def lambda_max(self) -> float:
         """Largest eigenvalue of W (used to normalize diffusion signals,
-        `dataTools.py:106-109`)."""
+        `dataTools.py:106-109`). Reuses the cached GFT when ``computeGFT``
+        has already run on W (eigenvalue max is ordering-invariant)."""
+        if self.E is not None and self.S is self.W:
+            return float(np.max(np.diag(self.E).real))
         E, _ = compute_gft(self.W, order="totalVariation")
         return float(np.max(np.diag(E).real))

@@ -6,10 +6,12 @@ passed per batch as ``(B, N, N)`` stacks and the diffusion uses the batched
 einsum. Differences from the shared-graph model, all mirrored here:
 
 - supports are a ``forward`` argument, not model state (`model.py:315`);
-- dilations start at 4 per block instead of 1 (`model.py:273`), while the
-  *stored* receptive field (used for input padding) keeps the shared-graph
-  formula — quirk #8 of SURVEY.md §7.4, replicated via
-  ``cfg.compat_receptive_field``;
+- dilations start at 4 per block instead of 1 (`model.py:273`). The
+  reference's *stored* receptive field keeps the shared-graph formula and
+  understates the true conv reach (quirk #8 of SURVEY.md §7.4) — here
+  inputs are padded to the TRUE ``cfg.receptive_field`` computed from the
+  actual dilations; ``cfg.compat_receptive_field`` records the reference's
+  understated number for auditing only;
 - adaptive node embeddings carry a batch dimension and, in the reference, are
   drawn fresh at random on EVERY forward so they never train
   (`model.py:324-329`). That quirk is reproduced behind
@@ -48,7 +50,6 @@ def init_gwnet_diff_g(key: jax.Array,
                       cfg: ModelConfig) -> tuple[Params, State]:
     """Same param tree as the shared-graph model; with ``fresh_nodevec`` the
     nodevec params are simply absent (they are drawn per forward)."""
-    assert cfg.start_dilation != 1 or cfg.blocks * cfg.layers == 0 or True
     return init_gwnet(key, cfg, aptinit=None)
 
 
@@ -77,11 +78,12 @@ def apply_gwnet_diff_g(cfg: ModelConfig, params: Params, state: State,
     :func:`svd_nodevecs_batched`.
     """
     batch = x.shape[0]
-    use_adapt = cfg.gcn_bool and cfg.addaptadj
+    # same gate as the shared-graph model (gwnet.py): supports=None means
+    # temporal-only — no graph convs and no adaptive adjacency; pass [] with
+    # addaptadj for the adaptive-only (aptonly) model
+    use_adapt = cfg.gcn_bool and cfg.addaptadj and supports is not None
     new_supports = supports
     if use_adapt:
-        if supports is None:
-            supports = []
         if aptinit_nodevecs is not None:
             nv1, nv2 = aptinit_nodevecs
         elif cfg.fresh_nodevec:

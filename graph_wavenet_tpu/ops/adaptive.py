@@ -16,18 +16,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from graph_wavenet_tpu.ops.linear import accum_dtype
+
 
 def adaptive_adjacency(nodevec1: jnp.ndarray,
                        nodevec2: jnp.ndarray) -> jnp.ndarray:
     """softmax(relu(nv1 @ nv2), axis=1) for (N, r) x (r, N) -> (N, N).
 
-    axis=1 matches the reference's ``dim=1`` (`model.py:187`): each row is a
-    probability distribution over source nodes.
+    axis=1 matches the reference's ``dim=1`` (`model.py:187`): row v (node
+    v's OUTGOING weights under ``nconv``'s out_w = sum_v x_v * A[v, w])
+    is normalized over destination nodes w — each source row sums to 1;
+    incoming weights per destination are unnormalized.
     """
     logits = jax.nn.relu(
         jnp.einsum("vr,rw->vw", nodevec1, nodevec2,
-                   preferred_element_type=nodevec1.dtype))
-    return jax.nn.softmax(logits, axis=1)
+                   preferred_element_type=accum_dtype(nodevec1.dtype)))
+    return jax.nn.softmax(logits, axis=1).astype(nodevec1.dtype)
 
 
 def adaptive_adjacency_batched(nodevec1: jnp.ndarray,
@@ -36,8 +40,8 @@ def adaptive_adjacency_batched(nodevec1: jnp.ndarray,
     (`model.py:351-352`)."""
     logits = jax.nn.relu(
         jnp.einsum("bvr,brw->bvw", nodevec1, nodevec2,
-                   preferred_element_type=nodevec1.dtype))
-    return jax.nn.softmax(logits, axis=2)
+                   preferred_element_type=accum_dtype(nodevec1.dtype)))
+    return jax.nn.softmax(logits, axis=2).astype(nodevec1.dtype)
 
 
 def random_nodevecs(key, num_nodes: int, rank: int = 10,

@@ -249,11 +249,11 @@ _block_mix.defvjp(_block_mix_fwd, _block_mix_bwd)
 def nconv_block_sparse(x: jnp.ndarray,
                        sp: BlockSparseSupport) -> jnp.ndarray:
     """Block-sparse diffusion step, same contract as ``nconv``:
-    x (B, T, N, C) -> (B, T, N, C)."""
-    b, t, n, c = x.shape
-    x2 = jnp.transpose(x, (2, 0, 1, 3)).reshape(n, b * t * c)
-    out = sp.mix_2d(x2)
-    return jnp.transpose(out.reshape(n, b, t, c), (1, 2, 0, 3))
+    x (B, T, N, C) -> (B, T, N, C). Alias of ``sparse.nconv_sparse``,
+    which is duck-typed over any ``mix_2d`` support."""
+    from graph_wavenet_tpu.ops.sparse import nconv_sparse
+
+    return nconv_sparse(x, sp)
 
 
 # ---------------------------------------------------------------------------

@@ -52,13 +52,19 @@ class SparseSupport:
     (the transpose adjacency); perm_t (N, Dt): flat positions ``n*D + d`` of
     those edges in ``w`` (sentinel N*D = padding, reads a constant 0), so
     the backward pass can materialize the transpose WEIGHTS from the
-    current ``w`` — gradients through ``w`` stay exact.
+    current ``w`` — gradients through ``w`` stay exact *within the fixed
+    sparsity structure*: ``live`` (N, D) marks the build-time edges, and
+    the custom VJP pins ``dw`` to zero at padding slots (their build-time
+    weight is 0 and the transpose table does not reference them, so a
+    gradient there would move the forward off the structure the backward
+    can see — same contract as block_sparse's zero-gradient sentinels).
     """
 
     idx: jnp.ndarray      # (N, D) int32
     w: jnp.ndarray        # (N, D)
     idx_t: jnp.ndarray    # (N, Dt) int32
     perm_t: jnp.ndarray   # (N, Dt) int32 into w.ravel() (N*D = zero slot)
+    live: jnp.ndarray     # (N, D) bool — build-time edge mask
 
     @property
     def n_nodes(self) -> int:
@@ -70,7 +76,8 @@ class SparseSupport:
 
     def mix_2d(self, x2: jnp.ndarray) -> jnp.ndarray:
         """Node-leading (N, R) -> (N, R) mix (duck-typed sparse API)."""
-        return _ell_mix(x2, self.w, self.idx, self.idx_t, self.perm_t)
+        return _ell_mix(x2, self.w, self.idx, self.idx_t, self.perm_t,
+                        self.live)
 
     def to_dense(self) -> np.ndarray:
         """Dense (N, N) support with identical ``nconv`` semantics."""
@@ -107,7 +114,8 @@ def _build(idx: np.ndarray, w: np.ndarray) -> SparseSupport:
     return SparseSupport(jnp.asarray(idx, jnp.int32),
                          jnp.asarray(w),
                          jnp.asarray(idx_t, jnp.int32),
-                         jnp.asarray(perm_t, jnp.int32))
+                         jnp.asarray(perm_t, jnp.int32),
+                         jnp.asarray(w != 0))
 
 
 def from_dense(a: np.ndarray, max_degree: int | None = None,
@@ -196,39 +204,38 @@ def _ell_mix_rows(x2: jnp.ndarray, idx: jnp.ndarray, w_rows: jnp.ndarray,
 
 
 @jax.custom_vjp
-def _ell_mix(x2, w, idx, idx_t, perm_t):
+def _ell_mix(x2, w, idx, idx_t, perm_t, live):
     return _ell_mix_rows(x2, idx, w, x2.dtype)
 
 
-def _ell_mix_fwd(x2, w, idx, idx_t, perm_t):
-    return _ell_mix(x2, w, idx, idx_t, perm_t), (x2, w, idx, idx_t, perm_t)
+def _ell_mix_fwd(x2, w, idx, idx_t, perm_t, live):
+    return (_ell_mix(x2, w, idx, idx_t, perm_t, live),
+            (x2, w, idx, idx_t, perm_t, live))
 
 
 def _ell_mix_bwd(res, g):
-    x2, w, idx, idx_t, perm_t = res
+    x2, w, idx, idx_t, perm_t, live = res
     # transpose weights from the CURRENT w (exact grads through w)
     w_pad = jnp.concatenate([w.reshape(-1),
                              jnp.zeros((1,), w.dtype)])
     w_t = w_pad[perm_t.reshape(-1)].reshape(perm_t.shape)
     dx2 = _ell_mix_rows(g.astype(x2.dtype), idx_t, w_t, x2.dtype)
-    # dw[n, d] = <x2[idx[n, d]], g[n]> — per-edge row dot, no scatter
+    # dw[n, d] = <x2[idx[n, d]], g[n]> — per-edge row dot, no scatter.
+    # Padding slots are pinned at zero: they point at a REAL node (the
+    # row's own index), so an optimizer step driven by their raw gradient
+    # would add edges the transpose table can't see, silently desyncing
+    # dx2 from the forward.
     xg = jnp.take(x2, idx.reshape(-1), axis=0).reshape(
         *idx.shape, -1)                                    # (N, D, R)
     dw = jnp.einsum("ndr,nr->nd", xg, g.astype(x2.dtype),
                     preferred_element_type=accum_dtype(x2.dtype)
                     ).astype(w.dtype)
+    dw = jnp.where(live, dw, 0)
     zero = lambda a: np.zeros(a.shape, jax.dtypes.float0)
-    return dx2, dw, zero(idx), zero(idx_t), zero(perm_t)
+    return dx2, dw, zero(idx), zero(idx_t), zero(perm_t), zero(live)
 
 
 _ell_mix.defvjp(_ell_mix_fwd, _ell_mix_bwd)
-
-
-def ell_mix_2d(x2: jnp.ndarray, sp: SparseSupport) -> jnp.ndarray:
-    """Node-leading ELL mix on a 2-D view: (N, R) -> (N, R). The layout
-    used by the all-sparse gcn fast path, which transposes once per hop
-    BLOCK instead of per hop."""
-    return _ell_mix(x2, sp.w, sp.idx, sp.idx_t, sp.perm_t)
 
 
 def nconv_sparse(x: jnp.ndarray, sp: SparseSupport) -> jnp.ndarray:

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from graph_wavenet_tpu.ops.linear import accum_dtype
 from graph_wavenet_tpu.parallel.mesh import TIME
 
 
@@ -48,19 +49,33 @@ def sharded_causal_conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
     """
     k = w.shape[0]
     halo = dilation * (k - 1)
+    n_time = mesh.shape[TIME]
+    t_shard = x.shape[1] // n_time
+    if halo > t_shard:
+        raise ValueError(
+            f"time-halo SP needs the per-shard time width (T/time_axis = "
+            f"{x.shape[1]}/{n_time} = {t_shard}) >= the halo "
+            f"dilation*(kernel-1) = {halo}: one ppermute only reaches the "
+            "immediate right neighbor. Use fewer time shards or a smaller "
+            "dilation at this depth.")
 
     def local(x_blk, w_, b_):
+        # mixed-precision contract of ops.temporal.causal_conv_apply: weights
+        # cast to the activation dtype per use, fp32 accumulation, output in
+        # the activation dtype — the sharded conv stays bit-comparable
+        w_ = w_.astype(x_blk.dtype)
+        acc = accum_dtype(x_blk.dtype)
         x_ext = halo_exchange_right(x_blk, halo)
         t_loc = x_blk.shape[1]
         out = jnp.einsum("btnc,cf->btnf", x_ext[:, :t_loc], w_[0],
-                         preferred_element_type=x_blk.dtype)
+                         preferred_element_type=acc)
         for i in range(1, k):
             out = out + jnp.einsum(
                 "btnc,cf->btnf",
                 jax.lax.slice_in_dim(x_ext, i * dilation,
                                      i * dilation + t_loc, axis=1),
-                w_[i], preferred_element_type=x_blk.dtype)
-        return out + b_
+                w_[i], preferred_element_type=acc)
+        return (out + b_).astype(x_blk.dtype)
 
     return jax.shard_map(
         local, mesh=mesh,

@@ -92,8 +92,14 @@ def save_checkpoint(path: str, state: TrainState,
                     extra: dict | None = None) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     pytree = _fetch_pytree_host(_state_to_pytree(state))
-    with open(path, "wb") as f:
+    # atomic publish (tmp + rename): a crash mid-write — including the
+    # async writer thread dying at interpreter exit — must never leave a
+    # truncated checkpoint at the final path, where a later resume would
+    # fail with an opaque msgpack error instead of using an older epoch
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(pytree))
+    os.replace(tmp, path)
     meta: dict[str, Any] = {"format": "graph_wavenet_tpu/v1"}
     if model_cfg is not None:
         meta["model_cfg"] = asdict(model_cfg)
@@ -103,8 +109,10 @@ def save_checkpoint(path: str, state: TrainState,
         meta["scaler"] = {"mean": scaler.mean, "std": scaler.std}
     if extra:
         meta["extra"] = extra
-    with open(path + ".json", "w") as f:
+    jtmp = path + ".json.tmp"
+    with open(jtmp, "w") as f:
         json.dump(meta, f, indent=2)
+    os.replace(jtmp, path + ".json")
 
 
 def load_checkpoint(path: str, template: TrainState) -> TrainState:
@@ -197,15 +205,24 @@ class _HostState:
         return self._pytree
 
 
-def prune_checkpoints(save_dir: str, prefix: str, keep: int,
-                      scores: dict[str, float]) -> None:
+def prune_checkpoints(keep: int, scores: dict[str, float]) -> None:
     """Keep the ``keep`` best (lowest-score) checkpoints, delete the rest.
-    ``scores``: checkpoint path -> validation loss. keep<=0 keeps all."""
-    if keep <= 0:
+    ``scores``: checkpoint path -> validation loss. ``keep < 0`` keeps all
+    (callers guard the TrainConfig keep-all sentinel themselves); ``keep ==
+    0`` deletes every tracked checkpoint (the async writer prunes to
+    ``keep_checkpoints - 1`` BEFORE enqueueing the next write).
+
+    A ranked-out path that does not exist yet (its async write is still
+    queued) stays tracked so a later prune can remove it once written —
+    popping it here would orphan the file forever."""
+    if keep < 0:
         return
     ranked = sorted(scores.items(), key=lambda kv: kv[1])
     for path, _ in ranked[keep:]:
+        removed = False
         for p in (path, path + ".json"):
             if os.path.exists(p):
                 os.remove(p)
-        scores.pop(path, None)
+                removed = True
+        if removed:
+            scores.pop(path, None)

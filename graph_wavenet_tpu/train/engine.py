@@ -59,18 +59,30 @@ def make_optimizer(cfg: TrainConfig,
     (`/root/reference/engine.py:33,53-55`).
 
     Optional step-decay schedule (the reference's commented-out
-    lr*0.1^(epoch//10) at `train.py:146-149`): active when
-    ``cfg.lr_decay < 1`` and ``steps_per_epoch`` is known.
+    lr*0.1^(epoch//10) at `train.py:146-149`): requires ``steps_per_epoch``
+    (the schedule counts optimizer steps) — configuring ``lr_decay`` without
+    it is an error rather than a silently constant learning rate.
     """
-    if cfg.lr_decay < 1.0 and steps_per_epoch > 0:
+    if cfg.lr_decay < 1.0 and steps_per_epoch <= 0:
+        raise ValueError(
+            f"TrainConfig.lr_decay={cfg.lr_decay} < 1 needs steps_per_epoch "
+            "to convert epochs to optimizer steps — pass "
+            "Engine(..., steps_per_epoch=train_loader.num_batch)")
+    if cfg.lr_decay < 1.0:
         def schedule(step):
             epoch = step // steps_per_epoch
             lr = cfg.learning_rate * cfg.lr_decay ** (
                 epoch // cfg.lr_decay_every)
             return jnp.maximum(lr, cfg.min_lr)
-        lr_term = optax.scale_by_schedule(lambda s: -schedule(s))
     else:
-        lr_term = optax.scale(-cfg.learning_rate)
+        def schedule(step):
+            return cfg.learning_rate
+    # always scale_by_schedule (constant schedule when lr_decay is off) so
+    # the opt_state STRUCTURE is invariant to the decay config — a
+    # checkpoint written with decay on resumes into an engine with it off
+    # and vice versa (optax.scale is stateless; mixing the two made resume
+    # fail on the pytree mismatch)
+    lr_term = optax.scale_by_schedule(lambda s: -schedule(s))
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.add_decayed_weights(cfg.weight_decay),
@@ -89,6 +101,15 @@ class TrainState:
     rng: jax.Array
 
 
+def gather_window_rows(src: jnp.ndarray, starts: jnp.ndarray,
+                       length: int) -> jnp.ndarray:
+    """(T, ...) resident series + (B,) start rows -> (B, length, ...)
+    window gather — the on-device equivalent of the native loader's
+    ``gather_windows`` (used by the fused windows-on-demand scans)."""
+    idx = starts[:, None] + jnp.arange(length)[None, :]
+    return jnp.take(src, idx, axis=0)
+
+
 def horizon_target(y: jnp.ndarray) -> jnp.ndarray:
     """y (B, H, N, F) -> (B, 1, N, H) speed-channel target, the layout the
     reference compares against (`engine.py:46-48`)."""
@@ -105,6 +126,10 @@ def pool_F(predict: jnp.ndarray, F_t: int) -> jnp.ndarray:
     """Temporal block-mean over windows of F_t, repeated back to full rate
     (`engine.py:87-92`). predict: (B, 1, N, K)."""
     b, c, n, k = predict.shape
+    if k % F_t != 0:
+        raise ValueError(
+            f"F-modality pooling needs seq_length K={k} divisible by "
+            f"F_t={F_t} (the reference picks F_t = K//12, util.py:234)")
     f = predict.reshape(b, c, n, k // F_t, F_t).mean(-1)
     return jnp.repeat(f, F_t, axis=-1)
 
@@ -324,13 +349,9 @@ class Engine:
         raw units). anchors: (S, B) int32 last-observed-step indices."""
         ys_src = series if y_series is None else y_series
 
-        def gather(src, starts, length):
-            idx = starts[:, None] + jnp.arange(length)[None, :]
-            return jnp.take(src, idx, axis=0)
-
         def body(st, a):
-            x = gather(series, a - (window - 1), window)
-            y = gather(ys_src, a + y_start, horizon)
+            x = gather_window_rows(series, a - (window - 1), window)
+            y = gather_window_rows(ys_src, a + y_start, horizon)
             return self._train_step_core(st, x, y, supports)
 
         return jax.lax.scan(body, state, anchors)
@@ -343,13 +364,9 @@ class Engine:
         Windows gathered on device per chunk (see train_steps_windows)."""
         ys_src = series if y_series is None else y_series
 
-        def gather(src, starts, length):
-            idx = starts[:, None] + jnp.arange(length)[None, :]
-            return jnp.take(src, idx, axis=0)
-
         def body(_, a):
-            x = gather(series, a - (window - 1), window)
-            y = gather(ys_src, a + y_start, horizon)
+            x = gather_window_rows(series, a - (window - 1), window)
+            y = gather_window_rows(ys_src, a + y_start, horizon)
             return None, self._eval_metrics(state, x, y, supports)
 
         _, ms = jax.lax.scan(body, None, anchors)
@@ -370,11 +387,8 @@ class Engine:
         predict, _ = self._forward(state.params, state.model_state, x,
                                    supports, False, state.rng)
         real = horizon_target(y)
-        return {
-            "loss": masked_mae(predict, real, 0.0),
-            "mape": masked_mape(predict, real, 0.0),
-            "rmse": masked_rmse(predict, real, 0.0),
-        }
+        return self._train_metrics(masked_mae(predict, real, 0.0),
+                                   predict, real)
 
     @functools.partial(jax.jit, static_argnums=0)
     def eval_step(self, state: TrainState, x, y, supports):
@@ -430,7 +444,8 @@ class Engine:
 
         xs/ys: (n_samples, ...) resident; idx: (S, B) sample indices;
         adj_of_sample: (n_samples,) graph index per sample; sup_stack: list
-        of (n_graphs, N, N); proj_stack: (n_graphs, C, N).
+        of (n_graphs, N, N); proj_stack: (n_graphs, N, N) cluster-mean
+        projectors (see :func:`cluster_mean_projector`).
         """
         def body(st, sel):
             x = jnp.take(xs, sel, axis=0)

@@ -657,19 +657,17 @@ class Runner:
                     scaler=self.engine.scaler,
                     extra={"epoch": epoch, "val_loss": val_loss})
         if self._ckpt_writer is not None:
-            # prune completed files down to keep-1 BEFORE enqueueing, so the
-            # background write never races a deletion of its own target
-            if self.cfg.keep_checkpoints > 0:
-                ckpt.prune_checkpoints(self.cfg.save_dir, "",
-                                       self.cfg.keep_checkpoints - 1,
-                                       self._ckpt_scores)
-            self._ckpt_scores[path] = val_loss
             self._ckpt_writer.save(path, state, **meta)
         else:
             ckpt.save_checkpoint(path, state, **meta)
-            self._ckpt_scores[path] = val_loss
-            ckpt.prune_checkpoints(self.cfg.save_dir, "",
-                                   self.cfg.keep_checkpoints,
+        self._ckpt_scores[path] = val_loss
+        # keep_checkpoints <= 0 = keep all (the reference keeps every
+        # epoch). Pruning ranks the just-saved path too — if its async
+        # write hasn't landed yet the file is simply still tracked and a
+        # later prune (or the final one in _finalize_best) removes it;
+        # checkpoints publish atomically, so a prune never races a write.
+        if self.cfg.keep_checkpoints > 0:
+            ckpt.prune_checkpoints(self.cfg.keep_checkpoints,
                                    self._ckpt_scores)
         if val_loss < result.best_val_loss:
             result.best_val_loss = val_loss
@@ -681,6 +679,11 @@ class Runner:
         (`train.py:302-309`)."""
         if self._ckpt_writer is not None:
             self._ckpt_writer.wait()     # drain in-flight epoch writes
+            # final prune: paths whose writes were still queued when their
+            # epoch's prune ran are on disk now
+            if self.cfg.keep_checkpoints > 0:
+                ckpt.prune_checkpoints(self.cfg.keep_checkpoints,
+                                       self._ckpt_scores)
         if result.best_checkpoint and os.path.exists(result.best_checkpoint):
             self.engine.state = ckpt.load_checkpoint(result.best_checkpoint,
                                                      self.engine.state)

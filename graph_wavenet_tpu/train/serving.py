@@ -42,12 +42,19 @@ class Forecaster:
 
     @classmethod
     def from_checkpoint(cls, path: str, supports) -> "Forecaster":
+        import dataclasses
+
         from graph_wavenet_tpu.train import checkpoint as ckpt
         from graph_wavenet_tpu.train.engine import Engine
 
         meta = ckpt.load_metadata(path)
-        engine = Engine(meta["model_cfg"], meta["train_cfg"],
-                        meta.get("scaler"))
+        # inference never steps the optimizer: neutralize the lr schedule,
+        # which would otherwise demand steps_per_epoch (unknown and
+        # irrelevant here) for decay-trained checkpoints
+        tcfg = meta["train_cfg"]
+        if tcfg.lr_decay < 1.0:
+            tcfg = dataclasses.replace(tcfg, lr_decay=1.0)
+        engine = Engine(meta["model_cfg"], tcfg, meta.get("scaler"))
         state = ckpt.load_checkpoint(path, engine.state)
         return cls(meta["model_cfg"], state.params, state.model_state,
                    supports, meta.get("scaler") or StandardScaler(0.0, 1.0))
@@ -106,38 +113,55 @@ def rolling_forecast(forecaster: Forecaster, history: jnp.ndarray,
 
 
 def autoregressive_forecast(forecaster: Forecaster, x: jnp.ndarray,
-                            n_rounds: int) -> jnp.ndarray:
+                            n_rounds: int,
+                            future_aux: jnp.ndarray | None = None
+                            ) -> jnp.ndarray:
     """Closed-loop rollout: forecast H steps, feed them back as the signal
-    channel (auxiliary feature channels are rolled forward), repeat.
+    channel, repeat.
 
     x: (B, K, N, F); returns (B, n_rounds * H, N) raw-unit forecasts.
     Compiled once per (forecaster, n_rounds, shape) via the instance cache.
+
+    ``future_aux`` (B, n_rounds*H, N, F-1): the auxiliary feature channels
+    for the forecast horizon. Calendar features like time-of-day ARE known
+    for the future — pass them here to condition every round correctly.
+    Without it the last window's aux tail is repeated, which only matches
+    the true calendar when the aux pattern's period divides H (e.g. H = one
+    full day); otherwise rounds >= 2 are conditioned on stale values.
     """
     horizon = forecaster.cfg.out_dim
+    if future_aux is not None and x.shape[-1] > 1:
+        b, n = x.shape[0], x.shape[2]
+        # (B, rounds*H, N, F-1) -> (rounds, B, H, N, F-1) scan chunks
+        chunks = jnp.transpose(
+            future_aux.reshape(b, n_rounds, horizon, n, -1),
+            (1, 0, 2, 3, 4))
+    else:
+        chunks = None
 
     def build():
-        def run(x):
-            def step(x, _):
+        def run(x, chunks):
+            def step(x, aux_chunk):
                 pred_raw = forecaster._predict_impl(x)    # (B, H, N)
                 pred_std = (pred_raw - forecaster.scaler.mean
                             ) / forecaster.scaler.std
                 feats = [pred_std[..., None]]
                 if x.shape[-1] > 1:
-                    # roll the auxiliary channels (e.g. time-of-day) forward
-                    # by repeating their last window's tail pattern
-                    aux = x[:, -horizon:, :, 1:]
+                    aux = (aux_chunk if aux_chunk is not None
+                           else x[:, -horizon:, :, 1:])  # tail-repeat
                     feats.append(aux)
                 new_steps = jnp.concatenate(feats, axis=-1)  # (B, H, N, F)
                 x = jnp.concatenate([x[:, horizon:], new_steps], axis=1)
                 return x, pred_raw
 
-            _, preds = jax.lax.scan(step, x, None, length=n_rounds)
+            _, preds = jax.lax.scan(step, x, chunks, length=n_rounds)
             # (rounds, B, H, N) -> (B, rounds*H, N)
             return jnp.transpose(preds, (1, 0, 2, 3)).reshape(
                 x.shape[0], n_rounds * horizon, x.shape[2])
         return run
 
-    return forecaster._jit(("ar", n_rounds), build)(x)
+    return forecaster._jit(("ar", n_rounds, chunks is not None),
+                           build)(x, chunks)
 
 
 def export_forecaster(forecaster: Forecaster, path: str, batch_size: int,
@@ -152,11 +176,14 @@ def export_forecaster(forecaster: Forecaster, path: str, batch_size: int,
     (its deployment unit is a pickled state_dict plus the whole repo,
     `/root/reference/test.py:48-50`).
 
-    seq_len: input window (default: the model's receptive field, the
-    canonical serving shape — the same window :meth:`Forecaster.predict` is
-    fed by the test loop). platforms: lowering targets, e.g.
-    ``["tpu", "cpu"]`` — a CPU host can export for TPU serving; default is
-    the current backend only.
+    seq_len: input window baked into the artifact (default: the model's
+    receptive field — the smallest window the model reads in full; NB the
+    canonical test-loop window, e.g. K=12 for METR-LA, is rf-1). The
+    loaded artifact left-zero-pads SHORTER inputs up to the baked window
+    (bitwise-identical to the model's own receptive-field padding), so a
+    default export still serves canonical K-step windows. platforms:
+    lowering targets, e.g. ``["tpu", "cpu"]`` — a CPU host can export for
+    TPU serving; default is the current backend only.
     """
     from jax import export as jexport
 
@@ -174,7 +201,11 @@ def export_forecaster(forecaster: Forecaster, path: str, batch_size: int,
 
 def load_exported_forecaster(path: str):
     """Load an :func:`export_forecaster` artifact; returns an object with
-    ``.predict(x)`` — no model code or checkpoint needed."""
+    ``.predict(x)`` — no model code or checkpoint needed. Inputs with fewer
+    timesteps than the baked window are left-zero-padded to it, exactly the
+    model's own receptive-field padding (`/root/reference/model.py:176-180`
+    semantics), so canonical K-step windows feed an rf-window artifact
+    bit-identically."""
     from jax import export as jexport
 
     with open(path, "rb") as f:
@@ -186,6 +217,11 @@ def load_exported_forecaster(path: str):
 
         @staticmethod
         def predict(x: jnp.ndarray) -> jnp.ndarray:
+            t = _ExportedForecaster.in_shape[1]
+            if x.shape[1] < t:
+                pad = [(0, 0)] * x.ndim
+                pad[1] = (t - x.shape[1], 0)
+                x = jnp.pad(x, pad)
             return exp.call(x)
 
     return _ExportedForecaster

@@ -38,3 +38,19 @@ assert len(jax.devices()) == 8
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled-executable state between test modules.
+
+    A full suite run compiles hundreds of distinct programs into one
+    process; at ~92% (twice, deterministically at the next large GSPMD
+    compile) jaxlib 0.9.0's CPU backend segfaulted inside
+    backend_compile_and_load / the Eigen pool. Bounding accumulated JIT
+    state avoids the crash; modules don't share jit signatures, so the
+    recompile cost is negligible."""
+    yield
+    import jax
+
+    jax.clear_caches()

@@ -127,6 +127,16 @@ def test_crash_pipeline_with_custom_records(rng):
     assert x.shape[2] == 12
 
 
+def test_crash_too_few_sessions_rejected(rng):
+    """n_sessions <= 2 used to arithmetic its way to an EMPTY (or negative)
+    train split and crash in np.stack; it must be a clear error."""
+    recs = crash.synthetic_crash_records(
+        n_subjects=2, sessions_per_subject=1, n_regions=8, n_electrodes=3,
+        fmri_len=16, rng=rng)
+    with pytest.raises(ValueError, match="3 aligned sessions"):
+        crash.load_dataset_crash(batch_size=2, records=recs)
+
+
 def test_bench_inference_smoke():
     r = benchmarks.bench_inference(SMALL, seq=6, batches=(2,), steps=3,
                                    horizon_steps=2)

@@ -233,3 +233,52 @@ def test_diffusion_rollout_stats(sbm_graph):
     assert np.isfinite(x).all()
     # normalized by lambda_max: trajectories stay bounded
     assert np.abs(x).max() < 50
+
+
+def test_diffusion_rollout_zero_noise(sbm_graph):
+    """sigma=0 / rho=0 are legitimate no-noise settings (the reference's
+    multivariate_normal accepts singular covariance); the rollout must not
+    crash on the Cholesky of a zero/rank-1 covariance — and the defaults
+    MultiModalityPrediction ships (sigma_temporal=0) must construct."""
+    x = synthetic.diffusion_rollout(sbm_graph, 2, 20, 0.0, 0.0, 0.0, 0.0,
+                                    np.random.default_rng(0))
+    want = [np.asarray(x[..., 0])]
+    A = sbm_graph.W / sbm_graph.lambda_max()
+    for _ in range(19):
+        want.append(want[-1] @ A)
+    np.testing.assert_allclose(x, np.stack(want, axis=-1), atol=1e-6)
+    # rank-1 rho-only covariance (singular but nonzero) works too
+    x2 = synthetic.diffusion_rollout(sbm_graph, 2, 8, 0.0, 0.0, 0.3, 0.2,
+                                     np.random.default_rng(1))
+    assert np.isfinite(x2).all()
+    gen = synthetic.MultiModalityPrediction(
+        sbm_graph, K=12, n_train=2, n_valid=1, n_test=1, horizon=60,
+        F_t=4, rng=np.random.default_rng(5))   # ships sigma_temporal=0.0
+    assert np.isfinite(gen.samples["train"]["x"]).all()
+
+
+def test_stack_support_splits_empty_test():
+    adjs = [[np.full((3, 3), i, np.float32)] for i in range(5)]
+    sup = synthetic.stack_support_splits(adjs, 3, 0)
+    assert sup["train"][0].shape == (3, 3, 3)
+    assert sup["val"][0].shape == (2, 3, 3)      # was empty via [3:-0]
+    assert sup["test"][0].shape == (0, 3, 3)     # was ALL samples via [-0:]
+    np.testing.assert_array_equal(sup["val"][0][:, 0, 0], [3.0, 4.0])
+
+
+def test_load_dataset_syn_short_seq_rejected():
+    cfg = DataConfig(dataset="syn", num_nodes=10, seq_length=11,
+                     n_train=2, n_valid=1, n_test=1, num_timestep=40)
+    with pytest.raises(ValueError, match="seq_length >= 12"):
+        synthetic.load_dataset_syn(cfg, batch_size=4, seed=0)
+
+
+def test_metr_streaming_rejects_tiny_series(rng):
+    from graph_wavenet_tpu.data import metr
+
+    vals = rng.random((26, 4)).astype(np.float32)   # 3 valid anchors
+    idx = (np.datetime64("2012-03-01")
+           + np.arange(26) * np.timedelta64(5, "m"))
+    with pytest.raises(ValueError, match="too few"):
+        metr.load_dataset_streaming(vals, index=idx, batch_size=2,
+                                    resident="host")

@@ -254,6 +254,20 @@ def test_lr_decay_schedule(rng):
     assert lrs[3] / lrs[5] == pytest.approx(10.0, rel=0.2)
 
 
+def test_lr_decay_without_steps_per_epoch_rejected():
+    """lr_decay < 1 with unknown steps_per_epoch used to silently train at
+    a constant lr; it must be a config error instead."""
+    tcfg = TrainConfig(learning_rate=1e-2, lr_decay=0.5)
+    with pytest.raises(ValueError, match="steps_per_epoch"):
+        eng.make_optimizer(tcfg)
+
+
+def test_pool_F_indivisible_seq_rejected(rng):
+    pred = jnp.asarray(rng.normal(size=(2, 1, 4, 12)).astype(np.float32))
+    with pytest.raises(ValueError, match="divisible"):
+        eng.pool_F(pred, 5)
+
+
 def test_train_step_accum_matches_full_batch(rng):
     """Gradient accumulation: n_micro micro-batches average to the
     full-batch gradient (dropout off, balanced masks) within tolerance."""

@@ -260,6 +260,20 @@ def test_diff_g_forward_parity(rng):
         np.asarray(got), want.numpy().transpose(0, 3, 2, 1), atol=2e-4)
 
 
+def test_diff_g_supports_none_is_temporal_only(rng):
+    """supports=None disables graph convs AND the adaptive adjacency, the
+    same gate as the shared-graph model — it used to coerce None to [] and
+    crash on the gcn hop-count assert with addaptadj on."""
+    B = 2
+    cfg = small_cfg(start_dilation=4, out_dim=8)
+    assert cfg.gcn_bool and cfg.addaptadj
+    params, state = init_gwnet_diff_g(jax.random.key(4), cfg)
+    x = rng.normal(size=(B, 25, N_NODES, 2)).astype(np.float32)
+    got, _ = apply_gwnet_diff_g(cfg, params, state, jnp.asarray(x), None,
+                                train=False)
+    assert np.isfinite(np.asarray(got)).all()
+
+
 def test_diff_g_aptinit_batched(rng):
     B = 2
     cfg = small_cfg(start_dilation=4, out_dim=8)

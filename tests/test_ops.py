@@ -248,7 +248,8 @@ def test_sparse_gcn_matches_dense(x, rng):
     sp0 = sparse_sup[0]
 
     def loss_sparse(xx, w):
-        sp = sparse.SparseSupport(sp0.idx, w, sp0.idx_t, sp0.perm_t)
+        sp = sparse.SparseSupport(sp0.idx, w, sp0.idx_t, sp0.perm_t,
+                                  sp0.live)
         return (diffusion.gcn_apply(p, xx, [sp], order=2) ** 2).sum()
 
     def loss_dense(xx, ww):
@@ -264,6 +265,42 @@ def test_sparse_gcn_matches_dense(x, rng):
         for j in range(3):
             np.testing.assert_allclose(
                 float(dw_s[r, j]), float(da_d[idx[r, j], r]), atol=1e-3)
+
+
+def test_sparse_padding_slots_pinned_at_zero_gradient(rng):
+    """Padding slots of the ELL table must get EXACTLY zero dw: they point
+    at a real node (the row's own index), so a raw gradient there would let
+    an optimizer step grow edges the precomputed transpose table cannot
+    see — dx would silently diverge from dense autodiff after one update
+    on w (the bug this pins). Gradients on build-time edges stay exact."""
+    from graph_wavenet_tpu.ops import sparse
+
+    # ragged column degrees -> from_dense pads short rows
+    a = np.zeros((7, 7), np.float32)
+    a[:4, 0] = [1.0, 2.0, 3.0, 4.0]
+    a[2, 1] = 5.0
+    a[(0, 3), 2] = [6.0, 7.0]
+    sp = sparse.from_dense(a)
+    live = np.asarray(sp.live)
+    assert not live.all(), "fixture must contain padding slots"
+
+    x = jnp.asarray(rng.normal(size=(2, 3, 7, 4)).astype(np.float32))
+
+    def loss(w):
+        s = sparse.SparseSupport(sp.idx, w, sp.idx_t, sp.perm_t, sp.live)
+        return (sparse.nconv_sparse(x, s) ** 2).sum()
+
+    dw = np.asarray(jax.grad(loss)(sp.w))
+    assert (dw[~live] == 0).all()
+    # after an update on w (live slots only move), dx still matches dense
+    w2 = sp.w - 0.05 * jnp.asarray(dw)
+    s2 = sparse.SparseSupport(sp.idx, w2, sp.idx_t, sp.perm_t, sp.live)
+    dx_s = jax.grad(lambda xx: (sparse.nconv_sparse(xx, s2) ** 2).sum())(x)
+    a2 = s2.to_dense()
+    from graph_wavenet_tpu.ops import diffusion
+    dx_d = jax.grad(lambda xx: (diffusion.nconv(
+        xx, jnp.asarray(a2)) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(dx_s), np.asarray(dx_d), atol=1e-4)
 
 
 def test_sparse_support_topk_truncation(rng):

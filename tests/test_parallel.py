@@ -88,6 +88,32 @@ def test_halo_sharded_conv_matches_unsharded(rng):
                                    atol=1e-5)
 
 
+def test_halo_sharded_conv_bf16_matches_unsharded(rng):
+    """Mixed-precision contract: the sharded conv casts weights per use and
+    returns the activation dtype, like causal_conv_apply — bf16 in, bf16
+    out, identical numerics to the unsharded op on this backend."""
+    mesh = M.make_mesh(MeshConfig(time_axis=2))
+    p = causal_conv_init(jax.random.key(0), 5, 7, 2)
+    x = jnp.asarray(rng.normal(size=(2, 16, 4, 5)).astype(np.float32),
+                    jnp.bfloat16)
+    want = causal_conv_apply(p, x, 2)
+    got = halo.sharded_causal_conv(x, p["w"], p["b"], 2, mesh)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got[:, :x.shape[1] - 2], np.float32),
+        np.asarray(want, np.float32), atol=2e-2)
+
+
+def test_halo_wider_than_shard_rejected(rng):
+    """halo > per-shard time width needs multi-hop exchange; fail with the
+    constraint named instead of an opaque slice error."""
+    mesh = M.make_mesh(MeshConfig(time_axis=2))
+    p = causal_conv_init(jax.random.key(0), 5, 7, 2)
+    x = jnp.asarray(rng.normal(size=(1, 16, 4, 5)).astype(np.float32))
+    with pytest.raises(ValueError, match="time-halo"):
+        halo.sharded_causal_conv(x, p["w"], p["b"], 12, mesh)
+
+
 def test_halo_exchange_right(rng):
     mesh = M.make_mesh(MeshConfig(time_axis=2))
     x = rng.normal(size=(1, 8, 2, 3)).astype(np.float32)

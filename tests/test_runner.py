@@ -101,6 +101,18 @@ def test_checkpoint_pruning(tmp_path, dataset):
     assert len(ckpts) == 2
 
 
+def test_checkpoint_pruning_keep_one_retains_best(tmp_path, dataset):
+    """keep_checkpoints=1 under the (default, async) writer used to hit
+    prune's old keep<=0 'keep all' sentinel and retain every epoch; it must
+    keep exactly the best checkpoint, which _finalize_best then reloads."""
+    data, supports = dataset
+    runner, cfg, tcfg = make_runner(tmp_path, epochs=4, keep=1)
+    result = runner.fit(data, supports)
+    ckpts = [p for p in os.listdir(tmp_path) if p.endswith(".msgpack")]
+    assert len(ckpts) == 1
+    assert os.path.join(str(tmp_path), ckpts[0]) == result.best_checkpoint
+
+
 def test_epoch_watchdog_detects_wedge(tmp_path, dataset):
     """An epoch that exceeds epoch_timeout_s raises DeviceWedgedError and
     writes emergency diagnostics (failure detection — SURVEY.md §5 gap)."""

@@ -107,3 +107,59 @@ def test_export_default_seq_len(tmp_path, rng):
                                      batch_size=1)
     loaded = serving.load_exported_forecaster(path)
     assert loaded.in_shape[0] == 1
+
+
+def test_exported_artifact_pads_shorter_windows(tmp_path, rng):
+    """A default (receptive-field) export must accept the canonical K-step
+    window: the loader left-zero-pads it, bit-identical to the model's own
+    rf padding, so predictions match Forecaster.predict on the short
+    window."""
+    f = make_forecaster(rng)
+    path = serving.export_forecaster(f, str(tmp_path / "m.jaxexp"),
+                                     batch_size=2)
+    loaded = serving.load_exported_forecaster(path)
+    rf = f.cfg.receptive_field
+    assert loaded.in_shape[1] == rf
+    x = jnp.asarray(rng.normal(size=(2, rf - 1, N, 2)).astype(np.float32))
+    got = np.asarray(loaded.predict(x))
+    np.testing.assert_allclose(got, np.asarray(f.predict(x)), atol=1e-6)
+
+
+def test_from_checkpoint_with_lr_decay_config(tmp_path, rng):
+    """Serving load must not require steps_per_epoch for decay-trained
+    checkpoints — inference never steps the optimizer."""
+    from graph_wavenet_tpu.train import checkpoint as ckpt
+    from graph_wavenet_tpu.train.engine import Engine
+
+    f = make_forecaster(rng)
+    tcfg = TrainConfig(lr_decay=0.5, lr_decay_every=2)
+    engine = Engine(f.cfg, TrainConfig(), StandardScaler(3.0, 2.0))
+    path = str(tmp_path / "ck.msgpack")
+    ckpt.save_checkpoint(path, engine.state, f.cfg, tcfg,
+                         StandardScaler(3.0, 2.0))
+    f2 = serving.Forecaster.from_checkpoint(path, f.supports)
+    x = jnp.asarray(rng.normal(size=(1, 12, N, 2)).astype(np.float32))
+    assert np.isfinite(np.asarray(f2.predict(x))).all()
+
+
+def test_autoregressive_future_aux_conditioning(rng):
+    """future_aux feeds each round the true future auxiliary channels; when
+    it happens to equal the tail-repeat values the rollout is identical,
+    and when it differs the conditioning visibly changes rounds >= 2."""
+    f = make_forecaster(rng)
+    x = jnp.asarray(rng.normal(size=(2, 12, N, 2)).astype(np.float32))
+    h, rounds = 6, 3
+    # tail-repeat equivalent future_aux: each round repeats x's last h aux
+    tail = np.asarray(x)[:, -h:, :, 1:]
+    fa_same = jnp.asarray(np.concatenate([tail] * rounds, axis=1))
+    want = serving.autoregressive_forecast(f, x, rounds)
+    got = serving.autoregressive_forecast(f, x, rounds, future_aux=fa_same)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    fa_diff = fa_same + 1.5
+    other = serving.autoregressive_forecast(f, x, rounds,
+                                            future_aux=fa_diff)
+    # round 1 is conditioned on x only -> unchanged; later rounds differ
+    np.testing.assert_allclose(np.asarray(other[:, :h]),
+                               np.asarray(want[:, :h]), atol=1e-5)
+    assert np.abs(np.asarray(other[:, h:]) -
+                  np.asarray(want[:, h:])).max() > 1e-4
