@@ -62,6 +62,9 @@ def _differential_time(run_steps, n1: int, n2: int) -> float:
     unlike block_until_ready — forces completion through tunneled device
     transports) and return seconds/step from the difference, cancelling the
     fixed dispatch/fetch overhead. See BENCH_NOTES.md."""
+    if n2 <= n1:
+        # degenerate smoke runs (steps=1): raw average incl. fixed overhead
+        return run_steps(n2) / n2
     t1 = run_steps(n1)
     t2 = run_steps(n2)
     per_step = (t2 - t1) / (n2 - n1)
@@ -84,6 +87,7 @@ def bench_train_step(cfg: ModelConfig, batch: int = 64, seq: int = 12,
     sup = None if supports is None else [jnp.asarray(s) for s in supports]
 
     state = engine.state
+    warmup = max(warmup, 1)   # compile + bind `metrics` for the fetch below
     for _ in range(warmup):
         state, metrics = engine.train_step(state, xj, yj, sup)
     float(metrics["loss"])
@@ -119,8 +123,16 @@ def bench_sharded_train_step(cfg: ModelConfig, mesh_cfg: MeshConfig,
         sup = [jax.device_put(jnp.asarray(s),
                               M.support_sharding(mesh, mesh_cfg))
                for s in supports]
+    # serialize steps on an EMULATED (CPU-device) mesh: overlapping
+    # executions of a collective program deadlock XLA:CPU (the Runner's
+    # _throttle documents the observed abort); real TPU meshes keep the
+    # async chain so the differential timing is undisturbed
+    emulated = mesh.devices.flat[0].platform == "cpu"
+    warmup = max(warmup, 1)
     for _ in range(warmup):
         state, metrics = engine.train_step(state, xj, yj, sup)
+        if emulated:
+            jax.block_until_ready(metrics)
     float(metrics["loss"])
 
     def run_steps(n):
@@ -128,6 +140,8 @@ def bench_sharded_train_step(cfg: ModelConfig, mesh_cfg: MeshConfig,
         t0 = time.perf_counter()
         for _ in range(n):
             state, metrics = engine.train_step(state, xj, yj, sup)
+            if emulated:
+                jax.block_until_ready(metrics)
         float(metrics["loss"])
         return time.perf_counter() - t0
 
@@ -156,8 +170,11 @@ def weak_scaling(cfg: ModelConfig = FLAGSHIP, per_device_batch: int = 64,
         xj, yj = M.shard_batch(mesh, mesh_cfg, x, y)
         sup = [jax.device_put(jnp.asarray(s), M.replicated(mesh))
                for s in supports]
+        emulated = mesh.devices.flat[0].platform == "cpu"
         for _ in range(3):
             state, metrics = engine.train_step(state, xj, yj, sup)
+            if emulated:
+                jax.block_until_ready(metrics)
         float(metrics["loss"])
 
         def run_steps(k):
@@ -165,6 +182,8 @@ def weak_scaling(cfg: ModelConfig = FLAGSHIP, per_device_batch: int = 64,
             t0 = time.perf_counter()
             for _ in range(k):
                 state, metrics = engine.train_step(state, xj, yj, sup)
+                if emulated:
+                    jax.block_until_ready(metrics)
             float(metrics["loss"])
             return time.perf_counter() - t0
 

@@ -51,17 +51,29 @@ def main(argv=None) -> dict:
     meta = ckpt.load_metadata(args.checkpoint)
     model_cfg = meta["model_cfg"]
     train_cfg = meta["train_cfg"]
+    # evaluation never steps the optimizer — neutralize the lr schedule,
+    # which would otherwise demand steps_per_epoch for decay-trained
+    # checkpoints (same fix as serving.Forecaster.from_checkpoint)
+    if train_cfg.lr_decay < 1.0:
+        import dataclasses
+
+        train_cfg = dataclasses.replace(train_cfg, lr_decay=1.0)
     scaler = meta.get("scaler")
 
     engine = Engine(model_cfg, train_cfg, scaler)
     engine.state = ckpt.load_checkpoint(args.checkpoint, engine.state)
+    scaler = scaler or engine.scaler
 
     _, _, adj = load_adj(args.adjdata, args.adjtype)
-    supports = None if args.aptonly else adj
+    # [] (not None) for aptonly: the adaptive adjacency stays active with
+    # no fixed supports — None would disable the graph convs entirely
+    # (the reference converts None to [] the same way, model.py:112-115)
+    supports = [] if args.aptonly else adj
     data = load_dataset(args.data, args.batch_size)
 
     runner = Runner(engine, train_cfg)
-    result = runner.test(data, supports, scaler=scaler)
+    result = runner.test(data, supports, scaler=scaler,
+                         return_predictions=bool(args.csv_out))
 
     out: dict = {"per_horizon": result.per_horizon,
                  "test_metrics": result.test_metrics}
@@ -86,25 +98,20 @@ def main(argv=None) -> dict:
         except Exception as e:  # headless/mpl-less environments
             print(f"heatmap skipped: {e}")
 
-    # node predictions CSV: real, horizon-3 pred, horizon-12 pred
+    # node predictions CSV — the reference's wave.csv schema: real12,
+    # pred12, real3, pred3 for one node (`test.py:100-107`); predictions
+    # reused from the test pass above (no second forward sweep)
     if args.csv_out:
-        import jax.numpy as jnp
-
-        sup = None if supports is None else [jnp.asarray(s)
-                                             for s in supports]
-        preds = []
-        for batch in data["test_loader"].get_iterator():
-            p = engine.predict_step(engine.state, jnp.asarray(batch[0]), sup)
-            preds.append(np.asarray(p)[:, 0])
-        yhat = np.concatenate(preds)[:len(data["y_test"])]
+        yhat = result.test_metrics.pop("yhat")
         real = np.transpose(data["y_test"][..., 0], (0, 2, 1))
         node = min(args.csv_node, real.shape[1] - 1)
         horizon = yhat.shape[-1]
         cols = {"real12": real[:, node, min(11, horizon - 1)],
-                "pred3": scaler.inverse_transform(
-                    yhat[:, node, min(2, horizon - 1)]),
                 "pred12": scaler.inverse_transform(
-                    yhat[:, node, min(11, horizon - 1)])}
+                    yhat[:, node, min(11, horizon - 1)]),
+                "real3": real[:, node, min(2, horizon - 1)],
+                "pred3": scaler.inverse_transform(
+                    yhat[:, node, min(2, horizon - 1)])}
         header = ",".join(cols)
         table = np.stack(list(cols.values()), axis=1)
         np.savetxt(args.csv_out, table, delimiter=",", header=header,

@@ -27,7 +27,10 @@ def build_features(values: np.ndarray, index=None, add_time_in_day=True,
         feats.append(np.tile(time_ind[:, None, None], (1, num_nodes, 1)))
     if add_day_in_week:
         idx = np.asarray(index)
-        dow = ((idx.astype("datetime64[D]").view("int64") + 4) % 7)
+        # pandas dayofweek convention (Monday=0), the reference's
+        # df.index.dayofweek (`generate_training_data.py:36-38`):
+        # epoch day 0 = 1970-01-01 was a THURSDAY (=3), hence the +3
+        dow = ((idx.astype("datetime64[D]").view("int64") + 3) % 7)
         feats.append(np.tile(dow[:, None, None].astype(np.float64),
                              (1, num_nodes, 1)))
     return np.concatenate(feats, axis=-1)
@@ -61,6 +64,12 @@ def generate_train_val_test(values: np.ndarray, output_dir: str, index=None,
     num_test = round(num_samples * 0.2)
     num_train = round(num_samples * 0.7)
     num_val = num_samples - num_test - num_train
+    if min(num_train, num_val, num_test) < 1:
+        # x[-0:] would silently write test.npz = ALL samples (train leak)
+        raise ValueError(
+            f"series yields only {num_samples} windowed samples — too few "
+            f"for the 70/10/20 split (train/val/test = "
+            f"{num_train}/{num_val}/{num_test})")
     splits = {
         "train": (x[:num_train], y[:num_train]),
         "val": (x[num_train:num_train + num_val],

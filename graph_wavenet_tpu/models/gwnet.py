@@ -169,14 +169,15 @@ def _wavenet_stack(cfg: ModelConfig, params: Params, state: State,
         assert rng is not None, "training with dropout needs an rng"
         dropout_keys = jax.random.split(rng, len(params["layers"]))
 
-    # fused Pallas kernels: shared (N, N) supports and fp32 activations
-    # only — batched (B, N, N) diff-G supports use the XLA path, and the
-    # kernels' (rows, C) layouts do not satisfy Mosaic's bf16 (16, 128)
-    # minimum tile, so bf16 configs fall back to XLA (which is faster at
-    # these shapes anyway, BENCH_NOTES.md)
+    # fused Pallas kernels: NON-EMPTY shared (N, N) supports and fp32
+    # activations only — batched (B, N, N) diff-G supports and the
+    # identity-only GCN (supports=[]) use the XLA path, and the kernels'
+    # (rows, C) layouts do not satisfy Mosaic's bf16 (16, 128) minimum
+    # tile, so bf16 configs fall back to XLA (which is faster at these
+    # shapes anyway, BENCH_NOTES.md)
     fused = (cfg.use_pallas and cfg.dtype == "float32"
-             and (not use_gcn or all(
-                 getattr(a, "ndim", None) == 2 for a in (supports or []))))
+             and (not use_gcn or (bool(supports) and all(
+                 getattr(a, "ndim", None) == 2 for a in supports))))
     if fused:
         from graph_wavenet_tpu.ops.pallas.diffusion import gcn_rows
         from graph_wavenet_tpu.ops.pallas.gated_tcn import (

@@ -17,13 +17,13 @@ import jax.numpy as jnp
 
 
 def accum_dtype(x_dtype) -> jnp.dtype | None:
-    """Accumulation dtype for matmuls: fp32 on TPU (the MXU accumulates
-    fp32 natively for bf16 inputs); None elsewhere — CPU XLA cannot execute
-    BF16xBF16->F32 dots, so low-precision inputs accumulate in their own
-    dtype there (tests use loose tolerances)."""
+    """Accumulation dtype for matmuls: fp32 everywhere EXCEPT low-precision
+    inputs on CPU — CPU XLA cannot execute BF16xBF16->F32 dots, so those
+    accumulate in their own dtype there (tests use loose tolerances). TPU
+    MXU and GPU tensor cores both accumulate fp32 natively for bf16."""
     if jnp.dtype(x_dtype) == jnp.float32:
         return jnp.float32
-    return jnp.float32 if jax.default_backend() == "tpu" else None
+    return None if jax.default_backend() == "cpu" else jnp.float32
 
 
 def conv_uniform_init(key, shape: tuple, fan_in: int,

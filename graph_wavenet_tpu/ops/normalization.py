@@ -62,9 +62,15 @@ def batch_norm_apply(params: dict, state: dict, x: jnp.ndarray,
             mean = jnp.sum(x * mask, axis=reduce_axes) / n
             var = jnp.sum(jnp.square(x - mean) * mask, axis=reduce_axes) / n
         unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+        # running stats keep the STATE dtype: the fp32 update otherwise
+        # silently promotes non-fp32 state (and a lax.scan carrying BN
+        # state, as in parallel/pipeline.py, hard-fails on the carry
+        # dtype change)
         new_state = {
-            "mean": (1 - momentum) * state["mean"] + momentum * mean,
-            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+            "mean": ((1 - momentum) * state["mean"].astype(jnp.float32)
+                     + momentum * mean).astype(state["mean"].dtype),
+            "var": ((1 - momentum) * state["var"].astype(jnp.float32)
+                    + momentum * unbiased).astype(state["var"].dtype),
         }
     else:
         mean, var = state["mean"], state["var"]

@@ -45,10 +45,10 @@ def _pick_rt(r_pad: int) -> int:
     # largest 128-multiple divisor <= cap (NOT just powers of two: e.g.
     # r_pad = 128*33 has divisor 128*11 — falling to RT=128 is the
     # measured 3x launch-bound cliff)
-    for k in range(cap // 128, 0, -1):
+    for k in range(cap // 128, 1, -1):
         if r_pad % (k * 128) == 0:
             return k * 128
-    raise AssertionError(f"r_pad={r_pad} not a multiple of 128")
+    return 128   # always divides (callers pad r to a 128 multiple)
 
 
 def _mix_kernel(slot_ref, src_ref, blocks_ref, x_ref, o_ref, acc_ref, *,

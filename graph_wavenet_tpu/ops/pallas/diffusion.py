@@ -174,7 +174,15 @@ def gcn_rows(x_btnc, supports, params, order: int, row_block: int = 32,
              interpret: bool = False):
     """Model-layer adapter: (B, T, N, C) + list of (N, N) supports ->
     (B, T, N, F) via the fused kernel."""
+    assert supports, (
+        "the fused Pallas gcn needs at least one support — the "
+        "identity-only GCN (supports=[]) takes the XLA gcn_apply path")
     b, t, n, c = x_btnc.shape
+    n_hops = order * len(supports) + 1
+    assert params["w"].shape[0] == n_hops * c, (
+        f"gcn weight expects {params['w'].shape[0] // c} hop blocks, got "
+        f"{n_hops} ({len(supports)} supports x order {order} + identity) — "
+        "same contract as ops.diffusion.gcn_apply")
     a_stack = jnp.stack(supports)
     out = fused_gcn(x_btnc.reshape(b * t, n, c), a_stack, params["w"],
                     params["b"], order, len(supports), row_block, interpret)

@@ -141,11 +141,12 @@ fused_gated_tcn.defvjp(_fwd, _bwd)
 
 def pack_gate_params(filter_params: dict, gate_params: dict
                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Concat separate filter/gate conv params into the fused (k, C, 2F) /
-    (2F,) operands."""
-    w = jnp.concatenate([filter_params["w"], gate_params["w"]], axis=-1)
-    b = jnp.concatenate([filter_params["b"], gate_params["b"]], axis=-1)
-    return w, b
+    """Fused-kernel operands from the ONE shared packing convention
+    (``ops.temporal.pack_gated_conv_params``)."""
+    from graph_wavenet_tpu.ops.temporal import pack_gated_conv_params
+
+    packed = pack_gated_conv_params(filter_params, gate_params)
+    return packed["w"], packed["b"]
 
 
 def gated_tcn_reference(filter_params, gate_params, x, dilation):

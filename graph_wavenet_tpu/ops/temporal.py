@@ -54,6 +54,19 @@ def causal_conv_apply(params: dict, x: jnp.ndarray,
     return (out + params["b"]).astype(x.dtype)
 
 
+def pack_gated_conv_params(filter_params: dict, gate_params: dict) -> dict:
+    """Concat separate filter/gate conv params into ONE double-width conv
+    (w (k, C, 2F), b (2F,)) — filter channels first, gate second. THE
+    packing convention, shared by the XLA path here and the fused Pallas
+    kernel (``ops.pallas.gated_tcn``); keep it in one place so the two
+    backends cannot drift."""
+    return {
+        "w": jnp.concatenate([filter_params["w"], gate_params["w"]],
+                             axis=-1),
+        "b": jnp.concatenate([filter_params["b"], gate_params["b"]]),
+    }
+
+
 def gated_tcn_apply(filter_params: dict, gate_params: dict, x: jnp.ndarray,
                     dilation: int) -> jnp.ndarray:
     """tanh(filter) * sigmoid(gate) gated activation unit
@@ -66,12 +79,8 @@ def gated_tcn_apply(filter_params: dict, gate_params: dict, x: jnp.ndarray,
     contraction per output channel is unchanged.
     """
     f = filter_params["w"].shape[-1]
-    packed = {
-        "w": jnp.concatenate([filter_params["w"], gate_params["w"]],
-                             axis=-1),
-        "b": jnp.concatenate([filter_params["b"], gate_params["b"]]),
-    }
-    fg = causal_conv_apply(packed, x, dilation)
+    fg = causal_conv_apply(pack_gated_conv_params(filter_params,
+                                                  gate_params), x, dilation)
     return jnp.tanh(fg[..., :f]) * jax.nn.sigmoid(fg[..., f:])
 
 

@@ -22,12 +22,24 @@ import numpy as np
 
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
-               process_id: int | None = None) -> dict:
-    """Bring up the distributed runtime (no-op when single-process)."""
-    if num_processes is not None and num_processes > 1:
-        jax.distributed.initialize(
+               process_id: int | None = None,
+               auto: bool = False) -> dict:
+    """Bring up the distributed runtime.
+
+    The standard multi-host TPU pattern is ``jax.distributed.initialize()``
+    with NO arguments — coordinator and process count auto-detected from the
+    TPU metadata. Pass ``auto=True`` for that, or any explicit argument;
+    with neither (and with an explicit ``num_processes=1``) this is the
+    single-process no-op. Silently skipping auto-detection was a trap: each
+    host would train independently with process_count=1 and no error."""
+    explicit = any(v is not None for v in (coordinator_address,
+                                           num_processes, process_id))
+    if auto or (explicit and (num_processes is None or num_processes > 1)):
+        kwargs = {k: v for k, v in dict(
             coordinator_address=coordinator_address,
-            num_processes=num_processes, process_id=process_id)
+            num_processes=num_processes, process_id=process_id).items()
+            if v is not None}
+        jax.distributed.initialize(**kwargs)
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),

@@ -341,10 +341,14 @@ class Runner:
         return result
 
     def test(self, data: dict, supports, result: RunResult | None = None,
-             scaler=None) -> RunResult:
+             scaler=None, return_predictions: bool = False) -> RunResult:
         """Per-horizon test evaluation (`train.py:377-404`): predictions are
         truncated to the real (unpadded) test count, then inverse-transformed
-        and scored per horizon step."""
+        and scored per horizon step.
+
+        ``return_predictions``: additionally store the raw (standardized)
+        prediction array as ``test_metrics["yhat"]`` (n, N, H) so callers
+        exporting per-node series don't run a second full forward pass."""
         result = result or RunResult()
         engine = self.engine
         scaler = scaler or engine.scaler
@@ -377,6 +381,8 @@ class Runner:
             "mape": float(np.mean([m[1] for m in per_h])),
             "rmse": float(np.mean([m[2] for m in per_h])),
         }
+        if return_predictions:
+            result.test_metrics["yhat"] = np.asarray(yhat)
         self.log("On average over seq_length horizons, Test MAE: "
                  f"{result.test_metrics['mae']:.4f}, Test MAPE: "
                  f"{result.test_metrics['mape']:.4f}, Test RMSE: "

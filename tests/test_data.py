@@ -101,6 +101,33 @@ def test_build_features_time_of_day(rng):
     assert feats[47, 0, 1] == pytest.approx(23.5 / 24)
 
 
+def test_build_features_day_of_week_pandas_convention(rng):
+    """Day-of-week must follow the reference's pandas dayofweek (Monday=0,
+    `generate_training_data.py:36-38`) — the epoch-day formula was off by
+    one (Sunday=0 convention) before."""
+    values = rng.normal(size=(3, 2))
+    # 2026-08-17 is a Monday; the next days follow
+    index = (np.datetime64("2026-08-17T06:00") +
+             np.arange(3) * np.timedelta64(1, "D"))
+    feats = traffic_etl.build_features(values, index, add_time_in_day=True,
+                                       add_day_in_week=True)
+    np.testing.assert_array_equal(feats[:, 0, 2], [0.0, 1.0, 2.0])
+    # and a Sunday maps to 6
+    sun = traffic_etl.build_features(
+        values[:1], np.asarray([np.datetime64("2026-08-16T00:00")]),
+        add_time_in_day=False, add_day_in_week=True)
+    assert sun[0, 0, 1] == 6.0
+
+
+def test_generate_train_val_test_rejects_tiny_series(tmp_path, rng):
+    values = rng.normal(size=(26, 3))   # 3 windowed samples -> num_test=1?
+    index = (np.datetime64("2012-03-01") +
+             np.arange(26) * np.timedelta64(5, "m"))
+    with pytest.raises(ValueError, match="too few"):
+        traffic_etl.generate_train_val_test(values[:25], str(tmp_path),
+                                            index=index[:25])
+
+
 def test_generate_and_load_roundtrip(tmp_path, rng):
     values = rng.normal(size=(200, 5)).astype(np.float32) + 60
     index = (np.datetime64("2012-03-01T00:00") +

@@ -61,7 +61,10 @@ def test_cli_train_and_eval_metr(tmp_path, metr_fixture):
     assert ev["test_metrics"]["mae"] == pytest.approx(
         result.test_metrics["mae"], rel=1e-4)
     assert "adaptive_adjacency" in ev
-    assert os.path.exists(tmp_path / "wave.csv")
+    # reference wave.csv schema (test.py:100-107): all four columns
+    with open(tmp_path / "wave.csv") as f:
+        header = f.readline().strip().split(",")
+    assert header == ["real12", "pred12", "real3", "pred3"]
 
 
 def test_cli_train_syn_diff_g(tmp_path):
