@@ -61,6 +61,7 @@ class ModelConfig:
     # miss Mosaic's bf16 minimum tile), and Mosaic compile times blow up at
     # flagship row counts. Shared-graph fp32 supports only.
     use_pallas: bool = False
+    pallas_row_block: int = 32   # rows of B*T per diffusion-kernel program
     # diffusion dataflow: "fused" (per-hop chain, accumulated projection),
     # "stacked" (all hops of a support in one wide matmul over precomputed
     # powers), "concat" (reference-shaped single projection matmul) — see
@@ -69,6 +70,11 @@ class ModelConfig:
     # fp32 accumulation chain), fp32 -> fused (concat's 7C-channel fp32
     # concat buffer costs more than the chain).
     gcn_mode: str = "auto"
+    # rematerialization: recompute each WaveNet layer in the backward pass
+    # instead of keeping its activations — trades ~1x extra forward FLOPs
+    # for O(layers) less HBM, the standard jax.checkpoint move for large-N
+    # or long-K configs.
+    remat: bool = False
 
     def __post_init__(self):
         if self.gcn_mode not in ("auto", "fused", "stacked", "concat"):
@@ -84,12 +90,6 @@ class ModelConfig:
         if self.gcn_mode != "auto":
             return self.gcn_mode
         return "concat" if self.dtype == "bfloat16" else "fused"
-    pallas_row_block: int = 32   # rows of B*T per diffusion-kernel program
-    # rematerialization: recompute each WaveNet layer in the backward pass
-    # instead of keeping its activations — trades ~1x extra forward FLOPs
-    # for O(layers) less HBM, the standard jax.checkpoint move for large-N
-    # or long-K configs.
-    remat: bool = False
 
     @property
     def supports_len(self) -> int:

@@ -87,8 +87,21 @@ def loader_cls(resident: str):
 def sharded_iterator(loader: DataLoader, sharding):
     """Wrap batches as global device arrays laid out per ``sharding`` (a
     ``jax.sharding.NamedSharding`` over the batch axis) — the multi-host
-    feed path; single-device shardings degrade to plain device_put."""
+    feed path; single-device shardings degrade to plain device_put.
+
+    Lower-rank batch elements (the per-sample-graph 3-tuple's ``adj_idx``
+    is (B,)) take the leading prefix of the PartitionSpec, so a 4-D
+    ``P(data, time, model, None)`` batch sharding lays ``adj_idx`` out as
+    ``P(data)`` instead of crashing on the rank mismatch."""
     import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def place(b, s):
+        spec = getattr(s, "spec", None)
+        if spec is not None and getattr(b, "ndim", None) is not None \
+                and b.ndim < len(spec):
+            s = NamedSharding(s.mesh, PartitionSpec(*spec[:b.ndim]))
+        return jax.device_put(b, s)
 
     for batch in loader.get_iterator():
-        yield tuple(jax.device_put(b, sharding) for b in batch)
+        yield tuple(place(b, sharding) for b in batch)

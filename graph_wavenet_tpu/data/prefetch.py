@@ -43,24 +43,44 @@ def prefetch_to_device(iterator: Iterable, size: int = 2,
                     else jax.device_put(b))
         return b
 
+    stop = threading.Event()
+
+    def qput(item) -> bool:
+        # bounded put that gives up when the consumer is gone — a consumer
+        # abandoning the generator mid-epoch (early break, a training-loop
+        # exception) must not park this thread on q.put forever with
+        # device-resident batches pinned in the queue
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for batch in iterator:
                 if isinstance(batch, tuple):
-                    q.put(tuple(put(b) for b in batch))
+                    ok = qput(tuple(put(b) for b in batch))
                 else:
-                    q.put(put(batch))
-            q.put(_SENTINEL)
+                    ok = qput(put(batch))
+                if not ok:
+                    return
+            qput(_SENTINEL)
         except BaseException as e:           # propagate into the consumer
-            q.put(e)
+            qput(e)
 
     t = threading.Thread(target=producer, daemon=True,
                          name="gwnet-prefetch")
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()      # runs on exhaustion, exceptions, AND generator close

@@ -18,6 +18,7 @@ def sliding_windows(data: np.ndarray, width: int,
                     axis: int = 0) -> np.ndarray:
     """All stride-1 windows of ``width`` along ``axis``; the window axis is
     inserted right after ``axis``."""
+    axis = axis % data.ndim   # negative axis: moveaxis(-1, axis+1) would
     out = np.lib.stride_tricks.sliding_window_view(data, width, axis=axis)
     # window dim arrives last; move it after `axis`
     return np.moveaxis(out, -1, axis + 1)

@@ -41,12 +41,20 @@ def spline_basis(K: int, x: np.ndarray, degree: int = 3) -> np.ndarray:
         return term1 + term2
 
     basis = np.column_stack([cox_deboor(k, degree) for k in range(K)])
-    basis[-1, -1] = 1.0
+    # the half-open interval test zeroes every basis function AT the last
+    # knot; points equal to x.max() belong to the final basis function
+    # (the reference patches only basis[-1, -1], assuming sorted input —
+    # this generalizes to arbitrary evaluation order, `graphTools.py`)
+    end = x == hi
+    basis[end] = 0.0
+    basis[end, -1] = 1.0
     return basis
 
 
-def _heavy_edge_matching(W, rid, rng: np.random.Generator):
-    """One level of normalized heavy-edge matching; returns cluster ids."""
+def _heavy_edge_matching(W, rid):
+    """One level of normalized heavy-edge matching; returns cluster ids —
+    deterministic given ``rid`` (the caller's random visit order supplies
+    all the randomness)."""
     N = W.shape[0]
     degree = W.sum(1)
     cluster_id = -np.ones(N, dtype=np.int64)
@@ -89,7 +97,7 @@ def coarsen(W: np.ndarray, levels: int,
     for _ in range(levels):
         N = W.shape[0]
         rid = rng.permutation(N)
-        cluster_id, n_new = _heavy_edge_matching(W, rid, rng)
+        cluster_id, n_new = _heavy_edge_matching(W, rid)
         parents.append(cluster_id.tolist())
         # build the coarse graph by summing merged edges
         onehot = np.zeros((N, n_new))

@@ -64,15 +64,23 @@ def compute_source_nodes(A: np.ndarray, C: int,
                          rng: np.random.Generator | None = None
                          ) -> list[int]:
     """Cluster the graph into C communities and pick the highest-degree node
-    of each (`graphTools.py:364-393`)."""
+    of each (`graphTools.py:364-393`). Always returns exactly C distinct
+    nodes like the reference — an empty cluster (k-means degeneracy on tiny
+    graphs) is backfilled with the highest-degree node not yet chosen, so a
+    C-class source-localization label space stays complete."""
     A = np.asarray(A, dtype=np.float64)
     labels = spectral_clustering(A, C, rng)
     degree = A.sum(axis=1)
-    sources = []
+    sources: list[int] = []
     for c in range(C):
         idx = np.nonzero(labels == c)[0]
         if len(idx):
             sources.append(int(idx[degree[idx].argmax()]))
+    for n in np.argsort(-degree, kind="stable"):
+        if len(sources) >= C:
+            break
+        if int(n) not in sources:
+            sources.append(int(n))
     return sources
 
 

@@ -36,9 +36,9 @@ def trace(logdir: str):
 class StepTimer:
     """Wall-clock step timer with device-sync discipline.
 
-    Use ``with timer.step(result_leaf):`` or call ``tick(leaf)`` per step;
-    ``leaf`` is any output array of the step — it is block_until_ready'd so
-    the measured interval covers the device work, not just dispatch.
+    Call ``start()`` once, then ``tick(leaf)`` after each step; ``leaf`` is
+    any output array of the step — it is block_until_ready'd so the
+    measured interval covers the device work, not just dispatch.
     """
 
     times: list = field(default_factory=list)

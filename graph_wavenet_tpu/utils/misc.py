@@ -37,6 +37,10 @@ def save_seed(save_dir: str, rng_states: list[dict[str, Any]],
             entry["kind"] = "numpy"
         elif entry.get("kind") == "jax":
             import jax
+            # the key impl (threefry2x32/rbg/...) is not recoverable from
+            # the key data; persist it or 'rbg' keys (the TrainConfig
+            # default) fail to restore under the default impl
+            entry["impl"] = str(jax.random.key_impl(entry["state"]))
             entry["state"] = np.asarray(jax.random.key_data(entry["state"]))
         serializable.append(entry)
     with open(os.path.join(save_dir, filename), "wb") as f:
@@ -53,13 +57,17 @@ def load_seed(load_dir: str,
     for entry in states:
         entry = dict(entry)
         if entry.get("kind") == "numpy":
-            gen = np.random.default_rng()
+            # rebuild the SAVED BitGenerator type — assigning an MT19937/
+            # Philox state onto default_rng's PCG64 raises
+            bg_name = entry["state"]["bit_generator"]
+            gen = np.random.Generator(getattr(np.random, bg_name)())
             gen.bit_generator.state = entry["state"]
             entry["state"] = gen
         elif entry.get("kind") == "jax":
             import jax
             entry["state"] = jax.random.wrap_key_data(
-                np.asarray(entry["state"]))
+                np.asarray(entry["state"]),
+                impl=entry.pop("impl", None))
         out.append(entry)
     return out
 

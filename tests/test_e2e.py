@@ -166,6 +166,27 @@ def test_misc_seed_roundtrip(tmp_path):
         jax.random.normal(k2, (3,)), jax.random.normal(key, (3,)))
 
 
+def test_misc_seed_roundtrip_rbg_key_and_mt19937(tmp_path):
+    """Restore must honor the SAVED PRNG impl and BitGenerator type: 'rbg'
+    jax keys (the TrainConfig default — key data shape (4,) fails under the
+    default threefry wrap) and non-PCG64 numpy generators."""
+    import jax
+
+    gen = np.random.Generator(np.random.MT19937(3))
+    gen.random(4)
+    key = jax.random.key(9, impl="rbg")
+    misc.save_seed(str(tmp_path), [
+        {"module": "numpy", "kind": "numpy", "state": gen},
+        {"module": "jax", "kind": "jax", "state": key},
+    ])
+    states = misc.load_seed(str(tmp_path))
+    np.testing.assert_array_equal(states[0]["state"].random(3), gen.random(3))
+    k2 = states[1]["state"]
+    assert str(jax.random.key_impl(k2)) == str(jax.random.key_impl(key))
+    np.testing.assert_array_equal(
+        jax.random.normal(k2, (3,)), jax.random.normal(key, (3,)))
+
+
 def test_misc_write_var_values(tmp_path):
     path = str(tmp_path / "vars.txt")
     misc.write_var_values(path, {"lr": 0.001, "epoch": 3})

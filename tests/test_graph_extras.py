@@ -68,6 +68,20 @@ def test_spline_basis_partition_of_unity():
     assert B.shape == (50, 5)
     np.testing.assert_allclose(B.sum(1), 1.0, atol=1e-9)
     assert (B >= -1e-12).all()
+    # unsorted evaluation points: the end-knot patch must hit the x==max
+    # ROWS, not blindly the last row (the reference assumes sorted input)
+    xs = np.array([0.5, 1.0, 0.0])
+    Bu = coarsening.spline_basis(5, xs, degree=3)
+    np.testing.assert_allclose(Bu.sum(1), 1.0, atol=1e-9)
+    np.testing.assert_allclose(Bu[1], [0, 0, 0, 0, 1.0], atol=1e-12)
+
+
+def test_compute_source_nodes_always_returns_C(rng):
+    """Empty spectral clusters are backfilled so exactly C distinct sources
+    come back (the reference contract — downstream C-class label spaces)."""
+    W = np.ones((4, 4)) - np.eye(4)     # K4: clustering degeneracy likely
+    sources = ordering.compute_source_nodes(W, 4, rng)
+    assert len(sources) == 4 and len(set(sources)) == 4
 
 
 def test_coarsen_halves_nodes(sbm, rng):

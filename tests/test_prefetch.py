@@ -26,6 +26,27 @@ def test_prefetch_preserves_batches_and_order(rng):
         np.testing.assert_array_equal(np.asarray(yf), yd)
 
 
+def test_prefetch_producer_exits_when_consumer_abandons(rng):
+    """Closing the generator mid-epoch (early break / training-loop
+    exception) must release the producer thread — it used to park on the
+    bounded q.put forever with device batches pinned in the queue."""
+    import threading
+    import time
+
+    batches = [(rng.random((4, 2)).astype(np.float32),) for _ in range(50)]
+    it = prefetch_to_device(iter(batches), size=2)
+    next(it)
+    it.close()                               # GeneratorExit -> stop event
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        if not any(t.name == "gwnet-prefetch" and t.is_alive()
+                   for t in threading.enumerate()):
+            break
+        time.sleep(0.05)
+    assert not any(t.name == "gwnet-prefetch" and t.is_alive()
+                   for t in threading.enumerate())
+
+
 def test_prefetch_passes_through_non_arrays():
     batches = [(np.ones((2, 2), np.float32), "tag", 7)]
     out = list(prefetch_to_device(iter(batches), size=1))
