@@ -32,7 +32,10 @@ def main(argv=None) -> dict:
         load_hdf_readings,
     )
 
-    if os.path.exists(args.output_dir) and not args.force:
+    if os.path.isfile(args.output_dir):
+        raise SystemExit(
+            f"{args.output_dir} exists and is not a directory")
+    if os.path.isdir(args.output_dir) and not args.force:
         existing = [f for f in os.listdir(args.output_dir)
                     if f.endswith(".npz")]
         if existing:
@@ -46,6 +49,13 @@ def main(argv=None) -> dict:
     for cat, shape in shapes.items():
         print(cat, "x:", shape)
     return shapes
+
+
+def cli() -> None:
+    """Console-script entry: setuptools wraps the target in
+    ``sys.exit(...)``, so returning main()'s dict would exit non-zero with
+    the dict dumped to stderr — swallow the return value."""
+    main()
 
 
 if __name__ == "__main__":

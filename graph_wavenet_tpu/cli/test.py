@@ -121,5 +121,11 @@ def main(argv=None) -> dict:
     return out
 
 
+def cli() -> None:
+    """Console-script entry (see generate_training_data.cli): swallow the
+    dict return value so the script exits 0 on success."""
+    main()
+
+
 if __name__ == "__main__":
     main()

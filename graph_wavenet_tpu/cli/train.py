@@ -278,5 +278,11 @@ def main(argv=None) -> dict:
     return {"result": result}
 
 
+def cli() -> None:
+    """Console-script entry (see generate_training_data.cli): swallow the
+    dict return value so the script exits 0 on success."""
+    main()
+
+
 if __name__ == "__main__":
     main()

@@ -102,15 +102,15 @@ class DeviceWindowLoader:
         self._dev_x = put(np.ascontiguousarray(series_x, dtype=np.float32))
         self._dev_y = (self._dev_x if y_series is None else put(
             np.ascontiguousarray(y_series, dtype=np.float32)))
+        self.y_len = horizon - y_start + 1   # reference y_offsets length
         if anchors is None:
             anchors = WindowDataLoader.valid_anchors(
                 series_x.shape[0], window, horizon, y_start)
-        self.anchors = np.asarray(anchors, dtype=np.int32)
-        self.num_real = len(self.anchors)
-        pad = (-self.num_real) % batch_size
-        if pad:
-            self.anchors = np.concatenate(
-                [self.anchors, np.repeat(self.anchors[-1:], pad)])
+        from graph_wavenet_tpu.data.loader import pad_with_last
+
+        anchors = np.asarray(anchors, dtype=np.int32)
+        self.num_real = len(anchors)
+        self.anchors = pad_with_last(anchors, batch_size)
         self.size = len(self.anchors)
         self.num_batch = self.size // batch_size
 
@@ -123,7 +123,7 @@ class DeviceWindowLoader:
                 self.anchors[i * self.batch_size:(i + 1) * self.batch_size])
             x = self._gather(self._dev_x, a - (self.window - 1),
                              self.window)
-            y = self._gather(self._dev_y, a + self.y_start, self.horizon)
+            y = self._gather(self._dev_y, a + self.y_start, self.y_len)
             yield x, y
 
     # -- fused multi-step training support (Engine.train_steps_windows) --
@@ -149,7 +149,7 @@ class DeviceWindowLoader:
             a = jnp.asarray(self.anchors[i * b:(i + 1) * b])
             x = self._gather(self._dev_x, a - (self.window - 1),
                              self.window)
-            y = self._gather(self._dev_y, a + self.y_start, self.horizon)
+            y = self._gather(self._dev_y, a + self.y_start, self.y_len)
             yield x, y
 
     def __len__(self):

@@ -17,6 +17,17 @@ from __future__ import annotations
 import numpy as np
 
 
+def pad_with_last(arr: np.ndarray, batch_size: int) -> np.ndarray:
+    """Pad the leading axis with copies of the last entry so
+    ``len % batch_size == 0`` (`/root/reference/Utils/util.py:25-30`) — THE
+    padding convention, shared by every batcher so parity fixes land once."""
+    pad = (-len(arr)) % batch_size
+    if pad:
+        arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)],
+                             axis=0)
+    return arr
+
+
 class DataLoader:
     """Batcher over (xs, ys[, adj_idx]) arrays.
 
@@ -32,15 +43,10 @@ class DataLoader:
         self.num_real = len(xs)
         self.rng = rng if rng is not None else np.random.default_rng()
         if pad_with_last_sample:
-            num_padding = (batch_size - (len(xs) % batch_size)) % batch_size
-            xs = np.concatenate(
-                [xs, np.repeat(xs[-1:], num_padding, axis=0)], axis=0)
-            ys = np.concatenate(
-                [ys, np.repeat(ys[-1:], num_padding, axis=0)], axis=0)
+            xs = pad_with_last(xs, batch_size)
+            ys = pad_with_last(ys, batch_size)
             if adj_idx is not None:
-                adj_idx = np.concatenate(
-                    [adj_idx, np.repeat(adj_idx[-1:], num_padding, axis=0)],
-                    axis=0)
+                adj_idx = pad_with_last(adj_idx, batch_size)
         self.size = len(xs)
         self.num_batch = self.size // batch_size
         self.xs = xs

@@ -136,7 +136,8 @@ def load_dataset_streaming(values: np.ndarray, index=None,
             x_series, seq_length_x, seq_length_y, batch_size,
             y_start=y_start, anchors=a, y_series=series, rng=rng)
     # materialize only the test targets (the per-horizon test loop needs
-    # them, `train.py:379-380`); everything else stays windows-on-demand
+    # them, `train.py:379-380`); everything else stays windows-on-demand.
+    # y length follows the reference y_offsets = arange(y_start, Ly+1)
     data["y_test"] = gather_windows(series, splits["test"] + y_start,
-                                    seq_length_y)
+                                    seq_length_y - y_start + 1)
     return data

@@ -25,9 +25,22 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
 _THREADS = min(os.cpu_count() or 1, 8)
 
 
+def _build_dir() -> str:
+    """Where to compile the .so: the repo's native/ dir when writable (dev
+    checkout), else a user cache dir — pip installs often land read-only."""
+    if os.access(_NATIVE_DIR, os.W_OK):
+        return _NATIVE_DIR
+    return os.environ.get(
+        "GWNET_NATIVE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "graph_wavenet_tpu"))
+
+
 def _load_library():
     """Load (building once if needed) the native library; None if
-    unavailable."""
+    unavailable — e.g. in a pip install, which ships only the
+    ``graph_wavenet_tpu`` package and not ``native/windowloader.cpp``
+    (numpy fallback, same semantics)."""
     global _LIB, _LIB_TRIED
     if _LIB is not None or _LIB_TRIED:
         return _LIB
@@ -37,13 +50,23 @@ def _load_library():
         src = os.path.join(_NATIVE_DIR, "windowloader.cpp")
         if not os.path.exists(src):
             return None
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                 "-pthread", src, "-o", so_path],
-                check=True, capture_output=True, timeout=120)
-        except Exception:
-            return None
+        out_dir = _build_dir()
+        so_path = os.path.join(out_dir, "libwindowloader.so")
+        if not os.path.exists(so_path):
+            # atomic publish: concurrent first-use (pytest-xdist, two jobs
+            # on a fresh checkout) must never CDLL a half-written .so
+            tmp = so_path + f".tmp.{os.getpid()}"
+            try:
+                os.makedirs(out_dir, exist_ok=True)
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     "-pthread", src, "-o", tmp],
+                    check=True, capture_output=True, timeout=120)
+                os.replace(tmp, so_path)
+            except Exception:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
+                return None
     try:
         lib = ctypes.CDLL(so_path)
     except OSError:
@@ -73,6 +96,13 @@ def gather_windows(series: np.ndarray, anchors: np.ndarray,
     series = np.ascontiguousarray(series, dtype=np.float32)
     anchors = np.ascontiguousarray(anchors, dtype=np.int64)
     t, n, f = series.shape
+    if len(anchors) and (anchors.min() < 0 or anchors.max() > t - window):
+        # the native path would memcpy out of bounds and the numpy fallback
+        # would silently wrap negative indices — both silent, both wrong
+        raise ValueError(
+            f"window anchors out of range: starts must lie in "
+            f"[0, {t - window}] for a {window}-row window over {t} rows "
+            f"(got [{anchors.min()}, {anchors.max()}])")
     out = np.empty((len(anchors), window, n, f), dtype=np.float32)
     lib = _load_library()
     if lib is not None:
@@ -82,6 +112,22 @@ def gather_windows(series: np.ndarray, anchors: np.ndarray,
         idx = anchors[:, None] + np.arange(window)[None, :]
         out[...] = series[idx]
     return out
+
+
+def standardize_feature0(arr: np.ndarray, mean: float, std: float) -> bool:
+    """In-place ``arr[..., 0] = (arr[..., 0] - mean) / std`` via the native
+    threaded kernel. Returns False (caller falls back to numpy) when the
+    library is absent or the array isn't float32 C-contiguous."""
+    lib = _load_library()
+    if (lib is None or arr.dtype != np.float32
+            or not arr.flags["C_CONTIGUOUS"] or arr.ndim < 1):
+        return False
+    f = arr.shape[-1]
+    rows = arr.size // f
+    # the kernel divides, bit-identical to the numpy (x - mean) / std
+    lib.standardize_feature0_f32(arr.reshape(rows, f), rows, f,
+                                 float(mean), float(std), _THREADS)
+    return True
 
 
 def gather_batch(samples: np.ndarray, idx: np.ndarray) -> np.ndarray:
@@ -114,10 +160,17 @@ class WindowDataLoader:
                  anchors: np.ndarray | None = None,
                  y_series: np.ndarray | None = None,
                  rng: np.random.Generator | None = None):
-        """``anchors``: optional explicit anchor subset (chronological split
-        slices); ``y_series``: optional separate series for targets (e.g.
-        raw units while x is standardized — the reference keeps targets
-        unscaled, `util.py:208-211`)."""
+        """``horizon`` is the LAST y offset (reference ``seq_length_y``), so
+        y windows cover anchor+y_start .. anchor+horizon — length
+        ``horizon - y_start + 1``, exactly the reference's
+        ``y_offsets = arange(y_start, seq_length_y + 1)``
+        (`generate_training_data.py:56-58`; length == horizon for the
+        canonical y_start=1). ``anchors``: optional explicit anchor subset
+        (chronological split slices); ``y_series``: optional separate series
+        for targets (e.g. raw units while x is standardized — the reference
+        keeps targets unscaled, `util.py:208-211`)."""
+        from graph_wavenet_tpu.data.loader import pad_with_last
+
         self.series = np.ascontiguousarray(series, dtype=np.float32)
         self.y_series = (self.series if y_series is None else
                          np.ascontiguousarray(y_series, dtype=np.float32))
@@ -125,16 +178,14 @@ class WindowDataLoader:
         self.horizon = horizon
         self.batch_size = batch_size
         self.y_start = y_start
+        self.y_len = horizon - y_start + 1
         self.rng = rng if rng is not None else np.random.default_rng()
         if anchors is None:
             anchors = self.valid_anchors(series.shape[0], window, horizon,
                                          y_start)
-        self.anchors = np.asarray(anchors, dtype=np.int64)
-        self.num_real = len(self.anchors)
-        pad = (-self.num_real) % batch_size
-        if pad:
-            self.anchors = np.concatenate(
-                [self.anchors, np.repeat(self.anchors[-1:], pad)])
+        anchors = np.asarray(anchors, dtype=np.int64)
+        self.num_real = len(anchors)
+        self.anchors = pad_with_last(anchors, batch_size)
         self.size = len(self.anchors)
         self.num_batch = self.size // batch_size
 
@@ -142,9 +193,11 @@ class WindowDataLoader:
     def valid_anchors(t: int, window: int, horizon: int,
                       y_start: int = 1) -> np.ndarray:
         """All valid anchor rows (anchor = last observed step, reference
-        convention `generate_training_data.py:42-44`)."""
+        convention `generate_training_data.py:42-44`; the furthest y row
+        read is anchor + horizon)."""
+        del y_start   # y reach is anchor + horizon regardless of y_start
         first = window - 1
-        last = t - (y_start + horizon - 1) - 1
+        last = t - horizon - 1
         return np.arange(first, last + 1, dtype=np.int64)
 
     def shuffle(self):
@@ -155,8 +208,7 @@ class WindowDataLoader:
             a = self.anchors[i * self.batch_size:(i + 1) * self.batch_size]
             x = gather_windows(self.series, a - (self.window - 1),
                                self.window)
-            y = gather_windows(self.y_series, a + self.y_start,
-                               self.horizon)
+            y = gather_windows(self.y_series, a + self.y_start, self.y_len)
             yield x, y
 
     def __len__(self):

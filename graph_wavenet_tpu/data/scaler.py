@@ -33,8 +33,12 @@ class StandardScaler:
 
 def apply_feature0_scaling(data: dict, scaler: StandardScaler) -> None:
     """Standardize feature 0 of x_{train,val,test} in place, reference-style
-    (`/root/reference/Utils/util.py:210-211`)."""
+    (`/root/reference/Utils/util.py:210-211`). Large float32 arrays take the
+    threaded native kernel (``native/windowloader.cpp``); numpy otherwise."""
+    from graph_wavenet_tpu.data.native_loader import standardize_feature0
+
     for category in ("train", "val", "test"):
         key = "x_" + category
         if key in data:
-            data[key][..., 0] = scaler.transform(data[key][..., 0])
+            if not standardize_feature0(data[key], scaler.mean, scaler.std):
+                data[key][..., 0] = scaler.transform(data[key][..., 0])

@@ -346,12 +346,16 @@ class Engine:
         """Windows-on-demand variant of :meth:`train_steps_resident`: the
         scan body gathers each step's x/y windows from the resident raw
         series (x from ``series`` — standardized — and y from ``y_series``,
-        raw units). anchors: (S, B) int32 last-observed-step indices."""
+        raw units). anchors: (S, B) int32 last-observed-step indices.
+        ``horizon`` is the LAST y offset, so y windows have length
+        horizon - y_start + 1 (the reference y_offsets convention; ==
+        horizon for the canonical y_start=1)."""
         ys_src = series if y_series is None else y_series
 
         def body(st, a):
             x = gather_window_rows(series, a - (window - 1), window)
-            y = gather_window_rows(ys_src, a + y_start, horizon)
+            y = gather_window_rows(ys_src, a + y_start,
+                                   horizon - y_start + 1)
             return self._train_step_core(st, x, y, supports)
 
         return jax.lax.scan(body, state, anchors)
@@ -366,7 +370,8 @@ class Engine:
 
         def body(_, a):
             x = gather_window_rows(series, a - (window - 1), window)
-            y = gather_window_rows(ys_src, a + y_start, horizon)
+            y = gather_window_rows(ys_src, a + y_start,
+                                   horizon - y_start + 1)
             return None, self._eval_metrics(state, x, y, supports)
 
         _, ms = jax.lax.scan(body, None, anchors)

@@ -73,12 +73,14 @@ void gather_batch_f32(const float* src, int64_t sample_elems,
 }
 
 // Standardize feature 0 of a (rows, F) view in place: x0 = (x0 - mean)/std.
+// Divides (not multiply-by-reciprocal) so results are bit-identical to the
+// numpy fallback `(x - mean) / std`.
 void standardize_feature0_f32(float* data, int64_t rows, int64_t F,
-                              float mean, float inv_std, int n_threads) {
+                              float mean, float std, int n_threads) {
   parallel_for(rows, n_threads, [&](int64_t lo, int64_t hi) {
     for (int64_t r = lo; r < hi; ++r) {
       float* v = data + r * F;
-      v[0] = (v[0] - mean) * inv_std;
+      v[0] = (v[0] - mean) / std;
     }
   });
 }

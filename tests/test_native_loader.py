@@ -49,6 +49,47 @@ def test_window_loader_matches_materialized_etl(rng):
     np.testing.assert_array_equal(ys, y_all)
 
 
+def test_window_loader_y_start_matches_etl(rng):
+    """y_start != 1 must follow the reference y_offsets = arange(y_start,
+    Ly+1): y length Ly - y_start + 1 and the anchor range independent of
+    y_start — the loader used to emit Ly-long y windows shifted past the
+    ETL's, silently training on different targets than the npz path."""
+    series = rng.normal(size=(60, 4, 2)).astype(np.float32)
+    x_off = np.arange(-5, 1)
+    y_off = np.arange(2, 7)          # y_start=2, seq_length_y=6
+    x_all, y_all = traffic_etl.make_windows(series, x_off, y_off)
+    dl = NL.WindowDataLoader(series, window=6, horizon=6, batch_size=4,
+                             y_start=2, rng=np.random.default_rng(0))
+    assert dl.num_real == len(x_all)
+    xs, ys = [], []
+    for x, y in dl.get_iterator():
+        xs.append(x)
+        ys.append(y)
+    np.testing.assert_array_equal(np.concatenate(xs)[:dl.num_real], x_all)
+    np.testing.assert_array_equal(np.concatenate(ys)[:dl.num_real], y_all)
+
+
+def test_gather_windows_rejects_out_of_range_anchors(rng):
+    series = rng.normal(size=(20, 3, 2)).astype(np.float32)
+    with pytest.raises(ValueError, match="out of range"):
+        NL.gather_windows(series, np.array([15]), 8)   # 15 + 8 > 20
+    with pytest.raises(ValueError, match="out of range"):
+        NL.gather_windows(series, np.array([-1]), 8)
+
+
+def test_standardize_feature0_native_matches_numpy(rng):
+    arr = rng.normal(size=(30, 6, 3)).astype(np.float32)
+    want = arr.copy()
+    want[..., 0] = (want[..., 0] - np.float32(2.5)) / np.float32(1.5)
+    used_native = NL.standardize_feature0(arr, 2.5, 1.5)
+    assert used_native, "native library should be available here"
+    # BIT-identical to the numpy fallback (the kernel divides, not
+    # multiply-by-reciprocal) so path choice never perturbs training data
+    np.testing.assert_array_equal(arr, want)
+    # non-contiguous input falls back cleanly
+    assert not NL.standardize_feature0(arr.transpose(1, 0, 2), 0.0, 1.0)
+
+
 def test_window_loader_shuffle_and_padding(rng):
     series = rng.normal(size=(40, 3, 2)).astype(np.float32)
     dl = NL.WindowDataLoader(series, window=12, horizon=12, batch_size=8,
