@@ -123,6 +123,51 @@ def test_async_checkpointer_roundtrip(rng, tmp_path):
     assert ckpt.load_metadata(path)["model_cfg"] == cfg
 
 
+def test_async_save_prune_race_stress(tmp_path):
+    """Hammer the runner's save->prune pattern: the main thread prunes
+    while the worker writes. Atomic publish + tracked-until-deleted scores
+    must leave EXACTLY keep best checkpoints (each loadable, with its
+    sidecar) and no orphans or .tmp litter."""
+    import glob
+
+    from graph_wavenet_tpu.train import checkpoint as ckpt
+
+    writer = ckpt.AsyncCheckpointer()
+    scores: dict[str, float] = {}
+    keep = 2
+    rng = np.random.default_rng(0)
+
+    class Snapshot:
+        def __init__(self, v):
+            self._p = {"a": np.full(64, v, np.float32)}
+
+        def as_pytree(self):
+            return self._p
+
+    vals = rng.random(25)
+    for i, v in enumerate(vals):
+        path = str(tmp_path / f"ck_{i}_{v:.3f}.msgpack")
+        writer.save(path, Snapshot(v), extra={"i": i})
+        scores[path] = float(v)
+        ckpt.prune_checkpoints(keep, scores)     # races the worker write
+    writer.wait()
+    ckpt.prune_checkpoints(keep, scores)         # final pass (runner does too)
+
+    files = sorted(glob.glob(str(tmp_path / "*.msgpack")))
+    assert len(files) == keep, files
+    from flax import serialization
+
+    best = sorted(range(len(vals)), key=lambda i: vals[i])[:keep]
+    for i in best:
+        [f] = [f for f in files if f"ck_{i}_" in f]
+        with open(f, "rb") as fh:
+            pt = serialization.from_bytes({"a": np.zeros(64, np.float32)},
+                                          fh.read())
+        np.testing.assert_allclose(pt["a"][0], vals[i], atol=1e-6)
+        assert ckpt.load_metadata(f)["extra"]["i"] == i
+    assert not glob.glob(str(tmp_path / "*.tmp*"))
+
+
 def test_async_checkpointer_propagates_errors(tmp_path):
     from graph_wavenet_tpu.train import checkpoint as ckpt
 
