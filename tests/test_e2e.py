@@ -66,6 +66,20 @@ def test_cli_train_and_eval_metr(tmp_path, metr_fixture):
         header = f.readline().strip().split(",")
     assert header == ["real12", "pred12", "real3", "pred3"]
 
+    # export CLI: checkpoint -> AOT artifact that predicts without model code
+    from graph_wavenet_tpu.cli import export as export_cli
+    from graph_wavenet_tpu.train import serving
+
+    exp = export_cli.main([
+        "--checkpoint", result.best_checkpoint, "--adjdata", adj_path,
+        "--out", str(tmp_path / "m.jaxexp"), "--batch_size", "4",
+        "--seq_len", "12"])
+    loaded = serving.load_exported_forecaster(exp["path"])
+    x = np.random.default_rng(0).normal(
+        size=(4, 12, n_nodes, 2)).astype(np.float32)
+    pred = np.asarray(loaded.predict(x))
+    assert pred.shape == (4, 12, n_nodes) and np.isfinite(pred).all()
+
 
 def test_cli_train_syn_diff_g(tmp_path):
     from graph_wavenet_tpu.cli import train as train_cli
