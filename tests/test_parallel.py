@@ -61,6 +61,52 @@ def test_dp_train_step_matches_single_device(rng):
         jax.device_get(s1.params), jax.device_get(s2.params))
 
 
+@pytest.mark.parametrize("variant", ["grad_accum", "bf16", "remat"])
+def test_feature_combos_under_dp_mesh_match_single_device(rng, variant):
+    """Feature flags compose with the mesh: gradient accumulation (the
+    micro-batch reshape splits the sharded batch axis), bf16 activations,
+    and remat each reproduce the single-device step under 8-way DP."""
+    cfg = ModelConfig(num_nodes=N, out_dim=12, residual_channels=8,
+                      dilation_channels=8, skip_channels=16, end_channels=32,
+                      blocks=2, layers=2, dropout=0.0, n_supports=2,
+                      dtype="bfloat16" if variant == "bf16" else "float32",
+                      remat=variant == "remat")
+    tcfg = TrainConfig(learning_rate=1e-3)
+    x = rng.normal(size=(16, 12, N, 2)).astype(np.float32)
+    y = rng.normal(size=(16, 12, N, 2)).astype(np.float32)
+    a = rng.random((2, N, N)).astype(np.float32)
+    supports = [jnp.asarray(s / s.sum(-1, keepdims=True)) for s in a]
+
+    def step(engine, state, xx, yy, sup):
+        if variant == "grad_accum":
+            return engine.train_step_accum(state, xx, yy, sup, 4)
+        return engine.train_step(state, xx, yy, sup)
+
+    e1 = Engine(cfg, tcfg, StandardScaler(0.0, 1.0))
+    s1, m1 = step(e1, e1.state, jnp.asarray(x), jnp.asarray(y), supports)
+
+    mesh = M.make_mesh(MeshConfig())
+    mcfg = MeshConfig()
+    e2 = Engine(cfg, tcfg, StandardScaler(0.0, 1.0))
+    state = M.shard_state(mesh, e2.state)
+    xb, yb = M.shard_batch(mesh, mcfg, x, y)
+    sup = [jax.device_put(s, M.support_sharding(mesh, mcfg))
+           for s in supports]
+    s2, m2 = step(e2, state, xb, yb, sup)
+
+    # bf16 summation order differs across layouts; fp32 paths are exact
+    tol = dict(rtol=2e-2) if variant == "bf16" else dict(rtol=1e-5)
+    np.testing.assert_allclose(float(np.mean(np.asarray(m1["loss"]))),
+                               float(np.mean(np.asarray(m2["loss"]))),
+                               **tol)
+    atol = 5e-3 if variant == "bf16" else 1e-5
+    jax.tree_util.tree_map(
+        lambda p, q: np.testing.assert_allclose(
+            np.asarray(p, np.float32), np.asarray(q, np.float32),
+            atol=atol),
+        jax.device_get(s1.params), jax.device_get(s2.params))
+
+
 def test_node_tp_sharded_diffusion_exact(rng):
     """nconv with the node dim sharded over 'model' equals the replicated
     result — GSPMD inserts the collective."""
