@@ -256,7 +256,11 @@ def main(argv=None) -> dict:
                             resident=args.resident)
         cfg = model_config(args, diff_g=False)
         aptinit = None if args.randomadj else adj[0]
-        supports = None if args.aptonly else adj
+        # [] (not None) for aptonly: adaptive adjacency stays active with no
+        # fixed supports — None would train temporal-only while gwt-test
+        # evaluates the adaptive path (the reference converts None to [],
+        # model.py:112-118); same convention as cli/test.py and the syn path
+        supports = [] if args.aptonly else adj
 
         from graph_wavenet_tpu.models.gwnet import init_gwnet
         import jax

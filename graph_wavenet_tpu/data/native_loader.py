@@ -13,6 +13,7 @@ shared library is absent (an attempt is made to build it with g++ once).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -40,18 +41,26 @@ def _load_library():
     """Load (building once if needed) the native library; None if
     unavailable — e.g. in a pip install, which ships only the
     ``graph_wavenet_tpu`` package and not ``native/windowloader.cpp``
-    (numpy fallback, same semantics)."""
+    (numpy fallback, same semantics).
+
+    The .so is named by the SOURCE HASH, so a cached build from an older
+    ``windowloader.cpp`` is never loaded against newer bindings — the C
+    ABI has changed before (standardize's 5th argument), and a stale
+    binary with matching symbols would silently compute the wrong thing."""
     global _LIB, _LIB_TRIED
     if _LIB is not None or _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
-    so_path = os.path.join(_NATIVE_DIR, "libwindowloader.so")
+    src = os.path.join(_NATIVE_DIR, "windowloader.cpp")
+    if not os.path.exists(src):
+        return None
+    with open(src, "rb") as f:
+        so_name = ("libwindowloader-"
+                   f"{hashlib.sha1(f.read()).hexdigest()[:10]}.so")
+    so_path = os.path.join(_NATIVE_DIR, so_name)
     if not os.path.exists(so_path):
-        src = os.path.join(_NATIVE_DIR, "windowloader.cpp")
-        if not os.path.exists(src):
-            return None
         out_dir = _build_dir()
-        so_path = os.path.join(out_dir, "libwindowloader.so")
+        so_path = os.path.join(out_dir, so_name)
         if not os.path.exists(so_path):
             # atomic publish: concurrent first-use (pytest-xdist, two jobs
             # on a fresh checkout) must never CDLL a half-written .so

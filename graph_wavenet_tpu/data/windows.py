@@ -18,7 +18,9 @@ def sliding_windows(data: np.ndarray, width: int,
                     axis: int = 0) -> np.ndarray:
     """All stride-1 windows of ``width`` along ``axis``; the window axis is
     inserted right after ``axis``."""
-    axis = axis % data.ndim   # negative axis: moveaxis(-1, axis+1) would
+    # normalize negative axes: for axis=-1, moveaxis(-1, axis+1) would be
+    # moveaxis(-1, 0) and misplace the window dim at the front
+    axis = axis % data.ndim
     out = np.lib.stride_tricks.sliding_window_view(data, width, axis=axis)
     # window dim arrives last; move it after `axis`
     return np.moveaxis(out, -1, axis + 1)

@@ -95,11 +95,10 @@ def save_checkpoint(path: str, state: TrainState,
     # atomic publish (tmp + rename): a crash mid-write — including the
     # async writer thread dying at interpreter exit — must never leave a
     # truncated checkpoint at the final path, where a later resume would
-    # fail with an opaque msgpack error instead of using an older epoch
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(serialization.to_bytes(pytree))
-    os.replace(tmp, path)
+    # fail with an opaque msgpack error instead of using an older epoch.
+    # The JSON sidecar publishes FIRST: prune_checkpoints keys the pair on
+    # the msgpack, so "msgpack exists" implies "pair complete" and a prune
+    # racing this writer can never orphan a sidecar.
     meta: dict[str, Any] = {"format": "graph_wavenet_tpu/v1"}
     if model_cfg is not None:
         meta["model_cfg"] = asdict(model_cfg)
@@ -113,6 +112,10 @@ def save_checkpoint(path: str, state: TrainState,
     with open(jtmp, "w") as f:
         json.dump(meta, f, indent=2)
     os.replace(jtmp, path + ".json")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(pytree))
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str, template: TrainState) -> TrainState:
@@ -207,22 +210,25 @@ class _HostState:
 
 def prune_checkpoints(keep: int, scores: dict[str, float]) -> None:
     """Keep the ``keep`` best (lowest-score) checkpoints, delete the rest.
-    ``scores``: checkpoint path -> validation loss. ``keep < 0`` keeps all
-    (callers guard the TrainConfig keep-all sentinel themselves); ``keep ==
-    0`` deletes every tracked checkpoint (the async writer prunes to
-    ``keep_checkpoints - 1`` BEFORE enqueueing the next write).
+    ``scores``: checkpoint path -> validation loss; ``keep < 0`` keeps all
+    (callers guard the TrainConfig keep-all sentinel themselves).
 
-    A ranked-out path that does not exist yet (its async write is still
-    queued) stays tracked so a later prune can remove it once written —
-    popping it here would orphan the file forever."""
+    Calling protocol (Runner._save_epoch): the writer enqueues/saves, the
+    new path is added to ``scores``, then prune runs with the full ``keep``
+    — and once more in ``_finalize_best`` after draining the async writer.
+    The pair is keyed on the msgpack: ``save_checkpoint`` publishes the
+    JSON sidecar first, so a path whose msgpack exists has a complete pair
+    and can be deleted whole; a ranked-out path whose msgpack hasn't
+    landed yet (write still queued or mid-publish) stays tracked for the
+    next prune — deleting sidecar-only or popping early would orphan
+    whichever file the racing writer publishes next."""
     if keep < 0:
         return
     ranked = sorted(scores.items(), key=lambda kv: kv[1])
     for path, _ in ranked[keep:]:
-        removed = False
-        for p in (path, path + ".json"):
-            if os.path.exists(p):
-                os.remove(p)
-                removed = True
-        if removed:
-            scores.pop(path, None)
+        if not os.path.exists(path):
+            continue            # still queued; stays tracked
+        if os.path.exists(path + ".json"):
+            os.remove(path + ".json")
+        os.remove(path)
+        scores.pop(path, None)

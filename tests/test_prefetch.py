@@ -155,6 +155,10 @@ def test_async_save_prune_race_stress(tmp_path):
 
     files = sorted(glob.glob(str(tmp_path / "*.msgpack")))
     assert len(files) == keep, files
+    # pair integrity: no orphan sidecars either (json publishes first and
+    # prune keys on the msgpack)
+    sidecars = sorted(glob.glob(str(tmp_path / "*.msgpack.json")))
+    assert len(sidecars) == keep, sidecars
     from flax import serialization
 
     best = sorted(range(len(vals)), key=lambda i: vals[i])[:keep]
