@@ -26,9 +26,11 @@ def signature(obj) -> str:
         sig = str(inspect.signature(obj))
     except (ValueError, TypeError):
         return "(...)"
-    # dataclass defaults expand to full reprs — collapse them
-    import re
-    sig = re.sub(r"ModelConfig\([^)]*\)", "<FLAGSHIP>", sig)
+    # dataclass defaults expand to full reprs — collapse the FLAGSHIP
+    # constant's exact repr only (any other ModelConfig default should be
+    # shown, not mislabeled)
+    from graph_wavenet_tpu.benchmarks import FLAGSHIP
+    sig = sig.replace(repr(FLAGSHIP), "<FLAGSHIP>")
     if len(sig) > 400:
         sig = sig[:400] + " ...)"
     return sig
@@ -38,7 +40,8 @@ def walk(pkg_name: str):
     pkg = importlib.import_module(pkg_name)
     mods = [pkg_name]
     for m in pkgutil.walk_packages(pkg.__path__, prefix=pkg_name + "."):
-        if ".cli." in m.name or m.name.endswith("__main__"):
+        # skip the cli package AND its submodules (documented via --help)
+        if "cli" in m.name.split(".") or m.name.endswith("__main__"):
             continue
         mods.append(m.name)
     return sorted(mods)

@@ -22,7 +22,9 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nodes", type=int, default=40960)
-    ap.add_argument("--degree", type=int, default=8)
+    ap.add_argument("--blocks_per_row", type=int, default=4,
+                    help="density: 128-wide nonzero blocks per block-row "
+                         "(incl. the diagonal block)")
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--batch", type=int, default=4)
     args = ap.parse_args()
@@ -36,10 +38,13 @@ def main():
     from graph_wavenet_tpu.train.engine import Engine
 
     n = args.nodes
+    if n < 128 or n % 128:
+        raise SystemExit(f"--nodes must be a positive multiple of the "
+                         f"128-block size (got {n})")
     rng = np.random.default_rng(0)
     print(f"building block-sparse supports for {n} nodes ...", flush=True)
-    sup = [block_sparse.random_block_support(n // 128, 4, 128,
-                                             np.random.default_rng(s))
+    sup = [block_sparse.random_block_support(n // 128, args.blocks_per_row,
+                                             128, np.random.default_rng(s))
            for s in (1, 2)]
     if jax.default_backend() == "tpu":
         # gathered-block-matmul Pallas kernels: 1.3x at this scale
@@ -57,9 +62,9 @@ def main():
                 x[None, None, :, None], sup[0])[0, 0, :, 0]
             nxt = 0.7 * mixed + 0.25 * x + 0.1 * jax.random.normal(k, (n,))
             return nxt, nxt
-        keys = jax.random.split(key, T_total)
-        x0 = jax.random.normal(keys[0], (n,))
-        _, xs = jax.lax.scan(step, x0, keys)
+        keys = jax.random.split(key, T_total + 1)
+        x0 = jax.random.normal(keys[0], (n,))      # keys[0] only for x0:
+        _, xs = jax.lax.scan(step, x0, keys[1:])   # noise keys independent
         return xs                                   # (T_total, N)
 
     series = np.asarray(rollout(jax.random.key(7)))
@@ -103,9 +108,11 @@ def main():
         done += scan
         print(f"steps {done:3d}  masked-MAE {last:.4f}", flush=True)
     wall = time.time() - t0
-    print(f"\n{args.steps} steps in {wall:.1f}s "
-          f"({wall / args.steps * 1e3:.0f} ms/step incl. host feed, "
-          f"{args.batch * n * K / (wall / args.steps) / 1e6:.1f}M "
+    # `done` (a multiple of the scan width) is the actual step count — the
+    # loop rounds --steps up to whole dispatches
+    print(f"\n{done} steps in {wall:.1f}s "
+          f"({wall / done * 1e3:.0f} ms/step incl. host feed, "
+          f"{args.batch * n * K / (wall / done) / 1e6:.1f}M "
           f"node-ts/s); loss {first:.4f} -> {last:.4f}", flush=True)
 
 

@@ -15,6 +15,7 @@ Usage: python garage/flagship_demo.py [--epochs 40] [--timesteps 17280]
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import numpy as np
@@ -153,7 +154,10 @@ def main():
         preds.append(np.asarray(p[:, 0]))        # (B, N, H)
     preds = data["scaler"].inverse_transform(np.concatenate(preds, 0))
 
-    node = int(np.argmax((values[-len(test_anchors):] > 0).sum(0)))
+    # pick the node with the most non-missing readings in the PLOTTED
+    # window (the test anchors' rows), not the series tail
+    plotted_rows = values[test_anchors[0]:test_anchors[-1] + 13]
+    node = int(np.argmax((plotted_rows > 0).sum(0)))
     hours = np.arange(len(test_anchors)) * 5 / 60.0
     fig, axes = plt.subplots(2, 1, figsize=(10, 6), sharex=True)
     for ax, h in zip(axes, (2, 11)):            # horizons 3 and 12
@@ -165,8 +169,13 @@ def main():
     fig.suptitle("Flagship Graph WaveNet on TPU — synthetic traffic, "
                  f"MAE avg {result.test_metrics['mae']:.2f}")
     fig.tight_layout()
-    fig.savefig("fig/flagship_demo.png", dpi=120)
-    print("figure saved to fig/flagship_demo.png", flush=True)
+    # repo-relative fig/ regardless of cwd; never crash after a full run
+    fig_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fig")
+    os.makedirs(fig_dir, exist_ok=True)
+    out_png = os.path.join(fig_dir, "flagship_demo.png")
+    fig.savefig(out_png, dpi=120)
+    print(f"figure saved to {out_png}", flush=True)
     return result
 
 
