@@ -1,0 +1,613 @@
+"""Parity against the ACTUAL reference implementation, imported at test time.
+
+``test_model_parity.py`` / ``test_training_parity.py`` compare against an
+independently-written torch twin; these tests go one step further and import
+the reference's own modules from ``/root/reference`` (read-only) — `model.py`,
+`engine.py`, `Utils/util.py`, `Utils/graphTools.py`,
+`generate_training_data.py` — and pin our math to theirs directly: forward
+passes, full optimizer steps through the real ``trainer``, metrics,
+normalizers, loaders, and the graph library.
+
+Environment shims (none change reference BEHAVIOR):
+
+- ``ipdb`` / ``nibabel`` are stubbed (debugger / NIfTI reader, not installed);
+- matplotlib is forced headless (`engine.py:5` hard-codes TkAgg);
+- the reference builds gwnet's gate/skip/residual convs as ``nn.Conv1d`` with
+  tuple kernels (`model.py:139-151`) — accepted by the torch of its era,
+  rejected on 4-D input by torch>=2.x. :func:`_make_runnable` swaps each for
+  an ``nn.Conv2d`` carrying the SAME weight tensor (the layouts are
+  identical; SURVEY.md §2.2 notes they were always "effectively 2-D convs").
+  ``gwnet_diff_G`` uses true Conv2d everywhere and runs unpatched.
+"""
+
+from __future__ import annotations
+
+import importlib
+import pathlib
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from graph_wavenet_tpu.config import ModelConfig, TrainConfig
+from graph_wavenet_tpu.data.loader import DataLoader
+from graph_wavenet_tpu.data.scaler import StandardScaler
+from graph_wavenet_tpu.models.gwnet import apply_gwnet
+from graph_wavenet_tpu.models.gwnet_diff_g import apply_gwnet_diff_g
+from graph_wavenet_tpu.train.engine import (
+    Engine,
+    TrainState,
+    cluster_mean_projector,
+)
+from graph_wavenet_tpu.utils.torch_import import (
+    export_state_dict,
+    import_state_dict,
+)
+
+REF = pathlib.Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    not (REF / "model.py").exists(),
+    reason="reference checkout not present on this machine")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference repo once, with the shims documented above."""
+    for name in ("ipdb", "nibabel"):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.set_trace = lambda: None
+            sys.modules[name] = mod
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    if str(REF) not in sys.path:
+        sys.path.insert(0, str(REF))
+    orig_use = matplotlib.use
+    matplotlib.use = lambda *a, **k: None  # engine.py:5 forces TkAgg
+    try:
+        ns = types.SimpleNamespace(
+            model=importlib.import_module("model"),
+            engine=importlib.import_module("engine"),
+            util=importlib.import_module("Utils.util"),
+            graph=importlib.import_module("Utils.graphTools"),
+            misc=importlib.import_module("Utils.miscTools"),
+            etl=importlib.import_module("generate_training_data"),
+        )
+    finally:
+        matplotlib.use = orig_use
+    return ns
+
+
+def _make_runnable(m: torch.nn.Module) -> torch.nn.Module:
+    """Swap the reference gwnet's tuple-kernel Conv1d modules for equivalent
+    Conv2d (same weights/bias; dilation applied on the time axis, matching
+    the filter convs' Conv2d at `model.py:135-137`)."""
+    for mlist in (m.gate_convs, m.residual_convs, m.skip_convs):
+        for i, g in enumerate(mlist):
+            if isinstance(g, torch.nn.Conv1d):
+                d = g.dilation[0]
+                c = torch.nn.Conv2d(
+                    g.weight.shape[1], g.weight.shape[0],
+                    (g.weight.shape[2], g.weight.shape[3]), dilation=d)
+                with torch.no_grad():
+                    c.weight.copy_(g.weight)
+                    c.bias.copy_(g.bias)
+                mlist[i] = c
+    return m
+
+
+N = 16
+B = 4
+
+
+def small_cfg(**kw) -> ModelConfig:
+    base = dict(num_nodes=N, in_dim=2, out_dim=6, residual_channels=8,
+                dilation_channels=8, skip_channels=64, end_channels=128,
+                blocks=2, layers=2, dropout=0.0, n_supports=2)
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def _supports(rng, n=N, k=2):
+    a = rng.random((k, n, n)).astype(np.float32)
+    return [s / s.sum(-1, keepdims=True) for s in a]
+
+
+def _ref_gwnet(ref, cfg: ModelConfig, supports, aptinit=None, seed=0):
+    torch.manual_seed(seed)
+    m = ref.model.gwnet(
+        "cpu", cfg.num_nodes, dropout=cfg.dropout,
+        supports=[torch.tensor(s) for s in supports]
+        if supports is not None else None,
+        gcn_bool=cfg.gcn_bool, addaptadj=cfg.addaptadj,
+        aptinit=None if aptinit is None else torch.tensor(aptinit),
+        in_dim=cfg.in_dim, out_dim=cfg.out_dim,
+        residual_channels=cfg.residual_channels,
+        dilation_channels=cfg.dilation_channels,
+        skip_channels=cfg.skip_channels, end_channels=cfg.end_channels,
+        kernel_size=cfg.kernel_size, blocks=cfg.blocks, layers=cfg.layers)
+    return _make_runnable(m)
+
+
+# ---------------------------------------------------------------------------
+# model forward
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("gcn_bool,addaptadj", [
+    (True, True), (True, False), (False, False)])
+def test_gwnet_forward_matches_reference(ref, rng, gcn_bool, addaptadj):
+    cfg = small_cfg(gcn_bool=gcn_bool, addaptadj=addaptadj)
+    supports = _supports(rng) if gcn_bool else None
+    m = _ref_gwnet(ref, cfg, supports)
+    m.eval()
+    params, state = import_state_dict(m.state_dict(), cfg)
+
+    x = rng.normal(size=(B, cfg.receptive_field, N, 2)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = m(torch.tensor(x.transpose(0, 3, 2, 1)))  # (B,C,N,T)
+    ours, _ = apply_gwnet(
+        cfg, params, state, jnp.asarray(x),
+        None if supports is None else [jnp.asarray(s) for s in supports],
+        train=False)
+    # ref (B, out_dim, N, 1) == ours (B, 1, N, out_dim) transposed
+    np.testing.assert_allclose(
+        np.asarray(ours)[:, 0].transpose(0, 2, 1),
+        ref_out.numpy()[..., 0], rtol=2e-5, atol=2e-5)
+
+
+def test_gwnet_forward_matches_reference_from_our_weights(ref, rng):
+    """Reverse direction: our random init exported into the reference model
+    (strict load — the full reference param surface must be covered)."""
+    cfg = small_cfg()
+    supports = _supports(rng)
+    params, state = jax.tree.map(
+        np.asarray,
+        __import__("graph_wavenet_tpu.models.gwnet",
+                   fromlist=["init_gwnet"]).init_gwnet(
+                       jax.random.key(1), cfg))
+    m = _ref_gwnet(ref, cfg, supports)
+    sd = {k: torch.tensor(np.asarray(v))
+          for k, v in export_state_dict(params, state, cfg).items()}
+    m.load_state_dict(sd, strict=True)
+    m.eval()
+
+    x = rng.normal(size=(B, cfg.receptive_field, N, 2)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = m(torch.tensor(x.transpose(0, 3, 2, 1)))
+    ours, _ = apply_gwnet(cfg, params, state, jnp.asarray(x),
+                          [jnp.asarray(s) for s in supports], train=False)
+    np.testing.assert_allclose(
+        np.asarray(ours)[:, 0].transpose(0, 2, 1),
+        ref_out.numpy()[..., 0], rtol=2e-5, atol=2e-5)
+
+
+def test_gwnet_forward_pads_short_input_like_reference(ref, rng):
+    """Inputs shorter than the receptive field hit the reference's left-pad
+    branch (`model.py:176-180`) — ours must match bit-for-bit semantics."""
+    cfg = small_cfg()
+    supports = _supports(rng)
+    m = _ref_gwnet(ref, cfg, supports)
+    m.eval()
+    params, state = import_state_dict(m.state_dict(), cfg)
+    x = rng.normal(size=(B, 4, N, 2)).astype(np.float32)  # 4 < rf 7
+    with torch.no_grad():
+        ref_out = m(torch.tensor(x.transpose(0, 3, 2, 1)))
+    ours, _ = apply_gwnet(cfg, params, state, jnp.asarray(x),
+                          [jnp.asarray(s) for s in supports], train=False)
+    np.testing.assert_allclose(
+        np.asarray(ours)[:, 0].transpose(0, 2, 1),
+        ref_out.numpy()[..., 0], rtol=2e-5, atol=2e-5)
+
+
+def test_svd_aptinit_matches_reference(ref, rng):
+    """SVD-initialized adaptive embeddings (`model.py:120-127`): singular
+    vectors are sign-ambiguous, so compare the rank-10 product n1 @ n2,
+    which is the quantity the forward actually consumes."""
+    cfg = small_cfg()
+    aptinit = rng.random((N, N)).astype(np.float32)
+    m = _ref_gwnet(ref, cfg, _supports(rng), aptinit=aptinit)
+    ref_prod = (m.nodevec1 @ m.nodevec2).detach().numpy()
+
+    from graph_wavenet_tpu.ops.adaptive import svd_nodevecs
+
+    e1, e2 = svd_nodevecs(aptinit, cfg.adapt_rank)
+    np.testing.assert_allclose(np.asarray(e1) @ np.asarray(e2), ref_prod,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_diff_g_forward_matches_reference(ref, rng):
+    """Per-sample-graph variant vs the real `gwnet_diff_G` (runs unpatched —
+    its convs are all true Conv2d). addaptadj=False: the reference draws
+    non-seedable fresh nodevecs inside forward (`model.py:324-329`), so the
+    adaptive path cannot be compared deterministically against it."""
+    cfg = small_cfg(start_dilation=4, gcn_bool=True, addaptadj=False,
+                    in_dim=1, out_dim=6)
+    torch.manual_seed(0)
+    m = ref.model.gwnet_diff_G(
+        "cpu", cfg.num_nodes, dropout=0.0, supports_len=2,
+        gcn_bool=True, addaptadj=False, in_dim=1, out_dim=6,
+        residual_channels=8, dilation_channels=8, skip_channels=64,
+        end_channels=128, kernel_size=2, blocks=cfg.blocks,
+        layers=cfg.layers)
+    m.eval()
+    params, state = import_state_dict(m.state_dict(), cfg)
+
+    T = cfg.receptive_field  # true reach (25); ref stored rf understates it
+    x = rng.normal(size=(B, T, N, 1)).astype(np.float32)
+    sup = rng.random((2, B, N, N)).astype(np.float32)
+    sup = sup / sup.sum(-1, keepdims=True)
+    with torch.no_grad():
+        ref_out = m(torch.tensor(x.transpose(0, 3, 2, 1)),
+                    [torch.tensor(s) for s in sup], None)
+    ours, _ = apply_gwnet_diff_g(cfg, params, state, jnp.asarray(x),
+                                 [jnp.asarray(s) for s in sup], train=False)
+    np.testing.assert_allclose(
+        np.asarray(ours)[:, 0].transpose(0, 2, 1),
+        ref_out.numpy()[..., 0], rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# training engine
+# ---------------------------------------------------------------------------
+
+def _dead_param_keys(cfg: ModelConfig) -> tuple[str, ...]:
+    """Reference params that never influence the loss: with gcn on, every
+    ``residual_convs`` 1x1 is bypassed (`model.py:225-231`), and the LAST
+    layer's post-gcn x (gconv -> residual-add -> bn) is discarded — the head
+    reads only ``skip`` (`model.py:238-240`). torch leaves their grad=None
+    and skips them in Adam (no weight decay either); optax weight-decays
+    every leaf, so the dead params' trajectories differ by design while the
+    model function stays identical. The last BN's RUNNING stats are also
+    excluded: they are recomputed each forward from the dead gconv's output,
+    so they inherit its parameter divergence (all earlier layers' running
+    stats are live and compared)."""
+    last = cfg.blocks * cfg.layers - 1
+    return ("residual_convs.", f"gconv.{last}.", f"bn.{last}.")
+
+
+def _our_engine_from_ref(ref_model, cfg: ModelConfig, scaler) -> Engine:
+    tcfg = TrainConfig(learning_rate=1e-3, weight_decay=1e-4, grad_clip=5.0)
+    engine = Engine(cfg, tcfg, scaler)
+    params, model_state = import_state_dict(ref_model.state_dict(), cfg)
+    params = jax.tree.map(jnp.asarray, params)
+    engine.state = TrainState(
+        params=params, opt_state=engine.optimizer.init(params),
+        model_state=jax.tree.map(jnp.asarray, model_state),
+        step=jnp.zeros((), jnp.int32), rng=engine.state.rng)
+    return engine
+
+
+def test_trainer_steps_match_reference(ref, rng):
+    """Three full optimizer steps through the REAL reference trainer
+    (`engine.py:41-58`: pad + forward + inverse-scale + masked MAE + clip-5 +
+    Adam/wd + BN updates) vs our jitted train_step — per-step loss/MAPE/RMSE
+    and the complete final state dict must agree."""
+    cfg = small_cfg()
+    scaler_mean, scaler_std = 54.0, 20.0
+    supports = _supports(rng)
+    torch.manual_seed(3)
+    t = ref.engine.trainer(
+        ref.util.StandardScaler(scaler_mean, scaler_std), cfg.in_dim,
+        cfg.out_dim, N, 8, 0.0, 1e-3, 1e-4, "cpu",
+        [torch.tensor(s) for s in supports], True, True, None,
+        cfg.blocks, cfg.layers)
+    _make_runnable(t.model)
+    # the trainer's Adam captured the pre-swap Conv1d param objects
+    # (`engine.py:33` runs in the ctor); rebuild it over the live modules
+    t.optimizer = torch.optim.Adam(t.model.parameters(), lr=1e-3,
+                                   weight_decay=1e-4)
+    engine = _our_engine_from_ref(t.model, cfg,
+                                  StandardScaler(scaler_mean, scaler_std))
+
+    state = engine.state
+    jsup = [jnp.asarray(s) for s in supports]
+    for step in range(3):
+        x = rng.normal(size=(B, cfg.out_dim, N, 2)).astype(np.float32)
+        y = (rng.normal(size=(B, cfg.out_dim, N, 2)) * 10 + 50).astype(
+            np.float32)
+        y[..., 0] *= rng.random(size=y.shape[:-1]) > 0.1  # exercise the mask
+        ref_loss, ref_mape, ref_rmse = t.train(
+            torch.tensor(x.transpose(0, 3, 2, 1)),
+            torch.tensor(y.transpose(0, 3, 2, 1))[:, 0])
+        state, metrics = engine.train_step(state, jnp.asarray(x),
+                                           jnp.asarray(y), jsup)
+        np.testing.assert_allclose(float(metrics["loss"]), ref_loss,
+                                   rtol=2e-4, err_msg=f"loss step {step}")
+        np.testing.assert_allclose(float(metrics["mape"]), ref_mape,
+                                   rtol=2e-3, err_msg=f"mape step {step}")
+        np.testing.assert_allclose(float(metrics["rmse"]), ref_rmse,
+                                   rtol=2e-4, err_msg=f"rmse step {step}")
+
+    ours_sd = export_state_dict(
+        jax.tree.map(np.asarray, state.params),
+        jax.tree.map(np.asarray, state.model_state), cfg)
+    ref_sd = t.model.state_dict()
+    for k, v in ref_sd.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        if k.startswith(_dead_param_keys(cfg)):
+            continue
+        np.testing.assert_allclose(ours_sd[k], v.detach().numpy(),
+                                   rtol=1e-3, atol=2e-5, err_msg=k)
+
+
+def test_trainer_eval_matches_reference(ref, rng):
+    cfg = small_cfg()
+    supports = _supports(rng)
+    torch.manual_seed(4)
+    t = ref.engine.trainer(
+        ref.util.StandardScaler(54.0, 20.0), cfg.in_dim, cfg.out_dim, N, 8,
+        0.0, 1e-3, 1e-4, "cpu", [torch.tensor(s) for s in supports],
+        True, True, None, cfg.blocks, cfg.layers)
+    _make_runnable(t.model)
+    engine = _our_engine_from_ref(t.model, cfg, StandardScaler(54.0, 20.0))
+
+    x = rng.normal(size=(B, cfg.out_dim, N, 2)).astype(np.float32)
+    y = (rng.normal(size=(B, cfg.out_dim, N, 2)) * 10 + 50).astype(np.float32)
+    with torch.no_grad():
+        ref_loss, ref_mape, ref_rmse = t.eval(
+            torch.tensor(x.transpose(0, 3, 2, 1)),
+            torch.tensor(y.transpose(0, 3, 2, 1))[:, 0])
+    metrics = engine.eval_step(engine.state, jnp.asarray(x), jnp.asarray(y),
+                               [jnp.asarray(s) for s in supports])
+    np.testing.assert_allclose(float(metrics["loss"]), ref_loss, rtol=2e-4)
+    np.testing.assert_allclose(float(metrics["mape"]), ref_mape, rtol=2e-3)
+    np.testing.assert_allclose(float(metrics["rmse"]), ref_rmse, rtol=2e-4)
+
+
+def test_train_syn_matches_reference(ref, rng):
+    """Modality-supervised step (`engine.py:64-117`): the reference pools F
+    (temporal block-mean) and E (in-place ragged community-mean via
+    G.assign_dict); ours uses the cluster-mean projector matmul. Same-graph
+    case through the real trainer."""
+    cfg = small_cfg(in_dim=1, out_dim=6)
+    supports = _supports(rng)
+    torch.manual_seed(5)
+    t = ref.engine.trainer(
+        ref.util.StandardScaler(0.0, 1.0), 1, 6, N, 8, 0.0, 1e-3, 1e-4,
+        "cpu", [torch.tensor(s) for s in supports], True, True, None,
+        cfg.blocks, cfg.layers)
+    _make_runnable(t.model)
+    t.optimizer = torch.optim.Adam(t.model.parameters(), lr=1e-3,
+                                   weight_decay=1e-4)
+    engine = _our_engine_from_ref(t.model, cfg, StandardScaler(0.0, 1.0))
+
+    labels = np.asarray([i % 4 for i in range(N)])
+    assign = [np.where(labels == c)[0] for c in range(4)]
+    G = types.SimpleNamespace(assign_dict=assign)
+    projector = jnp.asarray(cluster_mean_projector(labels, 4))
+
+    state = engine.state
+    jsup = [jnp.asarray(s) for s in supports]
+    F_t = 2
+    for step in range(2):
+        x = rng.normal(size=(B, 6, N, 1)).astype(np.float32)
+        y = (rng.normal(size=(B, 6, N, 2)) + 3).astype(np.float32)
+        ref_loss, _, _ = t.train_syn(
+            torch.tensor(x.transpose(0, 3, 2, 1)),
+            torch.tensor(y.transpose(0, 3, 2, 1)), F_t, G)
+        state, metrics = engine.train_step_syn(
+            state, jnp.asarray(x), jnp.asarray(y), jsup, projector, F_t)
+        np.testing.assert_allclose(float(metrics["loss"]), ref_loss,
+                                   rtol=2e-4, err_msg=f"syn loss step {step}")
+
+    ours_sd = export_state_dict(
+        jax.tree.map(np.asarray, state.params),
+        jax.tree.map(np.asarray, state.model_state), cfg)
+    for k, v in t.model.state_dict().items():
+        if k.endswith("num_batches_tracked") or k.startswith(
+                _dead_param_keys(cfg)):
+            continue
+        np.testing.assert_allclose(ours_sd[k], v.detach().numpy(),
+                                   rtol=1e-3, atol=2e-5, err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# metrics / scaler / loader
+# ---------------------------------------------------------------------------
+
+def test_masked_metrics_match_reference(ref, rng):
+    from graph_wavenet_tpu.train import metrics as M
+
+    pred = rng.normal(size=(B, 12, N, 1)).astype(np.float32) * 10 + 50
+    real = rng.normal(size=(B, 12, N, 1)).astype(np.float32) * 10 + 50
+    real[rng.random(real.shape) < 0.2] = 0.0  # null_val entries
+    tp, tr = torch.tensor(pred), torch.tensor(real)
+    for ours, theirs in ((M.masked_mae, ref.util.masked_mae),
+                         (M.masked_mape, ref.util.masked_mape),
+                         (M.masked_rmse, ref.util.masked_rmse),
+                         (M.masked_mse, ref.util.masked_mse)):
+        np.testing.assert_allclose(float(ours(pred, real, 0.0)),
+                                   float(theirs(tp, tr, 0.0)), rtol=1e-5)
+    # NaN-as-null variant (`util.py:512-515`)
+    real_nan = real.copy()
+    real_nan[real_nan == 0.0] = np.nan
+    np.testing.assert_allclose(
+        float(M.masked_mae(pred, real_nan, np.nan)),
+        float(ref.util.masked_mae(tp, torch.tensor(real_nan), np.nan)),
+        rtol=1e-5)
+    # the metric() convenience tuple (`util.py:555-559`)
+    ours3 = M.metric(pred, real)
+    theirs3 = ref.util.metric(tp, tr)
+    np.testing.assert_allclose([float(v) for v in ours3], theirs3, rtol=1e-5)
+
+
+def test_batch_time_losses_match_reference(ref, rng):
+    from graph_wavenet_tpu.train import metrics as M
+
+    yhat = rng.normal(size=(5, 7)).astype(np.float32)
+    y = rng.normal(size=(5, 7)).astype(np.float32)
+    np.testing.assert_allclose(
+        float(M.batch_time_l1(yhat, y)),
+        float(ref.misc.batchTimeL1Loss(torch.tensor(yhat),
+                                       torch.tensor(y))), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(M.batch_time_mse(yhat, y)),
+        float(ref.misc.batchTimeMSELoss(torch.tensor(yhat),
+                                        torch.tensor(y))), rtol=1e-5)
+
+
+def test_scaler_matches_reference(ref, rng):
+    data = rng.normal(size=(100, N)).astype(np.float32) * 7 + 3
+    ours = StandardScaler(float(data.mean()), float(data.std()))
+    theirs = ref.util.StandardScaler(data.mean(), data.std())
+    np.testing.assert_allclose(ours.transform(data), theirs.transform(data),
+                               rtol=1e-6)
+    np.testing.assert_allclose(ours.inverse_transform(data),
+                               theirs.inverse_transform(data), rtol=1e-6)
+
+
+def test_dataloader_matches_reference(ref, rng):
+    """Pad-with-last semantics and batch slicing (`util.py:14-54`)."""
+    xs = rng.normal(size=(10, 3, N, 2)).astype(np.float32)
+    ys = rng.normal(size=(10, 3, N, 2)).astype(np.float32)
+    theirs = ref.util.DataLoader(xs, ys, batch_size=4)
+    ours = DataLoader(xs, ys, batch_size=4)
+    assert ours.size == theirs.size and ours.num_batch == theirs.num_batch
+    for (ox, oy), (tx, ty) in zip(ours.get_iterator(),
+                                  theirs.get_iterator(), strict=True):
+        np.testing.assert_array_equal(np.asarray(ox), tx)
+        np.testing.assert_array_equal(np.asarray(oy), ty)
+
+
+def test_dataloader_syn_matches_reference(ref, rng):
+    xs = rng.normal(size=(7, 3, N, 2)).astype(np.float32)
+    ys = rng.normal(size=(7, 3, N, 2)).astype(np.float32)
+    idx = rng.integers(0, 5, size=7)
+    theirs = ref.util.DataLoader_syn(xs, ys, idx, batch_size=3)
+    ours = DataLoader(xs, ys, batch_size=3, adj_idx=idx)
+    assert ours.num_batch == theirs.num_batch
+    for (ox, oy, oi), (tx, ty, ti) in zip(ours.get_iterator(),
+                                          theirs.get_iterator(),
+                                          strict=True):
+        np.testing.assert_array_equal(np.asarray(ox), tx)
+        np.testing.assert_array_equal(np.asarray(oy), ty)
+        np.testing.assert_array_equal(np.asarray(oi), ti)
+
+
+# ---------------------------------------------------------------------------
+# adjacency normalizers / graph library
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("adjtype", [
+    "scalap", "normlap", "symnadj", "transition", "doubletransition",
+    "identity"])
+def test_mod_adj_matches_reference(ref, rng, adjtype):
+    from graph_wavenet_tpu.graphs.normalize import mod_adj
+
+    a = (rng.random((N, N)) * (rng.random((N, N)) < 0.4)).astype(np.float32)
+    np.fill_diagonal(a, 0.0)
+    ours = mod_adj(a, adjtype)
+    theirs = ref.util.mod_adj(a.copy(), adjtype)
+    assert len(ours) == len(theirs)
+    for o, t in zip(ours, theirs):
+        np.testing.assert_allclose(o, np.asarray(t), rtol=1e-5, atol=1e-6)
+
+
+def test_graph_tools_match_reference(ref, rng):
+    from graph_wavenet_tpu.graphs import generate as G
+
+    w = (rng.random((N, N)) * (rng.random((N, N)) < 0.5)).astype(np.float64)
+    w = np.maximum(w, w.T)
+    np.fill_diagonal(w, 0.0)
+    np.testing.assert_allclose(G.adjacency_to_laplacian(w),
+                               ref.graph.adjacencyToLaplacian(w), rtol=1e-12)
+    np.testing.assert_allclose(G.normalize_adjacency(w),
+                               ref.graph.normalizeAdjacency(w), rtol=1e-10)
+    L = G.adjacency_to_laplacian(w)
+    np.testing.assert_allclose(G.normalize_laplacian(L),
+                               ref.graph.normalizeLaplacian(L), rtol=1e-10)
+    assert G.is_connected(w) == ref.graph.isConnected(w)
+    # GFT orderings: eigenvectors are sign/degenerate-subspace ambiguous,
+    # compare eigenvalue ordering and the reconstruction V E V^T
+    for order in ("no", "increasing", "totalVariation"):
+        e_ref, v_ref = ref.graph.computeGFT(w, order=order)
+        e_ours, v_ours = G.compute_gft(w, order=order)
+        np.testing.assert_allclose(np.diag(e_ours), np.diag(e_ref),
+                                   rtol=1e-8, atol=1e-9)
+        np.testing.assert_allclose(v_ours @ e_ours @ v_ours.T,
+                                   v_ref @ e_ref @ v_ref.T,
+                                   rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(G.matrix_powers(w, 4),
+                               ref.graph.matrixPowers(w, 4), rtol=1e-10)
+    ours_nz = G.compute_nonzero_rows(np.stack([w]), n_layers=1)
+    ref_nz = ref.graph.computeNonzeroRows(np.stack([w]), Nl=1)
+    for o, t in zip(ours_nz, ref_nz):
+        np.testing.assert_array_equal(np.ravel(o), np.ravel(t))
+    ours_nb = G.k_hop_neighborhood(w, 2)
+    ref_nb = ref.graph.computeNeighborhood(w, 2)
+    assert [sorted(n) for n in ours_nb] == [sorted(n) for n in ref_nb]
+
+
+def test_graph_class_matches_reference(ref, rng):
+    """`graphTools.Graph` derived quantities for a given W (adjacencyType
+    'adjacency' passthrough, `graphTools.py:820-823,1075-1135`)."""
+    from graph_wavenet_tpu.graphs.generate import Graph
+
+    w = (rng.random((N, N)) * (rng.random((N, N)) < 0.5)).astype(np.float64)
+    w = np.maximum(w, w.T)
+    np.fill_diagonal(w, 0.0)
+    if not ref.graph.isConnected(w):
+        pytest.skip("random graph not connected")
+    theirs = ref.graph.Graph("adjacency", N, {"adjacencyMatrix": w})
+    ours = Graph("adjacency", N, {"adjacencyMatrix": w})
+    np.testing.assert_allclose(ours.W, theirs.W, rtol=1e-12)
+    np.testing.assert_allclose(ours.L, theirs.L, rtol=1e-10)
+    np.testing.assert_allclose(ours.D, theirs.D, rtol=1e-10)
+    assert ours.N == theirs.N and ours.M == theirs.M
+    theirs.computeGFT()
+    ours.computeGFT()
+    np.testing.assert_allclose(np.diag(ours.E), np.diag(theirs.E),
+                               rtol=1e-8, atol=1e-9)
+
+
+def test_spline_basis_matches_reference(ref):
+    from graph_wavenet_tpu.graphs.coarsening import spline_basis
+
+    x = np.linspace(0.0, 1.0, 17)
+    theirs = ref.graph.splineBasis(5, x, degree=3)
+    if hasattr(theirs, "todense"):
+        theirs = theirs.todense()
+    np.testing.assert_allclose(spline_basis(5, x, degree=3),
+                               np.asarray(theirs), rtol=1e-10, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# ETL / windows
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("dow", [False, True])
+def test_etl_windows_match_reference(ref, rng, dow):
+    import pandas as pd
+
+    from graph_wavenet_tpu.data.traffic_etl import build_features, make_windows
+
+    T = 60
+    values = (rng.random((T, 5)) * 70).astype(np.float32)
+    index = pd.date_range("2012-03-01", periods=T, freq="5min")
+    df = pd.DataFrame(values, index=index)
+    x_offsets = np.arange(-11, 1)
+    y_offsets = np.arange(1, 13)
+    ref_x, ref_y = ref.etl.generate_graph_seq2seq_io_data(
+        df, x_offsets, y_offsets, add_time_in_day=True, add_day_in_week=dow)
+    data = build_features(values, index=index.values, add_time_in_day=True,
+                          add_day_in_week=dow)
+    x, y = make_windows(data, x_offsets, y_offsets)
+    np.testing.assert_allclose(x, ref_x, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(y, ref_y, rtol=1e-6, atol=1e-7)
+
+
+def test_reverse_sliding_window_matches_reference(ref, rng):
+    from graph_wavenet_tpu.data.windows import reverse_sliding_window
+
+    wins = [rng.normal(size=(9, 5, 4)), rng.normal(size=(3, 2, 6))]
+    ours = reverse_sliding_window(wins)
+    theirs = ref.util.reverse_sliding_window(wins)
+    for o, t in zip(ours, theirs):
+        np.testing.assert_allclose(o, t, rtol=1e-10)
