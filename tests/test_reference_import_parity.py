@@ -75,6 +75,7 @@ def ref():
             model=importlib.import_module("model"),
             engine=importlib.import_module("engine"),
             util=importlib.import_module("Utils.util"),
+            data=importlib.import_module("Utils.dataTools"),
             graph=importlib.import_module("Utils.graphTools"),
             misc=importlib.import_module("Utils.miscTools"),
             etl=importlib.import_module("generate_training_data"),
@@ -601,6 +602,44 @@ def test_etl_windows_match_reference(ref, rng, dow):
     x, y = make_windows(data, x_offsets, y_offsets)
     np.testing.assert_allclose(x, ref_x, rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(y, ref_y, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("pooltype", ["selectOne", "avg", "weighted"])
+def test_modality_pooling_matches_reference(ref, rng, pooltype):
+    """The synthetic generator's F (temporal) and E (community) pooling
+    (`dataTools.py:167-238`) on the same raw diffusion signal, all three
+    pooltypes. ``_gen_F``/``_gen_E`` never touch ``self`` — called unbound
+    so no reference data generation (global np.random) is involved."""
+    from graph_wavenet_tpu.data.synthetic import pool_spatial, pool_temporal
+    from graph_wavenet_tpu.graphs.generate import Graph
+
+    np.random.seed(7)  # the reference SBM sampler draws from global RNG
+    ref_G = ref.graph.Graph("SBM", N, {"nCommunities": 4, "probIntra": 0.9,
+                                       "probInter": 0.3})
+    x = rng.normal(size=(3, N, 12))  # (L, N, T)
+
+    ref_F = ref.data.MultiModalityPrediction._gen_F(None, x, 4, pooltype)
+    ours_F = pool_temporal(x, 4, pooltype)
+    np.testing.assert_allclose(ours_F, ref_F, rtol=1e-10)
+
+    ref_E = ref.data.MultiModalityPrediction._gen_E(None, x, ref_G, pooltype)
+    ours_G = Graph("adjacency", N, {"adjacencyMatrix": ref_G.W})
+    ours_G.assign_dict = ref_G.assign_dict  # same communities, same W
+    ours_E = pool_spatial(x, ours_G, pooltype)
+    np.testing.assert_allclose(ours_E, ref_E, rtol=1e-10)
+
+
+def test_generator_evaluate_matches_reference(ref, rng):
+    """`MultiModalityPrediction.evaluate` (`dataTools.py:287-292`) — the
+    column-normalized RMSE used for synthetic-task scoring."""
+    from graph_wavenet_tpu.data.synthetic import MultiModalityPrediction
+
+    yhat = rng.normal(size=(6, 9))
+    y = rng.normal(size=(6, 9))
+    ref_val = ref.data.MultiModalityPrediction.evaluate(
+        None, torch.tensor(yhat), torch.tensor(y))
+    ours_val = MultiModalityPrediction.evaluate(None, yhat, y)
+    np.testing.assert_allclose(float(ours_val), float(ref_val), rtol=1e-6)
 
 
 def test_reverse_sliding_window_matches_reference(ref, rng):
