@@ -76,6 +76,7 @@ def ref():
             engine=importlib.import_module("engine"),
             util=importlib.import_module("Utils.util"),
             data=importlib.import_module("Utils.dataTools"),
+            crash=importlib.import_module("Utils.CRASH_loader"),
             graph=importlib.import_module("Utils.graphTools"),
             misc=importlib.import_module("Utils.miscTools"),
             etl=importlib.import_module("generate_training_data"),
@@ -650,3 +651,101 @@ def test_reverse_sliding_window_matches_reference(ref, rng):
     theirs = ref.util.reverse_sliding_window(wins)
     for o, t in zip(ours, theirs):
         np.testing.assert_allclose(o, t, rtol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# CRASH raw loaders
+# ---------------------------------------------------------------------------
+
+def _assert_mat_equal(ours, theirs):
+    """Reference loadmat converts every ndarray inside a struct to nested
+    Python lists (`CRASH_loader.py:54-68`); ours keeps numeric ndarrays.
+    Compare as values."""
+    if isinstance(theirs, dict):
+        assert set(ours) == set(theirs)
+        for k in theirs:
+            _assert_mat_equal(ours[k], theirs[k])
+    elif isinstance(theirs, (list, np.ndarray)) and not isinstance(
+            ours, (str, bytes)):
+        np.testing.assert_allclose(np.asarray(ours, dtype=np.float64),
+                                   np.asarray(theirs, dtype=np.float64),
+                                   rtol=1e-12)
+    else:
+        assert ours == theirs
+
+
+def test_crash_loadmat_matches_reference(ref, rng, tmp_path):
+    """Recursive .mat struct unwrapping (`CRASH_loader.py:22-70`) on a
+    synthetic nested record."""
+    import scipy.io as sio
+
+    from graph_wavenet_tpu.data import crash
+
+    mat = {
+        "rec": {
+            "name": "subj-01",
+            "eeg": rng.normal(size=(4, 5)),
+            "nested": {"sc": rng.normal(size=(3, 3)),
+                       "ids": np.arange(3.0)},
+        },
+        "plain": 7.5,
+    }
+    path = str(tmp_path / "rec.mat")
+    sio.savemat(path, mat)
+    theirs = ref.crash.loadmat(path)
+    ours = crash.loadmat(path)
+    assert theirs["rec"]["name"] == ours["rec"]["name"] == "subj-01"
+    _assert_mat_equal(ours["rec"]["eeg"], theirs["rec"]["eeg"])
+    _assert_mat_equal(ours["rec"]["nested"]["sc"],
+                      theirs["rec"]["nested"]["sc"])
+    _assert_mat_equal(ours["rec"]["nested"]["ids"],
+                      theirs["rec"]["nested"]["ids"])
+    _assert_mat_equal(ours["plain"], float(theirs["plain"]))
+
+
+def test_crash_helpers_match_reference(ref, rng):
+    from graph_wavenet_tpu.data import crash
+
+    for arr in ([1, 4, 7, 10], [1, 4, 8], [3], [2, 2, 2]):
+        assert (crash.check_arithmetic_progression(arr)
+                == ref.crash.checkIsAP(list(arr)))
+    pts = rng.normal(size=(9, 3))
+    target = rng.normal(size=3)
+    np.testing.assert_array_equal(
+        crash.closest_idx(target, pts, k=4),
+        ref.crash.closest_idx(target, [p for p in pts], k=4))
+
+
+def test_region_assignment_matches_reference(ref, rng, monkeypatch):
+    """Electrode<-region assignment (`CRASH_loader.py:313-332`): each region's
+    centroid is mapped to its 3 nearest electrodes. The reference reads
+    private coordinate files via np.loadtxt — stub loadtxt with synthetic
+    coordinates; ours takes the positions directly (region-keyed, inverted
+    to the reference's electrode-keyed map via inverse_assignment)."""
+    from graph_wavenet_tpu.data import crash
+
+    n_regions, n_elec, rows_per_region = 10, 6, 3
+    mri_rows = []
+    for i in range(n_regions):
+        coords = rng.normal(size=(rows_per_region, 3))
+        labels = np.full((rows_per_region, 1), i + 1.0)
+        mri_rows.append(np.concatenate([coords, labels], 1))
+    coor_mri = np.concatenate(mri_rows, 0)
+    coor_eeg = rng.normal(size=(n_elec, 3))
+
+    def fake_loadtxt(path, usecols=None):
+        if "Parcellations" in str(path):
+            return coor_mri
+        return coor_eeg[:, [1, 0, 2]]  # ref permutes [1,0,2] back
+
+    monkeypatch.setattr(np, "loadtxt", fake_loadtxt)
+    theirs = ref.crash.get_region_assignment(n_regions)
+    monkeypatch.undo()
+
+    centroids = np.stack([coor_mri[coor_mri[:, -1] == i + 1][:, :3].mean(0)
+                          for i in range(n_regions)])
+    ours = crash.inverse_assignment(crash.region_assignment(
+        n_regions, n_elec, region_pos=centroids, electrode_pos=coor_eeg,
+        k=3))
+    for e in range(n_elec):
+        assert sorted(theirs.get(e, [])) == sorted(ours.get(e, [])), e
