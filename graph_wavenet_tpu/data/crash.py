@@ -286,6 +286,11 @@ def load_dataset_crash(batch_size: int, records: list[CrashRecord] | None
                     eeg[-1:], eeg_len - len(eeg), axis=0)])
         kept.append(CrashRecord(r.subject, r.session, eeg.T, fmri, r.sc))
     assert kept, "no sessions survived alignment"
+    # subject-major order: the split below cuts this list chronologically,
+    # and (with >= 3 subjects) at subject boundaries — interleaved input
+    # records must not scatter one subject across the cut points
+    subject_order = list(dict.fromkeys(r.subject for r in kept))
+    kept = [r for s in subject_order for r in kept if r.subject == s]
 
     assignment = assignment or region_assignment(n_regions, n_electrodes)
     communities = region_communities(assignment, n_regions)
@@ -320,17 +325,39 @@ def load_dataset_crash(batch_size: int, records: list[CrashRecord] | None
     xs = windows[:, :-K]
     ys = windows[:, K:]
 
-    # chronological per-session split of SESSIONS (subjects held together)
+    # chronological split of sessions. With >= 3 subjects the cuts land on
+    # SUBJECT boundaries (nearest to the requested fractions, one subject
+    # minimum per split), so a subject's dynamics and SC graph never leak
+    # from train into val/test; with fewer subjects that is impossible and
+    # the split falls back to per-session cuts (subjects then straddle
+    # splits — unavoidable with < 3 subjects).
     n_sessions = len(kept)
     if n_sessions < 3:
         raise ValueError(
             f"CRASH split needs >= 3 aligned sessions (one per split), got "
             f"{n_sessions} — add sessions or relax alignment (pad_seq)")
-    n_train = max(1, round(n_sessions * train_frac))
-    n_val = max(1, round(n_sessions * val_frac))
-    n_test = max(1, n_sessions - n_train - n_val)
-    n_train = n_sessions - n_val - n_test
-    assert n_train >= 1
+    counts = [sum(1 for r in kept if r.subject == s) for s in subject_order]
+    if len(subject_order) >= 3:
+        cum = np.cumsum(counts)
+        b1 = int(np.clip(
+            np.argmin(np.abs(cum - train_frac * n_sessions)) + 1,
+            1, len(subject_order) - 2))
+        b2 = int(np.clip(
+            np.argmin(np.abs(cum - (train_frac + val_frac) * n_sessions))
+            + 1, b1 + 1, len(subject_order) - 1))
+        n_train = int(cum[b1 - 1])
+        n_val = int(cum[b2 - 1]) - n_train
+        n_test = n_sessions - n_train - n_val
+    else:
+        n_train = max(1, round(n_sessions * train_frac))
+        n_val = max(1, round(n_sessions * val_frac))
+        n_test = max(1, n_sessions - n_train - n_val)
+        n_train = n_sessions - n_val - n_test
+    if n_train < 1:
+        raise ValueError(
+            f"CRASH split fractions train_frac={train_frac}, "
+            f"val_frac={val_frac} leave no training sessions out of "
+            f"{n_sessions} (train/val/test = {n_train}/{n_val}/{n_test})")
 
     graphs = []
     supports = []

@@ -109,6 +109,21 @@ class DeviceWindowLoader:
         from graph_wavenet_tpu.data.loader import pad_with_last
 
         anchors = np.asarray(anchors, dtype=np.int32)
+        # validate caller-supplied anchors HERE: the device gathers go
+        # through jnp.take, whose default clip mode would silently duplicate
+        # the first/last series rows instead of raising like the host path's
+        # gather_windows (native_loader.py)
+        t_x = series_x.shape[0]
+        t_y = t_x if y_series is None else y_series.shape[0]
+        first = window - 1
+        last = min(t_x - 1, t_y - horizon - 1)
+        if len(anchors) and (anchors.min() < first or anchors.max() > last):
+            raise ValueError(
+                f"window anchors out of range: anchors must lie in "
+                f"[{first}, {last}] (x reads anchor-{window - 1}..anchor "
+                f"over {t_x} rows, y reads anchor+{y_start}..anchor+"
+                f"{horizon} over {t_y} rows); got "
+                f"[{anchors.min()}, {anchors.max()}]")
         self.num_real = len(anchors)
         self.anchors = pad_with_last(anchors, batch_size)
         self.size = len(self.anchors)

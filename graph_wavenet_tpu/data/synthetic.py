@@ -91,6 +91,13 @@ def pool_temporal(x: np.ndarray, F_t: int, pooltype: str = "avg",
     """F modality: (L, N, T) -> (L, T, N) pooled per F_t window and repeated
     back (`dataTools.py:167-190`)."""
     L, N, T = x.shape
+    if T % F_t:
+        # reference behavior for this combination is an opaque reshape crash
+        # (avg/weighted) or a mis-sized F that breaks the later FE stack
+        # (selectOne); name the real constraint instead
+        raise ValueError(
+            f"temporal F pooling needs the series length T={T} "
+            f"(num_timestep) divisible by F_t={F_t}")
     if pooltype == "selectOne":
         F = x[:, :, np.arange(0, T, F_t)]
     elif pooltype == "avg":
@@ -176,6 +183,17 @@ class MultiModalityPrediction:
 
     def __post_init__(self):
         assert self.K % self.F_t == 0, "K must divide by F_t"
+        if self.horizon % self.F_t:
+            raise ValueError(
+                f"num_timestep (horizon={self.horizon}) must be divisible "
+                f"by F_t={self.F_t} — the F modality pools the whole "
+                f"rollout in F_t blocks (`dataTools.py:172-182`)")
+        if self.horizon - self.K + 1 <= self.K:
+            raise ValueError(
+                f"num_timestep (horizon={self.horizon}) too short for "
+                f"seq_length K={self.K}: y windows are the NEXT K steps of "
+                f"each x window, so horizon must be >= 2K "
+                f"(`dataTools.py:148-150`); every split would be empty")
         rng = self.rng if self.rng is not None else np.random.default_rng()
         n_total = self.n_train + self.n_valid + self.n_test
         x = diffusion_rollout(self.G, n_total, self.horizon,

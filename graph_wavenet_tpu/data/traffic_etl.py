@@ -26,6 +26,8 @@ def build_features(values: np.ndarray, index=None, add_time_in_day=True,
         time_ind = (idx - idx.astype("datetime64[D]")) / np.timedelta64(1, "D")
         feats.append(np.tile(time_ind[:, None, None], (1, num_nodes, 1)))
     if add_day_in_week:
+        if index is None:
+            raise ValueError("day-of-week feature needs a datetime index")
         idx = np.asarray(index)
         # pandas dayofweek convention (Monday=0), the reference's
         # df.index.dayofweek (`generate_training_data.py:36-38`):

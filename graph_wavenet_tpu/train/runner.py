@@ -542,9 +542,13 @@ class Runner:
                 idx = jnp.asarray(adj_idx)
                 batch_sup = [self._shard_batched(s[idx])
                              for s in sup["val"]]
-                vsteps.append(self._throttle(engine.eval_step_syn(
+                ev = engine.eval_step_syn(
                     state, *self._shard_xy(x, y), batch_sup,
-                    self._shard_batched(proj["val"][idx]), F_t)))
+                    self._shard_batched(proj["val"][idx]), F_t)
+                # keep only the scalar metrics: retaining pred_F/pred_E
+                # would pin O(val split) prediction buffers in HBM all epoch
+                vsteps.append(self._throttle(
+                    {k: ev[k] for k in ("loss", "mape", "rmse")}))
             valid_m = _epoch_mean(vsteps)
             s2 = time.time()
 

@@ -309,3 +309,31 @@ def test_metr_streaming_rejects_tiny_series(rng):
     with pytest.raises(ValueError, match="too few"):
         metr.load_dataset_streaming(vals, index=idx, batch_size=2,
                                     resident="host")
+
+
+def test_multimodality_rejects_bad_horizon(sbm_graph):
+    """Guards name the real constraints instead of the reference's opaque
+    reshape/stack crashes (`dataTools.py:172-182,137`)."""
+    with pytest.raises(ValueError, match="divisible.*F_t|F_t.*divisible"):
+        synthetic.MultiModalityPrediction(
+            sbm_graph, K=12, n_train=1, n_valid=1, n_test=1, horizon=100,
+            F_t=3, rng=np.random.default_rng(0))
+    with pytest.raises(ValueError, match=">= 2K"):
+        synthetic.MultiModalityPrediction(
+            sbm_graph, K=24, n_train=1, n_valid=1, n_test=1, horizon=40,
+            F_t=4, rng=np.random.default_rng(0))
+
+
+def test_pool_temporal_rejects_indivisible_length(rng):
+    with pytest.raises(ValueError, match="divisible"):
+        synthetic.pool_temporal(rng.normal(size=(2, 5, 10)), 3, "avg")
+    with pytest.raises(ValueError, match="divisible"):
+        synthetic.pool_temporal(rng.normal(size=(2, 5, 10)), 3, "selectOne")
+
+
+def test_build_features_dow_needs_index(rng):
+    from graph_wavenet_tpu.data.traffic_etl import build_features
+
+    with pytest.raises(ValueError, match="datetime index"):
+        build_features(rng.normal(size=(20, 4)), index=None,
+                       add_time_in_day=False, add_day_in_week=True)

@@ -275,3 +275,26 @@ def test_fused_scan_diffg_matches_per_step(rng, tmp_path):
                       rtol=1e-5)
     assert np.isclose(r1.history[-1].train["loss"],
                       r3.history[-1].train["loss"], rtol=1e-5)
+
+
+def test_device_window_loader_rejects_out_of_range_anchors(rng):
+    """jnp.take's default clip mode would silently duplicate boundary rows
+    for bad anchors; the ctor must reject them like the host path does."""
+    series = rng.normal(size=(40, 5, 2)).astype(np.float32)
+    with pytest.raises(ValueError, match="anchors out of range"):
+        DeviceWindowLoader(series, window=12, horizon=12, batch_size=8,
+                           anchors=np.arange(40))   # y reach past the end
+    with pytest.raises(ValueError, match="anchors out of range"):
+        DeviceWindowLoader(series, window=12, horizon=12, batch_size=8,
+                           anchors=np.array([3]))   # x start before row 0
+    # boundary anchors are fine and match the host loader bit-for-bit
+    ok = WindowDataLoader.valid_anchors(40, 12, 12)
+    edge = np.array([ok[0], ok[-1]])
+    dev = DeviceWindowLoader(series, window=12, horizon=12, batch_size=2,
+                             anchors=edge)
+    host = WindowDataLoader(series, window=12, horizon=12, batch_size=2,
+                            anchors=edge)
+    dx, dy = _collect(dev)
+    hx, hy = _collect(host)
+    np.testing.assert_array_equal(dx, hx)
+    np.testing.assert_array_equal(dy, hy)

@@ -250,3 +250,48 @@ def test_cli_train_syn_on_mesh(tmp_path):
     result = out["result"]
     assert len(result.history) == 1
     assert np.isfinite(result.test_metrics["loss"])
+
+
+def test_crash_split_holds_subjects_together():
+    """With >= 3 subjects, the chronological split must cut at SUBJECT
+    boundaries — a subject's SC graph (and dynamics) must never appear in
+    two splits. Subject identity is encoded in a marker entry of each
+    subject's SC and read back from the split graphs."""
+    from graph_wavenet_tpu.data import crash
+
+    rng = np.random.default_rng(0)
+    records = []
+    for s in range(5):
+        sc = np.ones((8, 8)) - np.eye(8)
+        sc[0, 1] = sc[1, 0] = 10.0 + s          # subject marker
+        for e in range(2):
+            fmri = rng.normal(size=(20, 8)).astype(np.float32)
+            eeg = rng.normal(size=(4, 1 + 19 * 4)).astype(np.float32)
+            records.append(crash.CrashRecord(f"sub{s}", f"ses{e}",
+                                             eeg, fmri, sc))
+    data, sup, F_t, G = crash.load_dataset_crash(batch_size=4,
+                                                 records=records)
+    subjects_by_split = {
+        name: {float(g.W[0, 1]) for g in G[name]}
+        for name in ("train", "val", "test")}
+    for a in ("train", "val", "test"):
+        for b in ("train", "val", "test"):
+            if a != b:
+                assert not (subjects_by_split[a] & subjects_by_split[b]), (
+                    a, b, subjects_by_split)
+    # every session is in exactly one split
+    assert sum(len(G[n]) for n in ("train", "val", "test")) == len(records)
+    # each subject's two sessions travel together
+    for name in ("train", "val", "test"):
+        markers = [float(g.W[0, 1]) for g in G[name]]
+        assert all(markers.count(m) == 2 for m in markers), markers
+
+
+def test_crash_split_rejects_empty_train():
+    from graph_wavenet_tpu.data import crash
+
+    with pytest.raises(ValueError, match="leave no training sessions"):
+        crash.load_dataset_crash(batch_size=2, train_frac=0.05,
+                                 val_frac=0.9,
+                                 records=crash.synthetic_crash_records(
+                                     n_subjects=1, sessions_per_subject=6))
