@@ -141,6 +141,14 @@ def apply_gwnet(cfg: ModelConfig, params: Params, state: State,
     new_supports = supports
     use_adapt = cfg.gcn_bool and cfg.addaptadj and supports is not None
     if use_adapt:
+        if cfg.fresh_nodevec:
+            # the quirk flag belongs to the diff-G variant only
+            # (`model.py:324-329`); the shared-graph model's embeddings are
+            # always trained params, and init_gwnet skipped creating them
+            raise ValueError(
+                "fresh_nodevec=True reproduces the diff-G per-forward "
+                "random embeddings (apply_gwnet_diff_g); the shared-graph "
+                "model has no such mode — unset fresh_nodevec")
         adp = adaptive_adjacency(params["nodevec1"], params["nodevec2"])
         new_supports = list(supports) + [adp]
 
@@ -187,7 +195,7 @@ def _wavenet_stack(cfg: ModelConfig, params: Params, state: State,
 
         interpret = jax.default_backend() != "tpu"
 
-    def make_layer_fn(i: int, dilation: int):
+    def make_layer_fn(dilation: int):
         """One WaveNet layer as a pure function (remat-able)."""
 
         def layer_fn(layer, bn_state_i, residual, skip, supports_t, stacks_t,
@@ -243,7 +251,7 @@ def _wavenet_stack(cfg: ModelConfig, params: Params, state: State,
                          for a in supports_t)
     for i, (layer, dilation) in enumerate(
             zip(params["layers"], cfg.dilations())):
-        layer_fn = make_layer_fn(i, dilation)
+        layer_fn = make_layer_fn(dilation)
         if cfg.remat and skip is not None:
             # first layer stays un-rematted (skip is None, a static arg)
             layer_fn = jax.checkpoint(layer_fn)

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from graph_wavenet_tpu.ops.linear import accum_dtype, linear_init
-from graph_wavenet_tpu.ops.sparse import SparseSupport, nconv_sparse
+from graph_wavenet_tpu.ops.sparse import nconv_sparse
 
 
 def nconv(x: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:

@@ -58,7 +58,8 @@ def batch_norm_apply(params: dict, state: dict, x: jnp.ndarray,
             t = x.shape[1]
             mask = (jnp.arange(t) >= t - t_valid).astype(jnp.float32)
             mask = mask[None, :, None, None]
-            n = ((x.size // (x.shape[-1] * t)) * t_valid).astype(jnp.float32)
+            n = ((x.size // (x.shape[-1] * t))
+                 * jnp.asarray(t_valid)).astype(jnp.float32)
             mean = jnp.sum(x * mask, axis=reduce_axes) / n
             var = jnp.sum(jnp.square(x - mean) * mask, axis=reduce_axes) / n
         unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))

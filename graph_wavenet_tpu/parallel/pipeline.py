@@ -148,12 +148,22 @@ def pipeline_apply(cfg: ModelConfig, params: Params, state: State,
 
     new_supports = list(supports) if supports is not None else None
     if use_gcn and cfg.addaptadj:
+        if cfg.fresh_nodevec:
+            raise ValueError(
+                "fresh_nodevec=True is the diff-G per-forward-embeddings "
+                "quirk; the pipelined shared-graph model has no such mode "
+                "— unset fresh_nodevec")   # same guard as apply_gwnet
         adp = adaptive_adjacency(params["nodevec1"], params["nodevec2"])
         new_supports = new_supports + [adp]
     supports_t = tuple(new_supports) if new_supports is not None else ()
     mode = cfg.resolved_gcn_mode
     stacks_t = ()
-    if use_gcn and mode == "stacked":
+    # dense supports only, like _wavenet_stack: sparse/block-sparse support
+    # objects have no matmul-power form (gcn_apply downgrades them to the
+    # fused chain internally)
+    if (use_gcn and mode == "stacked"
+            and all(getattr(a, "ndim", None) in (2, 3)
+                    for a in supports_t)):
         stacks_t = tuple(support_powers(a, cfg.diffusion_order)
                          for a in supports_t)
 
@@ -321,6 +331,18 @@ def make_pipeline_train_step(engine, mesh: Mesh, n_micro: int):
 
     @functools.partial(jax.jit, donate_argnums=0)
     def step(state, x, y, supports):
+        if supports is not None and any(
+                getattr(a, "ndim", None) not in (2, 3) for a in supports):
+            # the ELL/block-sparse custom VJPs produce pipe-axis-varying
+            # weight cotangents for a replicated primal, which shard_map's
+            # manual-axes check rejects; forward/eval (pipeline_apply)
+            # works. Training big sparse graphs is node-TP's job
+            # (parallel/mesh.py), not the pipeline's.
+            raise ValueError(
+                "pipeline training supports dense (N, N) supports only — "
+                "sparse/block-sparse support gradients are not defined "
+                "under the manual pipe axis; use dense supports here or "
+                "node tensor parallelism for large sparse graphs")
         rng = jax.random.fold_in(state.rng, state.step)
 
         def loss_fn(params):

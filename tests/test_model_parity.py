@@ -373,3 +373,16 @@ def test_gwnet_block_sparse_supports_match_dense(rng):
                          [block_sparse.from_dense(a, block_size=5)
                           for a in dense])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_fresh_nodevec_rejected_on_shared_graph_model():
+    """The diff-G quirk flag has no meaning on the shared-graph model
+    (init skips the nodevec params) — apply must fail with the named
+    error, not a KeyError mid-trace."""
+    cfg = small_cfg(fresh_nodevec=True)
+    params, state = init_gwnet(jax.random.key(0), ModelConfig(
+        **{**cfg.__dict__, "fresh_nodevec": False}))
+    x = jnp.zeros((2, cfg.receptive_field, N_NODES, 2))
+    sup = [jnp.eye(N_NODES), jnp.eye(N_NODES)]
+    with pytest.raises(ValueError, match="fresh_nodevec"):
+        apply_gwnet(cfg, params, state, x, sup, train=False)

@@ -397,3 +397,17 @@ def test_sparse_from_edges_accumulates_and_topk(rng):
     np.testing.assert_allclose(d2[2, 1], -2.0, atol=1e-6)
     np.testing.assert_allclose(d2[0, 1], 0.75, atol=1e-6)
     assert d2[3, 1] == 0.0                                   # dropped
+
+
+def test_masked_batch_norm_accepts_python_int_t_valid(rng):
+    """t_valid may be a static int, not only a traced scalar."""
+    p, s = normalization.batch_norm_init(4)
+    x = jnp.asarray(rng.normal(size=(2, 6, 3, 4)).astype(np.float32))
+    out_static, st_static = normalization.batch_norm_apply(
+        p, s, x, train=True, t_valid=4)
+    out_traced, st_traced = normalization.batch_norm_apply(
+        p, s, x, train=True, t_valid=jnp.asarray(4))
+    np.testing.assert_allclose(np.asarray(out_static),
+                               np.asarray(out_traced), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_static["mean"]),
+                               np.asarray(st_traced["mean"]), rtol=1e-6)

@@ -178,3 +178,40 @@ def test_pipeline_rejects_diff_g_and_pallas(rng):
     with pytest.raises(AssertionError, match="use_pallas"):
         pipeline_apply(cfg, eng.state.params, eng.state.model_state, x,
                        supports, mesh=mesh, n_micro=2)
+
+
+def test_pipeline_stacked_mode_with_sparse_supports(rng):
+    """gcn_mode='stacked' + sparse supports: power stacks have no matmul
+    form for support objects — the pipeline must skip them (gcn_apply
+    downgrades to the fused chain) exactly like apply_gwnet does."""
+    from graph_wavenet_tpu.ops import sparse
+
+    cfg = _cfg(gcn_mode="stacked", addaptadj=False, n_supports=1,
+               dropout=0.0)
+    eng = Engine(cfg, TrainConfig(), StandardScaler(0.0, 1.0))
+    x, _, _ = _data(rng)
+    sp = sparse.random_sparse_support(N_NODES, 4,
+                                      rng=np.random.default_rng(0))
+    mesh = make_pipeline_mesh(2)
+    ref, _ = apply_gwnet(cfg, eng.state.params, eng.state.model_state, x,
+                         [jnp.asarray(sp.to_dense())], train=False)
+    out, _ = pipeline_apply(cfg, eng.state.params, eng.state.model_state, x,
+                            [sp], mesh=mesh, n_micro=2, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-6)
+
+
+def test_pipeline_train_step_rejects_sparse_supports(rng):
+    """Sparse-support gradients are undefined under the manual pipe axis
+    (custom-VJP cotangents vary where the primal is replicated) — the step
+    must fail with the named error, not a shard_map type error."""
+    from graph_wavenet_tpu.ops import sparse
+
+    cfg = _cfg(addaptadj=False, n_supports=1, dropout=0.0)
+    eng = Engine(cfg, TrainConfig(), StandardScaler(0.0, 1.0))
+    step = make_pipeline_train_step(eng, make_pipeline_mesh(2), n_micro=2)
+    x, y, _ = _data(rng)
+    sp = sparse.random_sparse_support(N_NODES, 4,
+                                      rng=np.random.default_rng(0))
+    with pytest.raises(ValueError, match="dense .* supports only"):
+        step(eng.state, x, y, [sp])
