@@ -168,8 +168,9 @@ def weak_scaling(cfg: ModelConfig = FLAGSHIP, per_device_batch: int = 64,
         state = M.shard_state(mesh, engine.state)
         x, y, supports = _random_inputs(cfg, per_device_batch * n, seq)
         xj, yj = M.shard_batch(mesh, mesh_cfg, x, y)
-        sup = [jax.device_put(jnp.asarray(s), M.replicated(mesh))
-               for s in supports]
+        sup = None if supports is None else [
+            jax.device_put(jnp.asarray(s), M.replicated(mesh))
+            for s in supports]   # None = temporal-only configs
         emulated = mesh.devices.flat[0].platform == "cpu"
         for _ in range(3):
             state, metrics = engine.train_step(state, xj, yj, sup)

@@ -62,14 +62,18 @@ def main(argv=None) -> dict:
 
     engine = Engine(model_cfg, train_cfg, scaler)
     engine.state = ckpt.load_checkpoint(args.checkpoint, engine.state)
-    scaler = scaler or engine.scaler
 
     _, _, adj = load_adj(args.adjdata, args.adjtype)
     # [] (not None) for aptonly: the adaptive adjacency stays active with
     # no fixed supports — None would disable the graph convs entirely
     # (the reference converts None to [] the same way, model.py:112-115)
     supports = [] if args.aptonly else adj
-    data = load_dataset(args.data, args.batch_size)
+    # standardize the INPUTS with the checkpoint's training-time scaler too
+    # (when the sidecar has one): fitting fresh on this directory while
+    # inverse-transforming with the sidecar silently skewed metrics whenever
+    # the eval data differs from the training data
+    data = load_dataset(args.data, args.batch_size, scaler=meta.get("scaler"))
+    scaler = scaler if meta.get("scaler") is not None else data["scaler"]
 
     runner = Runner(engine, train_cfg)
     result = runner.test(data, supports, scaler=scaler,

@@ -211,7 +211,8 @@ def main(argv=None) -> dict:
             runner = Runner(engine, train_cfg, mesh=mesh, mesh_cfg=mesh_cfg)
             supports = [] if args.aptonly else adjs
             result = runner.fit_syn_shared(data, supports, G, F_t,
-                                           data_cfg.n_communities)
+                                           data_cfg.n_communities,
+                                           resume_from=args.resume)
             runner.test_syn_shared(data, supports, G, F_t,
                                    data_cfg.n_communities, result)
         else:
@@ -224,7 +225,8 @@ def main(argv=None) -> dict:
             if args.aptonly:
                 supports = {k: [] for k in supports}
             result = runner.fit_syn(data, supports, G, F_t,
-                                    data_cfg.n_communities)
+                                    data_cfg.n_communities,
+                                    resume_from=args.resume)
             runner.test_syn(data, supports, G, F_t,
                             data_cfg.n_communities, result)
             if args.plot:
@@ -240,11 +242,16 @@ def main(argv=None) -> dict:
         cfg = dataclasses.replace(
             model_config(args, diff_g=True),
             out_dim=data["K"], num_nodes=data["x_train"].shape[2])
+        if args.aptonly:
+            # same train==eval convention as the syn and metr branches:
+            # empty per-split support lists keep the adaptive path active
+            supports = {k: [] for k in supports}
         engine = Engine(cfg, train_cfg, data["scaler"], diff_g=True,
                         steps_per_epoch=data["train_loader"].num_batch)
         runner = Runner(engine, train_cfg, mesh=mesh, mesh_cfg=mesh_cfg)
         result = runner.fit_syn(data, supports, G, F_t,
-                                data["n_communities"])
+                                data["n_communities"],
+                                resume_from=args.resume)
         runner.test_syn(data, supports, G, F_t, data["n_communities"],
                         result)
     else:
@@ -254,6 +261,16 @@ def main(argv=None) -> dict:
         _, _, adj = load_adj(args.adjdata, args.adjtype)
         data = load_dataset(args.data, args.batch_size, seed=args.seed,
                             resident=args.resident)
+        horizon = int(data["y_train"].shape[1])
+        if args.seq_length != horizon:
+            # the reference inherits the same incompatible defaults
+            # (train.py:27 seq_length=48 vs its 12-step ETL) and dies in a
+            # broadcast error at the first step; name the fix instead
+            raise SystemExit(
+                f"--seq_length {args.seq_length} does not match the "
+                f"dataset's target horizon {horizon} ({args.data} npz was "
+                f"built with seq_length_y={horizon}); pass --seq_length "
+                f"{horizon}")
         cfg = model_config(args, diff_g=False)
         aptinit = None if args.randomadj else adj[0]
         # [] (not None) for aptonly: adaptive adjacency stays active with no

@@ -29,7 +29,12 @@ from graph_wavenet_tpu.data.scaler import StandardScaler, apply_feature0_scaling
 def load_dataset(dataset_dir: str, batch_size: int,
                  valid_batch_size: int | None = None,
                  test_batch_size: int | None = None,
-                 seed: int = 0, resident: str = "host") -> dict:
+                 seed: int = 0, resident: str = "host",
+                 scaler: StandardScaler | None = None) -> dict:
+    """``scaler``: standardize feature 0 with THIS scaler instead of fitting
+    one on this directory's x_train — evaluation of a checkpoint must use
+    the training-time statistics (cli/test.py passes the sidecar scaler), or
+    inputs and the inverse transform silently disagree."""
     valid_batch_size = valid_batch_size or batch_size
     test_batch_size = test_batch_size or batch_size
     rng = np.random.default_rng(seed)
@@ -38,7 +43,8 @@ def load_dataset(dataset_dir: str, batch_size: int,
         cat = np.load(os.path.join(dataset_dir, category + ".npz"))
         data["x_" + category] = cat["x"].astype(np.float32)
         data["y_" + category] = cat["y"].astype(np.float32)
-    scaler = StandardScaler.fit(data["x_train"][..., 0])
+    if scaler is None:
+        scaler = StandardScaler.fit(data["x_train"][..., 0])
     apply_feature0_scaling(data, scaler)
     cls = loader_cls(resident)
     data["train_loader"] = cls(data["x_train"], data["y_train"],

@@ -203,12 +203,15 @@ def fuse_edges(adjacency_matrices: np.ndarray, aggregation: str = "sum",
     W = A.sum(axis=0) if aggregation == "sum" else A.mean(axis=0)
     if force_undirected:
         W = 0.5 * (W + W.T)
+    # out= zeros: np.divide(where=) leaves unselected entries UNINITIALIZED,
+    # so a zero-sum (isolated) row/col would otherwise be reused-allocation
+    # garbage
     if normalization == "rows":
         s = W.sum(axis=1, keepdims=True)
-        W = np.divide(W, s, where=s != 0)
+        W = np.divide(W, s, out=np.zeros_like(W), where=s != 0)
     elif normalization == "cols":
         s = W.sum(axis=0, keepdims=True)
-        W = np.divide(W, s, where=s != 0)
+        W = np.divide(W, s, out=np.zeros_like(W), where=s != 0)
     return W
 
 
@@ -238,8 +241,11 @@ def edge_fail_sampling(W: np.ndarray, p: float,
     undirected = np.allclose(W, W.T, atol=ZERO_TOL)
     mask = rng.random(W.shape) >= p
     if undirected:
-        mask = np.triu(mask, 1)
-        mask = mask | mask.T
+        # one Bernoulli draw per undirected edge; self-loops keep their own
+        # draw (the reference's triu(k=0) + transpose would DOUBLE surviving
+        # diagonal entries, `graphTools.py:1024-1026` — deliberate fix)
+        upper = np.triu(mask, 1)
+        mask = upper | upper.T | (np.eye(len(W), dtype=bool) & mask)
     return W * mask
 
 

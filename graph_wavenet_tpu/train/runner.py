@@ -249,14 +249,8 @@ class Runner:
                 "grad_accum > 1 is not supported together with the fused "
                 "multi-step path (scan_steps > 1 on a device-resident "
                 "loader) — set scan_steps=1 to accumulate")
-        start_epoch = 1
-        if resume_from:
-            engine.state = ckpt.load_checkpoint(resume_from, engine.state)
-            meta = ckpt.load_metadata(resume_from)
-            start_epoch = int(meta.get("extra", {}).get("epoch", 0)) + 1
-            self.log(f"resumed from {resume_from} at epoch {start_epoch}")
+        start_epoch = self._resume(resume_from)
         state = engine.state
-        self._log_run_start(start_epoch, resume_from)
         supports = None if supports is None else [_as_support(s)
                                                   for s in supports]
         state, supports = self._place_for_mesh(state, supports)
@@ -394,7 +388,8 @@ class Runner:
     # ------------------------------------------------------------------
 
     def fit_syn_shared(self, data: dict, supports, G, F_t: int,
-                       n_communities: int) -> RunResult:
+                       n_communities: int,
+                       resume_from: str | None = None) -> RunResult:
         """Epoch loop for the shared-graph synthetic task: the reference
         drives `train_syn`/`eval_syn` with the single graph's cluster map
         (`/root/reference/train.py:248-249,272-273`)."""
@@ -404,6 +399,7 @@ class Runner:
                 "only; set grad_accum=1 for synthetic/CRASH training")
         result = RunResult()
         engine = self.engine
+        start_epoch = self._resume(resume_from)
         state = engine.state
         sup = None if supports is None else [_as_support(s)
                                              for s in supports]
@@ -413,7 +409,7 @@ class Runner:
         if self.mesh is not None:
             from graph_wavenet_tpu.parallel import mesh as M
             proj = jax.device_put(proj, M.replicated(self.mesh))
-        for epoch in range(1, self.cfg.epochs + 1):
+        for epoch in range(start_epoch, self.cfg.epochs + 1):
             t1 = time.time()
             data["train_loader"].shuffle()
             steps = []
@@ -480,7 +476,8 @@ class Runner:
 
     def fit_syn(self, data: dict, supports_by_split: dict,
                 graphs_by_split: dict, F_t: int,
-                n_communities: int) -> RunResult:
+                n_communities: int,
+                resume_from: str | None = None) -> RunResult:
         """Epoch loop for the diff-G synthetic task (`train.py:145-208`):
         per-batch gather of each sample's supports and cluster projector."""
         if self.cfg.grad_accum > 1:
@@ -489,6 +486,7 @@ class Runner:
                 "only; set grad_accum=1 for synthetic/CRASH training")
         result = RunResult()
         engine = self.engine
+        start_epoch = self._resume(resume_from)
         state = engine.state
         state, _ = self._place_for_mesh(state, None)
         sup = {k: [jnp.asarray(s) for s in v]
@@ -507,7 +505,7 @@ class Runner:
                    for k, v in sup.items()}
             proj = {k: jax.device_put(p, rep) for k, p in proj.items()}
 
-        for epoch in range(1, self.cfg.epochs + 1):
+        for epoch in range(start_epoch, self.cfg.epochs + 1):
             t1 = time.time()
             loader = data["train_loader"]
             loader.shuffle()
@@ -632,6 +630,22 @@ class Runner:
         with open(path, "w") as f:
             json.dump(info, f, indent=2)
         self.log(f"device wedged at epoch {epoch}; diagnostics -> {path}")
+
+    def _resume(self, resume_from: str | None) -> int:
+        """Restore the FULL train state from a checkpoint (params +
+        optimizer + BN + step + RNG) and return the epoch to continue from;
+        writes the run-start marker either way. Shared by fit / fit_syn /
+        fit_syn_shared — the reference cannot resume at all (state_dict
+        only, SURVEY.md §5)."""
+        start_epoch = 1
+        if resume_from:
+            self.engine.state = ckpt.load_checkpoint(resume_from,
+                                                     self.engine.state)
+            meta = ckpt.load_metadata(resume_from)
+            start_epoch = int(meta.get("extra", {}).get("epoch", 0)) + 1
+            self.log(f"resumed from {resume_from} at epoch {start_epoch}")
+        self._log_run_start(start_epoch, resume_from)
+        return start_epoch
 
     def _log_run_start(self, start_epoch: int,
                        resume_from: str | None) -> None:

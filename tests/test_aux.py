@@ -156,3 +156,13 @@ def test_crash_misc_helpers(tmp_path, rng):
     fig = crash.show_slices([rng.random((6, 5)), rng.random((6, 5))],
                             path=str(tmp_path / "s.png"))
     assert (tmp_path / "s.png").exists()
+
+
+def test_weak_scaling_temporal_only():
+    """Temporal-only configs return supports=None — the harness must not
+    iterate it."""
+    import dataclasses
+
+    cfg = dataclasses.replace(SMALL, gcn_bool=False, addaptadj=False)
+    r = benchmarks.weak_scaling(cfg, per_device_batch=2, seq=6, steps=2)
+    assert r[1]["node_timesteps_per_s"] > 0

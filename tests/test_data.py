@@ -337,3 +337,23 @@ def test_build_features_dow_needs_index(rng):
     with pytest.raises(ValueError, match="datetime index"):
         build_features(rng.normal(size=(20, 4)), index=None,
                        add_time_in_day=False, add_day_in_week=True)
+
+
+def test_load_dataset_honors_external_scaler(tmp_path, rng):
+    """An externally supplied scaler (the checkpoint sidecar in gwt-test)
+    must standardize the inputs — not a freshly fit one."""
+    from graph_wavenet_tpu.data import metr
+    from graph_wavenet_tpu.data.scaler import StandardScaler
+    from graph_wavenet_tpu.data.traffic_etl import generate_train_val_test
+
+    values = (rng.random((60, 4)) * 70).astype(np.float32)
+    index = np.arange("2012-03-01", 60 * 5, 5,
+                      dtype="datetime64[m]")
+    generate_train_val_test(values, str(tmp_path), index=index,
+                            seq_length_x=6, seq_length_y=6)
+    ext = StandardScaler(100.0, 50.0)
+    data = metr.load_dataset(str(tmp_path), 4, scaler=ext)
+    assert data["scaler"] is ext
+    raw = np.load(tmp_path / "train.npz")["x"][..., 0]
+    np.testing.assert_allclose(data["x_train"][..., 0],
+                               (raw - 100.0) / 50.0, rtol=1e-5)

@@ -295,3 +295,52 @@ def test_crash_split_rejects_empty_train():
                                  val_frac=0.9,
                                  records=crash.synthetic_crash_records(
                                      n_subjects=1, sessions_per_subject=6))
+
+
+def test_crash_cli_aptonly(tmp_path):
+    """--aptonly on the CRASH branch: the per-split supports must become
+    empty lists (the model is built with n_supports=0) — train and eval see
+    the same adaptive-only network."""
+    from graph_wavenet_tpu.cli import train as train_cli
+
+    out = train_cli.main([
+        "--data", "crash", "--gcn_bool", "--addaptadj", "--randomadj",
+        "--aptonly", "--nhid", "4", "--blocks", "2", "--layers", "2",
+        "--batch_size", "4", "--epochs", "1", "--save", str(tmp_path / "g")])
+    assert np.isfinite(out["result"].test_metrics["loss"])
+
+
+def test_cli_metr_rejects_mismatched_seq_length(tmp_path, metr_fixture):
+    """Default --seq_length 48 against a 12-step npz must fail with the
+    named message, not a broadcast error at the first step (the reference
+    ships the same incompatible defaults, train.py:27)."""
+    from graph_wavenet_tpu.cli import train as train_cli
+
+    data_dir, adj_path, n_nodes = metr_fixture
+    with pytest.raises(SystemExit, match="seq_length"):
+        train_cli.main([
+            "--data", data_dir, "--adjdata", adj_path, "--gcn_bool",
+            "--addaptadj", "--randomadj", "--num_nodes", str(n_nodes),
+            "--seq_length", "48", "--nhid", "4", "--blocks", "2",
+            "--layers", "2", "--batch_size", "8", "--epochs", "1",
+            "--save", str(tmp_path / "g")])
+
+
+def test_cli_syn_resume(tmp_path):
+    """--resume works on the syn branches (was silently ignored): the
+    resumed run continues from the checkpoint's next epoch."""
+    from graph_wavenet_tpu.cli import train as train_cli
+
+    base = [
+        "--data", "syn", "--same_g", "--gcn_bool", "--addaptadj",
+        "--randomadj", "--num_nodes", "15", "--seq_length", "12", "--nhid",
+        "4", "--blocks", "4", "--layers", "2", "--batch_size", "8",
+        "--n_train", "4", "--n_valid", "2", "--n_test", "2",
+        "--num_timestep", "60"]
+    out1 = train_cli.main(base + ["--epochs", "1",
+                                  "--save", str(tmp_path / "a")])
+    ck = out1["result"].best_checkpoint
+    assert ck and os.path.exists(ck)
+    out2 = train_cli.main(base + ["--epochs", "2", "--resume", ck,
+                                  "--save", str(tmp_path / "b")])
+    assert [h.epoch for h in out2["result"].history] == [2]

@@ -133,3 +133,30 @@ def test_fuse_edges():
     np.testing.assert_array_equal(fused, [[0, 2.0], [2.0, 0]])
     rows = G.fuse_edges(A, "avg", "rows")
     np.testing.assert_allclose(rows.sum(1), [1.0, 1.0])
+
+
+def test_fuse_edges_normalization_zero_rows(rng):
+    """np.divide(where=) without out= left isolated rows as uninitialized
+    memory — zero-sum rows/cols must come out exactly zero."""
+    a = np.zeros((2, 5, 5))
+    a[0, 0, 1] = a[1, 0, 1] = 1.0
+    a[0, 2, 3] = 2.0            # node 4 fully isolated
+    for norm, axis in (("rows", 1), ("cols", 0)):
+        w = G.fuse_edges(a, aggregation="sum", normalization=norm)
+        s = w.sum(axis=axis)
+        np.testing.assert_array_equal(w[4], 0.0)
+        np.testing.assert_array_equal(w[:, 4], 0.0)
+        nz = s != 0
+        np.testing.assert_allclose(s[nz], 1.0)
+
+
+def test_edge_fail_sampling_keeps_self_loops_at_p0(rng):
+    w = np.ones((6, 6))          # undirected, self-loops on the diagonal
+    out = G.edge_fail_sampling(w, 0.0, rng=rng)
+    np.testing.assert_array_equal(out, w)   # p=0 is the identity
+    out = G.edge_fail_sampling(w, 1.0, rng=rng)
+    np.testing.assert_array_equal(out, 0.0)
+    # self-loops survive with their own Bernoulli draw, never doubled
+    mid = G.edge_fail_sampling(w, 0.5, rng=np.random.default_rng(3))
+    assert np.all(np.diag(mid) <= 1.0)
+    assert np.allclose(mid, mid.T)
