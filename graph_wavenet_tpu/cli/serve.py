@@ -1,0 +1,182 @@
+"""gwt-serve: HTTP inference server over a checkpoint or AOT artifact.
+
+The reference has no serving story at all — deployment is "pickle the
+state_dict and ship the repo" (`/root/reference/test.py:48-50`). This CLI
+turns either surface into a production endpoint:
+
+- ``--checkpoint``: rebuild the predictor from the msgpack + metadata
+  sidecar (model/config/scaler recovered with zero flags, like gwt-test);
+- ``--artifact``: load a :func:`serving.export_forecaster` StableHLO
+  artifact — no model code, config, or checkpoint on the serving host.
+
+Requests are coalesced by :class:`serving.MicroBatcher` (dynamic batching:
+one MXU-shaped device call instead of per-request singletons). Inputs are
+RAW readings; feature 0 is standardized with the checkpoint's training-time
+scaler server-side and predictions return in raw units.
+
+Endpoints (JSON):
+- ``GET  /healthz`` -> {"status": "ok", ...model info}
+- ``GET  /stats``   -> request/batch counters from the micro-batcher
+- ``POST /predict`` body {"x": <(K, N, F) or (B, K, N, F) nested lists>}
+  -> {"y": <(H, N) or (B, H, N)>}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        "gwt-serve", description="Serve forecasts over HTTP with dynamic "
+        "request batching")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--checkpoint", type=str,
+                     help="training checkpoint (.msgpack with sidecar)")
+    src.add_argument("--artifact", type=str,
+                     help="AOT artifact from gwt-export (StableHLO, weights "
+                          "baked in; scaler still needed for raw inputs — "
+                          "pass --scaler_mean/--scaler_std or serve "
+                          "standardized inputs)")
+    p.add_argument("--adjdata", type=str, default=None,
+                   help="adjacency pickle for the fixed supports "
+                        "(checkpoint mode; omit for aptonly/temporal "
+                        "checkpoints)")
+    p.add_argument("--adjtype", type=str, default="doubletransition")
+    p.add_argument("--aptonly", action="store_true",
+                   help="adaptive-adjacency-only: no fixed supports")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8973)
+    p.add_argument("--max_batch", type=int, default=64)
+    p.add_argument("--window_ms", type=float, default=2.0,
+                   help="how long the batcher waits to coalesce concurrent "
+                        "requests")
+    p.add_argument("--scaler_mean", type=float, default=None,
+                   help="artifact mode: feature-0 standardization mean")
+    p.add_argument("--scaler_std", type=float, default=None)
+    return p
+
+
+def _build_predictor(args):
+    """-> (predict_batch, scaler, info, fixed_batch)."""
+    from graph_wavenet_tpu.data.scaler import StandardScaler
+    from graph_wavenet_tpu.train import serving
+
+    if args.artifact:
+        fc = serving.load_exported_forecaster(args.artifact)
+        scaler = StandardScaler(args.scaler_mean or 0.0,
+                                args.scaler_std or 1.0)
+        info = {"source": "artifact", "in_shape": list(fc.in_shape),
+                "platforms": list(fc.platforms)}
+        # artifacts bake ONE batch size — the batcher must pad to exactly it
+        return fc.predict, scaler, info, int(fc.in_shape[0])
+
+    supports = None
+    if args.aptonly:
+        supports = []
+    elif args.adjdata:
+        from graph_wavenet_tpu.graphs.normalize import load_adj
+
+        _, _, supports = load_adj(args.adjdata, args.adjtype)
+    fc = serving.Forecaster.from_checkpoint(args.checkpoint, supports)
+    info = {"source": "checkpoint", "num_nodes": fc.cfg.num_nodes,
+            "in_dim": fc.cfg.in_dim, "horizon": fc.cfg.out_dim,
+            "receptive_field": fc.cfg.receptive_field}
+    return fc.predict, fc.scaler, info, None
+
+
+def make_server(predict_batch, scaler, info: dict, host: str, port: int,
+                max_batch: int, window_ms: float,
+                fixed_batch: int | None = None):
+    """Build (ThreadingHTTPServer, MicroBatcher). Separated from main() so
+    tests drive it on an ephemeral port without a subprocess."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import numpy as np
+
+    from graph_wavenet_tpu.train.serving import MicroBatcher
+
+    batcher = MicroBatcher(predict_batch, max_batch=max_batch,
+                           window_ms=window_ms, fixed_batch=fixed_batch)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):          # quiet; /stats has the numbers
+            pass
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok", **info})
+            elif self.path == "/stats":
+                self._json(200, batcher.stats)
+            else:
+                self._json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._json(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length))
+                x = np.asarray(req["x"], dtype=np.float32)
+                if x.ndim == 3:             # single (K, N, F) instance
+                    squeeze = True
+                    x = x[None]
+                elif x.ndim == 4:
+                    squeeze = False
+                else:
+                    raise ValueError(
+                        f"x must be (K, N, F) or (B, K, N, F), got shape "
+                        f"{x.shape}")
+                x[..., 0] = scaler.transform(x[..., 0])
+                # instances go through the batcher individually so
+                # concurrent requests coalesce into shared device calls
+                ys = [batcher.submit(xi) for xi in x]
+                y = np.stack(ys)
+                self._json(200, {"y": (y[0] if squeeze else y).tolist()})
+            except Exception as e:          # surface the cause to the client
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    return server, batcher
+
+
+def main(argv=None, serve_forever: bool = True):
+    args = build_parser().parse_args(argv)
+    predict, scaler, info, fixed_batch = _build_predictor(args)
+    server, batcher = make_server(
+        predict, scaler, info, args.host, args.port, args.max_batch,
+        args.window_ms, fixed_batch)
+    print(f"gwt-serve: {info} on http://{args.host}:{server.server_port}",
+          flush=True)
+    if serve_forever:
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            batcher.stop()
+            server.server_close()
+        return None
+    # test mode: caller drives the server lifecycle
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return {"server": server, "batcher": batcher, "thread": thread}
+
+
+def cli() -> None:
+    main()
+
+
+if __name__ == "__main__":
+    main()

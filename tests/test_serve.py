@@ -1,0 +1,217 @@
+"""Serving runtime: MicroBatcher dynamic batching + the gwt-serve HTTP CLI.
+
+The reference has no serving path (inference is the test loop,
+`/root/reference/train.py:377-390`); these are framework-native surfaces.
+"""
+
+import concurrent.futures
+import json
+import os
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graph_wavenet_tpu.config import ModelConfig, TrainConfig
+from graph_wavenet_tpu.data.scaler import StandardScaler
+from graph_wavenet_tpu.train import checkpoint as ckpt
+from graph_wavenet_tpu.train import serving
+from graph_wavenet_tpu.train.engine import Engine
+from graph_wavenet_tpu.train.serving import MicroBatcher
+
+N = 8
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def small_cfg(**kw) -> ModelConfig:
+    base = dict(num_nodes=N, in_dim=2, out_dim=6, residual_channels=4,
+                dilation_channels=4, skip_channels=8, end_channels=16,
+                blocks=2, layers=2, dropout=0.0, n_supports=1)
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def _forecaster(rng, **kw) -> tuple[serving.Forecaster, list]:
+    cfg = small_cfg(**kw)
+    engine = Engine(cfg, TrainConfig(), StandardScaler(50.0, 10.0), seed=0)
+    a = rng.random((N, N)).astype(np.float32)
+    sup = [a / a.sum(-1, keepdims=True)]
+    fc = serving.Forecaster(cfg, engine.state.params,
+                            engine.state.model_state,
+                            [jnp.asarray(s) for s in sup],
+                            StandardScaler(50.0, 10.0))
+    return fc, sup
+
+
+# ---------------------------------------------------------------------------
+# MicroBatcher
+# ---------------------------------------------------------------------------
+
+def test_microbatcher_matches_direct_predict(rng):
+    fc, _ = _forecaster(rng)
+    xs = rng.normal(size=(16, 6, N, 2)).astype(np.float32)
+    want = np.asarray(fc.predict(jnp.asarray(xs)))
+    with MicroBatcher(fc.predict, max_batch=8, window_ms=50.0) as mb:
+        with concurrent.futures.ThreadPoolExecutor(16) as pool:
+            got = list(pool.map(mb.submit, xs))
+    np.testing.assert_allclose(np.stack(got), want, rtol=1e-5, atol=1e-6)
+    assert mb.stats["requests"] == 16
+    # concurrency must coalesce: strictly fewer device calls than requests
+    assert mb.stats["device_calls"] < 16
+    assert max(mb.stats["batch_histogram"]) > 1
+
+
+def test_microbatcher_fixed_batch_pads(rng):
+    """AOT artifacts bake one batch size — every device call must arrive
+    padded to exactly it."""
+    fc, _ = _forecaster(rng)
+    seen = []
+
+    def predict(x):
+        seen.append(x.shape[0])
+        return fc.predict(x)
+
+    x = rng.normal(size=(6, N, 2)).astype(np.float32)
+    with MicroBatcher(predict, window_ms=1.0, fixed_batch=4) as mb:
+        out = mb.submit(x)
+    assert seen == [4]
+    np.testing.assert_allclose(out, np.asarray(fc.predict(
+        jnp.asarray(x[None])))[0], rtol=1e-5, atol=1e-6)
+
+
+def test_microbatcher_propagates_predict_errors():
+    def predict(x):
+        raise RuntimeError("device on fire")
+
+    with MicroBatcher(predict, window_ms=1.0) as mb:
+        with pytest.raises(RuntimeError, match="device on fire"):
+            mb.submit(np.zeros((6, N, 2), np.float32))
+    # the worker survives an erroring call until stop()
+    with pytest.raises(RuntimeError):
+        MicroBatcher(predict, window_ms=1.0).submit(
+            np.zeros((6, N, 2), np.float32))
+
+
+def test_microbatcher_rejects_after_stop():
+    mb = MicroBatcher(lambda x: x, window_ms=1.0)
+    mb.stop()
+    with pytest.raises(RuntimeError, match="stopped"):
+        mb.submit(np.zeros(3))
+
+
+# ---------------------------------------------------------------------------
+# gwt-serve HTTP CLI
+# ---------------------------------------------------------------------------
+
+def _post(port: int, path: str, payload: dict) -> dict:
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+def _get(port: int, path: str) -> dict:
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+        return json.loads(r.read())
+
+
+def _save_checkpoint(tmp_path, rng):
+    cfg = small_cfg(n_supports=2)   # doubletransition = 2 fixed supports
+    scaler = StandardScaler(50.0, 10.0)
+    engine = Engine(cfg, TrainConfig(), scaler, seed=0)
+    path = str(tmp_path / "m.msgpack")
+    ckpt.save_checkpoint(path, engine.state, model_cfg=cfg,
+                         train_cfg=TrainConfig(), scaler=scaler)
+    a = rng.random((N, N)).astype(np.float32)
+    sup = [a / a.sum(-1, keepdims=True)]
+    import pickle
+
+    adj_path = str(tmp_path / "adj.pkl")
+    with open(adj_path, "wb") as f:
+        # load_adj expects the DCRNN pickle tuple; identity-ish mapping
+        pickle.dump(([str(i) for i in range(N)],
+                     {str(i): i for i in range(N)}, a), f)
+    return path, adj_path, sup, cfg, scaler
+
+
+def test_serve_checkpoint_end_to_end(tmp_path, rng):
+    from graph_wavenet_tpu.cli import serve as serve_cli
+    from graph_wavenet_tpu.graphs.normalize import load_adj
+
+    path, adj_path, _, cfg, scaler = _save_checkpoint(tmp_path, rng)
+    handle = serve_cli.main([
+        "--checkpoint", path, "--adjdata", adj_path, "--port", "0",
+        "--window_ms", "1"], serve_forever=False)
+    port = handle["server"].server_port
+    try:
+        health = _get(port, "/healthz")
+        assert health["status"] == "ok"
+        assert health["num_nodes"] == N
+
+        x_raw = (rng.normal(size=(6, N, 2)) * 10 + 50).astype(np.float32)
+        got = np.asarray(_post(port, "/predict", {"x": x_raw.tolist()})["y"])
+        # reference result: standardize feature 0, Forecaster.predict
+        _, _, sup = load_adj(adj_path, "doubletransition")
+        fc = serving.Forecaster.from_checkpoint(path, sup)
+        x_std = x_raw.copy()
+        x_std[..., 0] = scaler.transform(x_std[..., 0])
+        want = np.asarray(fc.predict(jnp.asarray(x_std[None])))[0]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+        # batch request: (B, K, N, F) in, (B, H, N) out
+        xb = (rng.normal(size=(3, 6, N, 2)) * 10 + 50).astype(np.float32)
+        yb = np.asarray(_post(port, "/predict", {"x": xb.tolist()})["y"])
+        assert yb.shape == (3, cfg.out_dim, N)
+
+        stats = _get(port, "/stats")
+        assert stats["requests"] == 4
+
+        # malformed input -> clean 400 with the cause
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict",
+            data=json.dumps({"x": [1, 2, 3]}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(bad)
+        assert err.value.code == 400
+    finally:
+        handle["server"].shutdown()
+        handle["batcher"].stop()
+        handle["server"].server_close()
+
+
+def test_serve_artifact_end_to_end(tmp_path, rng):
+    """--artifact mode: serve a gwt-export StableHLO artifact without model
+    code or checkpoint; the batcher pads to the baked batch size."""
+    from graph_wavenet_tpu.cli import serve as serve_cli
+
+    fc, _ = _forecaster(rng)
+    art = str(tmp_path / "m.jaxexp")
+    serving.export_forecaster(fc, art, batch_size=4, seq_len=6)
+
+    handle = serve_cli.main([
+        "--artifact", art, "--port", "0", "--window_ms", "1",
+        "--scaler_mean", "50.0", "--scaler_std", "10.0"],
+        serve_forever=False)
+    port = handle["server"].server_port
+    try:
+        health = _get(port, "/healthz")
+        assert health["source"] == "artifact"
+        x_raw = (rng.normal(size=(6, N, 2)) * 10 + 50).astype(np.float32)
+        got = np.asarray(_post(port, "/predict", {"x": x_raw.tolist()})["y"])
+        x_std = x_raw.copy()
+        x_std[..., 0] = (x_std[..., 0] - 50.0) / 10.0
+        want = np.asarray(fc.predict(jnp.asarray(x_std[None])))[0]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    finally:
+        handle["server"].shutdown()
+        handle["batcher"].stop()
+        handle["server"].server_close()
