@@ -410,6 +410,71 @@ def test_train_syn_matches_reference(ref, rng):
                                    rtol=1e-3, atol=2e-5, err_msg=k)
 
 
+def test_train_syn_diff_g_matches_reference(ref, rng):
+    """Per-sample-graph training through the REAL reference trainer: dict
+    supports select gwnet_diff_G (`engine.py:14-25`), train_syn gathers each
+    batch's supports by adj_idx and E-pools per sample's assign_dict
+    (`engine.py:71-105`). addaptadj=False keeps the reference deterministic
+    (its adaptive path draws unseedable fresh nodevecs per forward)."""
+    n_graphs, B, K, F_t = 3, 4, 24, 4
+    cfg = small_cfg(start_dilation=4, gcn_bool=True, addaptadj=False,
+                    in_dim=1, out_dim=K)
+    sup_np = rng.random((n_graphs, 2, N, N)).astype(np.float32)
+    sup_np = sup_np / sup_np.sum(-1, keepdims=True)
+    labels = np.asarray([(i * 7 + 3) % 4 for i in range(N)])
+    assign = {c: np.where(labels == c)[0] for c in range(4)}
+    G_list = [types.SimpleNamespace(assign_dict=assign)
+              for _ in range(n_graphs)]
+
+    torch.manual_seed(6)
+    sup_dict = {"train": [torch.tensor(sup_np[:, j]) for j in range(2)]}
+    t = ref.engine.trainer(
+        ref.util.StandardScaler(0.0, 1.0), 1, K, N, 8, 0.0, 1e-3, 1e-4,
+        "cpu", sup_dict, True, False, {"train": None}, cfg.blocks,
+        cfg.layers)
+    assert type(t.model).__name__ == "gwnet_diff_G"
+    t.set_state("train")
+
+    tcfg = TrainConfig(learning_rate=1e-3, weight_decay=1e-4, grad_clip=5.0)
+    engine = Engine(cfg, tcfg, StandardScaler(0.0, 1.0), diff_g=True)
+    params, model_state = import_state_dict(t.model.state_dict(), cfg)
+    params = jax.tree.map(jnp.asarray, params)
+    engine.state = TrainState(
+        params=params, opt_state=engine.optimizer.init(params),
+        model_state=jax.tree.map(jnp.asarray, model_state),
+        step=jnp.zeros((), jnp.int32), rng=engine.state.rng)
+
+    projectors = jnp.asarray(np.stack(
+        [cluster_mean_projector(labels, 4)] * n_graphs))
+    jsup = [jnp.asarray(sup_np[:, j]) for j in range(2)]
+    state = engine.state
+    for step in range(2):
+        x = rng.normal(size=(B, K, N, 1)).astype(np.float32)
+        y = (rng.normal(size=(B, K, N, 2)) + 3).astype(np.float32)
+        adj_idx = rng.integers(0, n_graphs, size=B)
+        ref_loss, _, _ = t.train_syn(
+            torch.tensor(x.transpose(0, 3, 2, 1)),
+            torch.tensor(y.transpose(0, 3, 2, 1)), F_t, G_list,
+            adj_idx=torch.tensor(adj_idx))
+        idx = jnp.asarray(adj_idx)
+        state, metrics = engine.train_step_syn(
+            state, jnp.asarray(x), jnp.asarray(y),
+            [s[idx] for s in jsup], projectors[idx], F_t)
+        np.testing.assert_allclose(float(metrics["loss"]), ref_loss,
+                                   rtol=2e-4,
+                                   err_msg=f"diff-G syn loss step {step}")
+
+    ours_sd = export_state_dict(
+        jax.tree.map(np.asarray, state.params),
+        jax.tree.map(np.asarray, state.model_state), cfg)
+    for k, v in t.model.state_dict().items():
+        if k.endswith("num_batches_tracked") or k.startswith(
+                _dead_param_keys(cfg)):
+            continue
+        np.testing.assert_allclose(ours_sd[k], v.detach().numpy(),
+                                   rtol=1e-3, atol=2e-5, err_msg=k)
+
+
 # ---------------------------------------------------------------------------
 # metrics / scaler / loader
 # ---------------------------------------------------------------------------
