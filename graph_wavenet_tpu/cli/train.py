@@ -99,6 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "parallelism over all devices")
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint to resume training from (full state)")
+    p.add_argument("--profile", type=str, default=None,
+                   help="write a jax.profiler trace of the whole run to "
+                        "this directory (inspect with TensorBoard / xprof; "
+                        "SURVEY.md §5 tracing)")
     p.add_argument("--plot", type=str, default=None,
                    help="diff-G: write the reconstructed real-vs-predicted "
                         "F/E sequence figure to this path "
@@ -156,7 +160,17 @@ def model_config(args, diff_g: bool):
 
 def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
+    if args.profile:
+        from graph_wavenet_tpu.train.profiling import trace
 
+        with trace(args.profile):
+            out = _run(args)
+        print(f"profiler trace written to {args.profile}", flush=True)
+        return out
+    return _run(args)
+
+
+def _run(args) -> dict:
     from graph_wavenet_tpu.config import DataConfig, TrainConfig
     from graph_wavenet_tpu.train.engine import Engine
     from graph_wavenet_tpu.train.runner import Runner

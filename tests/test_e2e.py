@@ -344,3 +344,21 @@ def test_cli_syn_resume(tmp_path):
     out2 = train_cli.main(base + ["--epochs", "2", "--resume", ck,
                                   "--save", str(tmp_path / "b")])
     assert [h.epoch for h in out2["result"].history] == [2]
+
+
+def test_cli_train_profile_writes_trace(tmp_path):
+    """--profile wraps the run in a jax.profiler trace (SURVEY.md §5)."""
+    from graph_wavenet_tpu.cli import train as train_cli
+
+    prof = tmp_path / "prof"
+    out = train_cli.main([
+        "--data", "syn", "--same_g", "--gcn_bool", "--addaptadj",
+        "--randomadj", "--num_nodes", "15", "--seq_length", "12", "--nhid",
+        "4", "--blocks", "4", "--layers", "2", "--batch_size", "8",
+        "--epochs", "1", "--n_train", "4", "--n_valid", "2", "--n_test",
+        "2", "--num_timestep", "60", "--save", str(tmp_path / "g"),
+        "--profile", str(prof)])
+    assert np.isfinite(out["result"].test_metrics["loss"])
+    traces = list(prof.rglob("*.trace.json.gz")) + list(
+        prof.rglob("*.xplane.pb"))
+    assert traces, f"no trace files under {prof}"

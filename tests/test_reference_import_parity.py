@@ -163,6 +163,44 @@ def test_gwnet_forward_matches_reference(ref, rng, gcn_bool, addaptadj):
         ref_out.numpy()[..., 0], rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("seed", [11, 12, 13, 14])
+def test_gwnet_forward_matches_reference_random_configs(ref, seed):
+    """Architecture-space fuzz: random blocks/layers/channels/kernel/dims
+    against the real reference — the parity is structural, not tuned to the
+    canonical configuration."""
+    crng = np.random.default_rng(seed)
+    cfg = ModelConfig(
+        num_nodes=int(crng.integers(5, 24)),
+        in_dim=int(crng.integers(1, 4)),
+        out_dim=int(crng.integers(2, 14)),
+        residual_channels=int(crng.integers(2, 12)),
+        dilation_channels=int(crng.integers(2, 12)),
+        skip_channels=int(crng.integers(4, 24)),
+        end_channels=int(crng.integers(4, 24)),
+        kernel_size=int(crng.integers(2, 4)),
+        blocks=int(crng.integers(1, 4)),
+        layers=int(crng.integers(1, 4)),
+        dropout=0.0, gcn_bool=True,
+        addaptadj=bool(crng.integers(0, 2)),
+        n_supports=int(crng.integers(1, 4)))
+    n = cfg.num_nodes
+    supports = _supports(crng, n=n, k=cfg.n_supports)
+    m = _ref_gwnet(ref, cfg, supports, seed=seed)
+    m.eval()
+    params, state = import_state_dict(m.state_dict(), cfg)
+    x = crng.normal(size=(3, cfg.receptive_field + 2, n, cfg.in_dim)
+                    ).astype(np.float32)
+    with torch.no_grad():
+        ref_out = m(torch.tensor(x.transpose(0, 3, 2, 1)))
+    ours, _ = apply_gwnet(cfg, params, state, jnp.asarray(x),
+                          [jnp.asarray(s) for s in supports], train=False)
+    t_out = ref_out.shape[-1]
+    np.testing.assert_allclose(
+        np.asarray(ours).transpose(0, 3, 2, 1),
+        ref_out.numpy(), rtol=3e-5, atol=3e-5,
+        err_msg=f"cfg={cfg} t_out={t_out}")
+
+
 def test_gwnet_forward_matches_reference_from_our_weights(ref, rng):
     """Reverse direction: our random init exported into the reference model
     (strict load — the full reference param surface must be covered)."""
