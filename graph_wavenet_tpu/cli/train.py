@@ -107,6 +107,25 @@ def build_parser() -> argparse.ArgumentParser:
                    help="diff-G: write the reconstructed real-vs-predicted "
                         "F/E sequence figure to this path "
                         "(reference train.py:363-370)")
+    p.add_argument("--crash_dir", type=str, default=None,
+                   help="CRASH data root. With --crash_format mat, the "
+                        "reference's raw export layout (eeg/, "
+                        "fmri/matfiles/, sc/ — CRASH_loader.py semantics "
+                        "with the base dir made configurable); with npz, "
+                        "<subject>/<session>.npz records. Omit for the "
+                        "synthetic stand-in records")
+    p.add_argument("--crash_format", type=str, default="mat",
+                   choices=("mat", "npz"),
+                   help="on-disk layout under --crash_dir")
+    p.add_argument("--crash_num_region", type=int, default=200,
+                   help="Schaefer parcel count for the raw .mat layout "
+                        "(200 or 400, CRASH_loader.py:355)")
+    p.add_argument("--fmri_time_res", type=float, default=None,
+                   help="seconds per fMRI frame; defaults to 0.910 for raw "
+                        ".mat CRASH data, else 2.0")
+    p.add_argument("--eeg_time_res", type=float, default=None,
+                   help="seconds per EEG sample; defaults to 1/640 for raw "
+                        ".mat CRASH data, else 0.5")
     return p
 
 
@@ -248,9 +267,35 @@ def _run(args) -> dict:
     elif args.data == "crash":
         from graph_wavenet_tpu.data.crash import load_dataset_crash
 
+        records = None
+        raw_mat = args.crash_dir is not None and args.crash_format == "mat"
+        if args.crash_dir is not None:
+            if raw_mat:
+                from graph_wavenet_tpu.data.crash_raw import collect_records
+
+                records = collect_records(args.crash_dir,
+                                          num_region=args.crash_num_region)
+            else:
+                from graph_wavenet_tpu.data.crash import \
+                    load_records_from_dir
+
+                records = load_records_from_dir(args.crash_dir)
+            if not records:
+                raise SystemExit(
+                    f"no complete CRASH records under {args.crash_dir} "
+                    f"(format={args.crash_format})")
+        # real CRASH rates: 0.910 s BOLD bins, 640 Hz EEG
+        # (CRASH_loader.py:131,190) -> F_t ≈ 582.4, K = int(F_t*5) ≈ 2912
+        # (reference util.py:416-417); the synthetic stand-ins keep the
+        # small test-friendly defaults
+        fmri_res = args.fmri_time_res if args.fmri_time_res is not None \
+            else (0.910 if raw_mat else 2.0)
+        eeg_res = args.eeg_time_res if args.eeg_time_res is not None \
+            else (1.0 / 640.0 if raw_mat else 0.5)
         data, supports, F_t, G = load_dataset_crash(
-            batch_size=args.batch_size, adjtype=args.adjtype,
-            seed=args.seed, resident=args.resident)
+            batch_size=args.batch_size, records=records,
+            adjtype=args.adjtype, fmri_time_res=fmri_res,
+            eeg_time_res=eeg_res, seed=args.seed, resident=args.resident)
         import dataclasses
 
         cfg = dataclasses.replace(
