@@ -39,11 +39,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platforms", type=str, nargs="*", default=None,
                    help="lowering targets, e.g. --platforms tpu cpu; "
                         "default = current backend only")
+    p.add_argument("--compile_cache", type=str, default=None,
+                   help="persistent XLA compilation-cache directory")
     return p
 
 
 def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
+    if args.compile_cache:
+        from graph_wavenet_tpu.utils.misc import enable_compilation_cache
+
+        enable_compilation_cache(args.compile_cache)
 
     from graph_wavenet_tpu.graphs.normalize import load_adj
     from graph_wavenet_tpu.train import serving

@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--window_ms", type=float, default=2.0,
                    help="how long the batcher waits to coalesce concurrent "
                         "requests")
+    p.add_argument("--compile_cache", type=str, default=None,
+                   help="persistent XLA compilation-cache directory: "
+                        "redeploys of an already-seen configuration skip "
+                        "the startup compile")
     p.add_argument("--scaler_mean", type=float, default=None,
                    help="artifact mode: feature-0 standardization mean")
     p.add_argument("--scaler_std", type=float, default=None)
@@ -153,6 +157,10 @@ def make_server(predict_batch, scaler, info: dict, host: str, port: int,
 
 def main(argv=None, serve_forever: bool = True):
     args = build_parser().parse_args(argv)
+    if args.compile_cache:
+        from graph_wavenet_tpu.utils.misc import enable_compilation_cache
+
+        enable_compilation_cache(args.compile_cache)
     predict, scaler, info, fixed_batch = _build_predictor(args)
     server, batcher = make_server(
         predict, scaler, info, args.host, args.port, args.max_batch,

@@ -35,11 +35,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--csv_node", type=int, default=99,
                    help="node whose horizon-3/12 predictions go to the CSV "
                         "(reference exports node 99, `test.py:100-107`)")
+    p.add_argument("--compile_cache", type=str, default=None,
+                   help="persistent XLA compilation-cache directory")
     return p
 
 
 def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
+    if args.compile_cache:
+        from graph_wavenet_tpu.utils.misc import enable_compilation_cache
+
+        enable_compilation_cache(args.compile_cache)
 
     from graph_wavenet_tpu.data.metr import load_dataset
     from graph_wavenet_tpu.graphs.normalize import load_adj

@@ -126,6 +126,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eeg_time_res", type=float, default=None,
                    help="seconds per EEG sample; defaults to 1/640 for raw "
                         ".mat CRASH data, else 0.5")
+    p.add_argument("--compile_cache", type=str, default=None,
+                   help="persistent XLA compilation-cache directory: "
+                        "restarts/resumes of an already-seen configuration "
+                        "skip the 20-40 s TPU compile")
     return p
 
 
@@ -179,6 +183,10 @@ def model_config(args, diff_g: bool):
 
 def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
+    if args.compile_cache:
+        from graph_wavenet_tpu.utils.misc import enable_compilation_cache
+
+        enable_compilation_cache(args.compile_cache)
     if args.profile:
         from graph_wavenet_tpu.train.profiling import trace
 

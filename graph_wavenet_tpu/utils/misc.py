@@ -78,3 +78,27 @@ def write_var_values(file_to_write: str, var_values: dict) -> None:
         for key, value in var_values.items():
             f.write(f"{key} = {value}\n")
         f.write("\n")
+
+
+def enable_compilation_cache(cache_dir: str,
+                             min_compile_time_secs: float = 1.0) -> str:
+    """Turn on JAX's persistent XLA compilation cache rooted at
+    ``cache_dir`` (created if missing) and return the absolute path.
+
+    Production TPU jobs pay 20-40 s of XLA compilation per distinct
+    (shape, config) executable on every process start; the persistent cache
+    makes restarts, resumes (``--resume``) and serving redeploys of an
+    already-seen configuration skip straight to execution. The reference has
+    no equivalent (single research process, SURVEY.md §5). Compilations
+    faster than ``min_compile_time_secs`` are not persisted (set 0.0 to
+    cache everything, e.g. in tests).
+    """
+    import jax
+
+    path = os.path.abspath(cache_dir)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_time_secs))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    return path

@@ -2,6 +2,8 @@
 profiling utilities, multihost helpers, CRASH raw ingestion, sparsity
 helper."""
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -166,3 +168,29 @@ def test_weak_scaling_temporal_only():
     cfg = dataclasses.replace(SMALL, gcn_bool=False, addaptadj=False)
     r = benchmarks.weak_scaling(cfg, per_device_batch=2, seq=6, steps=2)
     assert r[1]["node_timesteps_per_s"] > 0
+
+
+def test_enable_compilation_cache_persists_executables(tmp_path):
+    from graph_wavenet_tpu.utils.misc import enable_compilation_cache
+
+    old_dir = jax.config.jax_compilation_cache_dir
+    old_min_time = jax.config.jax_persistent_cache_min_compile_time_secs
+    old_min_size = jax.config.jax_persistent_cache_min_entry_size_bytes
+    try:
+        path = enable_compilation_cache(str(tmp_path / "xla"), 0.0)
+        assert os.path.isdir(path)
+
+        @jax.jit
+        def f(x):
+            return x @ x + jnp.float32(41.0)
+
+        f(jnp.ones((32, 32), jnp.float32)).block_until_ready()
+        assert os.listdir(path), "no persisted executables"
+        # idempotent re-enable keeps the same directory
+        assert enable_compilation_cache(str(tmp_path / "xla"), 0.0) == path
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          old_min_time)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes",
+                          old_min_size)
