@@ -120,6 +120,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--crash_num_region", type=int, default=200,
                    help="Schaefer parcel count for the raw .mat layout "
                         "(200 or 400, CRASH_loader.py:355)")
+    p.add_argument("--crash_K", type=int, default=None,
+                   help="CRASH window length. Default: ceil(F_t)*5 for raw "
+                        ".mat data — a multiple of the integer F-pool "
+                        "factor, unlike the reference's int(F_t*5)=2912 "
+                        "(util.py:417) whose largest divisor near "
+                        "ceil(582.4)=583 is 448, silently coarsening the "
+                        "F supervision ~23%; int(F_t*5) otherwise")
     p.add_argument("--fmri_time_res", type=float, default=None,
                    help="seconds per fMRI frame; defaults to 0.910 for raw "
                         ".mat CRASH data, else 2.0")
@@ -276,13 +283,33 @@ def _run(args) -> dict:
         from graph_wavenet_tpu.data.crash import load_dataset_crash
 
         records = None
+        assignment = None
         raw_mat = args.crash_dir is not None and args.crash_format == "mat"
         if args.crash_dir is not None:
             if raw_mat:
-                from graph_wavenet_tpu.data.crash_raw import collect_records
+                from graph_wavenet_tpu.data import crash_raw
 
-                records = collect_records(args.crash_dir,
-                                          num_region=args.crash_num_region)
+                records = crash_raw.collect_records(
+                    args.crash_dir, num_region=args.crash_num_region)
+                # real electrode->region geometry when the export tree
+                # carries the coordinate files (parcellation text +
+                # ny_x_z); the loader's ring-layout stand-in is for
+                # synthetic records only (ADVICE r1: without this the EEG
+                # spatial extension and community structure were
+                # fabricated for real data)
+                try:
+                    e2r = crash_raw.get_region_assignment(
+                        args.crash_dir, args.crash_num_region)
+                    assignment = crash_raw.invert_assignment(
+                        e2r, args.crash_num_region)
+                    print("CRASH: using electrode-region assignment from "
+                          "coordinate files", flush=True)
+                except OSError:
+                    print("CRASH: coordinate files missing under "
+                          f"{args.crash_dir} (sc/Parcellations/MNI, "
+                          "utils/eeg_coor_conv/ny_x_z) — falling back to "
+                          "the synthetic ring-layout assignment",
+                          flush=True)
             else:
                 from graph_wavenet_tpu.data.crash import \
                     load_records_from_dir
@@ -293,17 +320,24 @@ def _run(args) -> dict:
                     f"no complete CRASH records under {args.crash_dir} "
                     f"(format={args.crash_format})")
         # real CRASH rates: 0.910 s BOLD bins, 640 Hz EEG
-        # (CRASH_loader.py:131,190) -> F_t ≈ 582.4, K = int(F_t*5) ≈ 2912
-        # (reference util.py:416-417); the synthetic stand-ins keep the
-        # small test-friendly defaults
+        # (CRASH_loader.py:131,190) -> F_t ≈ 582.4; the synthetic
+        # stand-ins keep the small test-friendly defaults
         fmri_res = args.fmri_time_res if args.fmri_time_res is not None \
             else (0.910 if raw_mat else 2.0)
         eeg_res = args.eeg_time_res if args.eeg_time_res is not None \
             else (1.0 / 640.0 if raw_mat else 0.5)
+        K = args.crash_K
+        if K is None and raw_mat:
+            # ceil(F_t)*5, not the reference's int(F_t*5) (util.py:417):
+            # K must be a multiple of the integer F-pool factor or the
+            # loader degrades pooling to K's largest divisor (583 -> 448
+            # for K=2912, a silent ~23% coarsening)
+            K = int(np.ceil(fmri_res / eeg_res)) * 5
         data, supports, F_t, G = load_dataset_crash(
             batch_size=args.batch_size, records=records,
             adjtype=args.adjtype, fmri_time_res=fmri_res,
-            eeg_time_res=eeg_res, seed=args.seed, resident=args.resident)
+            eeg_time_res=eeg_res, K=K, seed=args.seed,
+            assignment=assignment, resident=args.resident)
         import dataclasses
 
         cfg = dataclasses.replace(

@@ -311,14 +311,18 @@ def load_dataset_crash(batch_size: int, records: list[CrashRecord] | None
     # documented ceil of the rate ratio and fall back to the largest
     # divisor of K below it — warn when that degrades pooling to 1 (no
     # F-modality coarsening), rather than silently disabling supervision.
-    F_t_int = max(1, int(np.ceil(F_t)))
+    F_t_ceil = max(1, int(np.ceil(F_t)))
+    F_t_int = F_t_ceil
     while K % F_t_int:
         F_t_int -= 1
-    if F_t_int == 1 and F_t > 1.5:
-        print(f"CRASH loader: no divisor of K={K} near the fMRI/EEG rate "
-              f"ratio {F_t:.2f} — F-modality pooling degraded to 1 "
-              "(pass an explicit K divisible by the intended factor)",
-              flush=True)
+    # warn on ANY material deviation from the intended ceil(F_t), not only
+    # total degradation to 1 (ADVICE r1: K=int(582.4*5)=2912's largest
+    # divisor below 583 is 448, a silent ~23% coarsening)
+    if F_t_ceil - F_t_int > 0.05 * F_t_ceil:
+        print(f"CRASH loader: F-pool factor degraded from ceil(F_t)="
+              f"{F_t_ceil} to {F_t_int} (largest divisor of K={K}) — "
+              f"pass K as a multiple of {F_t_ceil}, e.g. "
+              f"K={F_t_ceil * max(1, round(K / F_t_ceil))}", flush=True)
 
     # stride-1 windows: x = window, y = next K steps (`dataTools.py:148-150`)
     windows = sliding_windows(signals, K, axis=1)          # (S, n_win, K, N, 2)

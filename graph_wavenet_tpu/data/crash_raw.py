@@ -149,8 +149,8 @@ def get_sc(base_dir: str, comn_ids: list[str], num_region: int) -> dict:
     return sc
 
 
-def get_fmri_bold(comn_ids: list[str], atlas: np.ndarray,
-                  load_img=None, base_dir: str | None = None) -> dict:
+def get_fmri_bold(base_dir: str, comn_ids: list[str], atlas: np.ndarray,
+                  load_img=None) -> dict:
     """Voxel-level BOLD pooled to region level: region r's series is the
     mean over atlas==r voxels per frame.
 
@@ -160,7 +160,8 @@ def get_fmri_bold(comn_ids: list[str], atlas: np.ndarray,
     (`CRASH_loader.py:185-225`); this implements the intended per-frame
     per-region pooling. ``load_img(path) -> (x, y, z, T) ndarray``; defaults
     to nibabel when available (not baked into this image — pass arrays or a
-    loader otherwise)."""
+    loader otherwise). ``base_dir`` is required like the other loaders (the
+    reference hardcodes it, `CRASH_loader.py:15-19`)."""
     if load_img is None:
         def load_img(path):
             try:
@@ -176,7 +177,7 @@ def get_fmri_bold(comn_ids: list[str], atlas: np.ndarray,
     fmri_data: dict = {"time_res": FMRI_TIME_RES}
     for subj in comn_ids:
         fmri_data[subj] = {}
-        subj_dir = os.path.join(base_dir or "", "fmri", "matfiles",
+        subj_dir = os.path.join(base_dir, "fmri", "matfiles",
                                 "sub-" + subj)
         for sess_dir in _session_dirs(subj_dir):
             name = _glob_one(
@@ -195,12 +196,19 @@ def get_fmri_bold(comn_ids: list[str], atlas: np.ndarray,
 
 def get_region_assignment(base_dir: str, num_region: int,
                           k: int = 3) -> dict[int, list[int]]:
-    """electrode -> regions map from the real coordinate files: each
+    """**electrode -> regions** map from the real coordinate files: each
     region's centroid (parcellation text, cols 3-6 = x,y,z,label) is
     assigned to its ``k`` nearest electrodes (``ny_x_z`` cols 1-3, axes
     permuted y,x,z -> x,y,z) (`CRASH_loader.py:313-332`). The reference's
     ``__main__`` calls this with no argument — a latent TypeError
-    (`CRASH_loader.py:353`); here ``num_region`` is required."""
+    (`CRASH_loader.py:353`); here ``num_region`` is required.
+
+    NB conventions: this returns the reference's pickle format,
+    ``{electrode: [regions]}``. The downstream pipeline
+    (``load_dataset_crash`` / ``spatial_extension`` /
+    ``region_communities`` in `data/crash.py`) consumes the INVERSE map
+    ``{region: [electrodes]}`` — invert with :func:`invert_assignment`
+    (the reference inverts inline at `util.py:399-404`)."""
     coor_mri = np.loadtxt(
         os.path.join(base_dir, "sc", "Parcellations", "MNI",
                      f"Schaefer2018_{num_region}Parcels_17Networks_order_"
@@ -215,6 +223,37 @@ def get_region_assignment(base_dir: str, num_region: int,
         for e in closest_idx(centroid, coor_eeg, k=k):
             assignment[e].append(i)
     return assignment
+
+
+def invert_assignment(assignment: dict[int, list[int]],
+                      num_region: int) -> dict[int, list[int]]:
+    """Invert the electrode -> regions map of
+    :func:`get_region_assignment` into the **region -> sorted electrodes**
+    map the pipeline consumes, mirroring the reference's inline inversion
+    (`util.py:399-404`: sorted de-duplicated electrode lists).
+
+    A region that no electrode claims would silently average zero
+    electrodes downstream (the reference notes the "empty nodes" issue at
+    `util.py:410` and its ``inv_mapping[i]`` would KeyError); here it is a
+    hard error naming the regions — raise ``k`` or fix the coordinates."""
+    inv: dict[int, list[int]] = {r: [] for r in range(num_region)}
+    for electrode, regions in assignment.items():
+        for r in regions:
+            if r not in inv:
+                raise ValueError(
+                    f"assignment references region {r} outside "
+                    f"num_region={num_region} — electrode->regions and "
+                    "region->electrodes conventions swapped?")
+            if electrode not in inv[r]:
+                inv[r].append(electrode)
+    empty = [r for r, es in inv.items() if not es]
+    if empty:
+        raise ValueError(
+            f"{len(empty)} regions have no assigned electrode (e.g. "
+            f"{empty[:5]}): the EEG spatial extension would average an "
+            "empty set — increase k in get_region_assignment or check "
+            "the coordinate files")
+    return {r: sorted(es) for r, es in inv.items()}
 
 
 def common_sessions(eeg: dict, fmri: dict, sc: dict,

@@ -141,6 +141,58 @@ def test_region_assignment_from_coordinate_files(tmp_path):
         assert 0 in assignment[int(e)]
 
 
+def test_invert_assignment_roundtrip_and_errors(tmp_path):
+    root = str(tmp_path)
+    _write_tree(root)
+    e2r = crash_raw.get_region_assignment(root, R, k=3)
+    inv = crash_raw.invert_assignment(e2r, R)
+    # region->electrodes: every region claimed by exactly the k electrodes
+    # that listed it, sorted (reference util.py:399-404 semantics)
+    assert sorted(inv) == list(range(R))
+    for r, electrodes in inv.items():
+        assert electrodes == sorted(electrodes)
+        assert len(electrodes) == 3
+        for e in electrodes:
+            assert r in e2r[e]
+
+    # a region no electrode claims is a hard error, not silent NaNs
+    with pytest.raises(ValueError, match="no assigned electrode"):
+        crash_raw.invert_assignment({0: [0], 1: [0]}, 3)
+    # passing a region->electrodes map (regions as keys beyond num_region
+    # as values) in the wrong direction is named explicitly
+    with pytest.raises(ValueError, match="outside num_region"):
+        crash_raw.invert_assignment({0: [5]}, 3)
+
+
+def test_cli_raw_mat_uses_real_assignment(tmp_path, capsys):
+    """The raw-mat CLI branch must consume the coordinate files' real
+    electrode-region geometry, not the synthetic ring layout (ADVICE r1)."""
+    from graph_wavenet_tpu.cli import train as train_cli
+
+    root = tmp_path / "raw"
+    _write_tree(str(root))
+    out = train_cli.main([
+        "--data", "crash", "--crash_dir", str(root), "--crash_format",
+        "mat", "--crash_num_region", str(R), "--fmri_time_res", "2.0",
+        "--eeg_time_res", "0.5", "--nhid", "4", "--blocks", "2",
+        "--layers", "2", "--batch_size", "4", "--epochs", "1",
+        "--save", str(tmp_path / "g")])
+    assert "assignment from coordinate files" in capsys.readouterr().out
+    assert np.isfinite(out["result"].test_metrics["loss"])
+
+
+def test_loader_warns_on_fpool_degradation(capsys):
+    from graph_wavenet_tpu.data.crash import load_dataset_crash
+
+    # F_t = 4.0 but 35's largest divisor <= 4 is 1 -> the warning must fire
+    # and name a K multiple of ceil(F_t)
+    load_dataset_crash(batch_size=2, fmri_time_res=2.0, eeg_time_res=0.5,
+                       K=35)
+    out = capsys.readouterr().out
+    assert "F-pool factor degraded" in out
+    assert "multiple of 4" in out
+
+
 def test_fmri_bold_pools_voxels_per_region_per_frame(tmp_path):
     root = str(tmp_path)
     subj, sess = "01", 1
@@ -153,8 +205,8 @@ def test_fmri_bold_pools_voxels_per_region_per_frame(tmp_path):
     rng = np.random.default_rng(1)
     ts = rng.standard_normal((3, 3, 2, 5))       # (x, y, z, T)
     atlas = rng.integers(0, 3, size=(3, 3, 2))   # labels 0 (bg), 1, 2
-    bold = crash_raw.get_fmri_bold([subj], atlas, load_img=lambda p: ts,
-                                   base_dir=root)
+    bold = crash_raw.get_fmri_bold(root, [subj], atlas,
+                                   load_img=lambda p: ts)
     assert bold["time_res"] == pytest.approx(0.910)
     out = bold[subj][sess]
     assert out.shape == (2, 5)
