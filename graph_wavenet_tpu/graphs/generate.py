@@ -195,41 +195,109 @@ def create_small_world(N: int, prob_edge: float, prob_rewiring: float,
 
 
 def fuse_edges(adjacency_matrices: np.ndarray, aggregation: str = "sum",
-               normalization: str = "no",
-               force_undirected: bool = False) -> np.ndarray:
-    """Fuse a stack of same-size adjacency matrices into one
-    (`graphTools.py:698-819`, core options)."""
+               normalization: str = "no", *,
+               isolated_nodes: bool = True,
+               force_undirected: bool = False,
+               force_connected: bool = False,
+               node_list: list | None = None,
+               extra_components: list | None = None) -> np.ndarray:
+    """Fuse an (E, N, N) stack of edge-feature adjacencies into one graph —
+    the reference's full 'fuseEdges' option surface, in its operation order
+    (`graphTools.py:698-819`): aggregate (sum/avg) -> row/col normalize ->
+    drop isolated nodes (``isolated_nodes=False``) -> symmetrize
+    (``force_undirected``) -> keep the largest connected component
+    (``force_connected``).
+
+    The output can therefore be SMALLER than N x N. ``node_list``, when a
+    list, is extended in place with the surviving original node indices
+    (the reference's in/out ``nodeList`` argument, `graphTools.py:714`);
+    ``extra_components``, when a list, receives ``[adjacencies,
+    node_lists]`` for the non-largest components (`graphTools.py:717-727`).
+    """
     A = np.asarray(adjacency_matrices, dtype=np.float64)
+    assert A.ndim == 3 and A.shape[1] == A.shape[2]
+    N = A.shape[1]
+    all_nodes = np.arange(N)
+    assert aggregation in ("sum", "avg")
     W = A.sum(axis=0) if aggregation == "sum" else A.mean(axis=0)
-    if force_undirected:
-        W = 0.5 * (W + W.T)
-    # out= zeros: np.divide(where=) leaves unselected entries UNINITIALIZED,
-    # so a zero-sum (isolated) row/col would otherwise be reused-allocation
-    # garbage
+    # zero-guard exactly as the reference: sums below tolerance divide by 1
+    # (`graphTools.py:738-746`), so isolated rows/cols stay exactly zero
     if normalization == "rows":
         s = W.sum(axis=1, keepdims=True)
-        W = np.divide(W, s, out=np.zeros_like(W), where=s != 0)
+        W = W / np.where(np.abs(s) < ZERO_TOL, 1.0, s)
     elif normalization == "cols":
         s = W.sum(axis=0, keepdims=True)
-        W = np.divide(W, s, out=np.zeros_like(W), where=s != 0)
+        W = W / np.where(np.abs(s) < ZERO_TOL, 1.0, s)
+    if not isolated_nodes:
+        keep = np.nonzero(np.abs(W).sum(axis=0) > ZERO_TOL)[0]
+        if len(keep) < W.shape[0]:
+            W = W[keep][:, keep]
+            all_nodes = all_nodes[keep]
+    if force_undirected:
+        W = 0.5 * (W + W.T)
+    if force_connected and not is_connected(W):
+        from scipy.sparse import csgraph
+
+        n_comp, labels = csgraph.connected_components(W)
+        partial = np.arange(W.shape[0])
+        adjs, lists = [], []
+        for c in range(n_comp):
+            keep = partial[labels == c]
+            adjs.append(W[keep][:, keep])
+            lists.append(all_nodes[keep])
+        # first-largest wins ties, as the reference's strict > scan does
+        largest = int(np.argmax([len(li) for li in lists]))
+        W = adjs.pop(largest)
+        all_nodes = lists.pop(largest)
+        assert is_connected(W)
+        if extra_components is not None:
+            extra_components.append(adjs)
+            extra_components.append(lists)
+    if node_list is not None:
+        node_list.extend(all_nodes.tolist())
     return W
 
 
 def sparsify_graph(W: np.ndarray, method: str, value) -> np.ndarray:
-    """Threshold / kNN sparsification keeping symmetry
-    (`graphTools.py:426-515`, core semantics)."""
-    W = np.asarray(W, dtype=np.float64).copy()
+    """Threshold / kNN sparsification with the reference's connectivity
+    repair (`graphTools.py:426-515`): if the input graph is connected, the
+    sparsified graph must stay connected — 'threshold' halves the threshold
+    until it does (`:474-484`), 'NN' increments k (`:496-511`). kNN keeps
+    each row's k largest RAW values (incoming edges) and re-symmetrizes an
+    undirected input by averaging (`:512-514`) — some nodes may end with
+    more than k neighbors; the effective threshold actually used is
+    ``np.min(W[np.nonzero(W)])``."""
+    W = np.asarray(W, dtype=np.float64)
+    N = W.shape[0]
+    connected = is_connected(W)
+    undirected = np.allclose(W, W.T, atol=ZERO_TOL)
     if method == "threshold":
-        W[np.abs(W) < value] = 0.0
-        return W
+        p = float(value)
+        Wnew = np.where(np.abs(W) < p, 0.0, W)
+        while connected and not is_connected(Wnew):
+            p = p / 2.0
+            Wnew = np.where(np.abs(W) < p, 0.0, W)
+        return Wnew
     if method == "NN":
-        k = int(value)
-        keep = np.zeros_like(W, dtype=bool)
-        for n in range(W.shape[0]):
-            idx = np.argsort(-np.abs(W[n]))[:k]
-            keep[n, idx] = True
-        keep = keep | keep.T  # symmetric union, preserves undirectedness
-        return np.where(keep, W, 0.0)
+        p = int(value)
+        Wsorted = np.sort(W, axis=1)
+
+        def _keep(k):
+            kth_largest = Wsorted[:, -k]
+            return W * (W >= kth_largest[:, None]).astype(W.dtype)
+
+        Wnew = _keep(p)
+        while connected and not is_connected(Wnew):
+            p += 1
+            if p > N:
+                raise ValueError(
+                    "NN sparsification cannot reconnect the graph even at "
+                    f"k=N={N} — input connectivity relies on edges the "
+                    "row-wise mask cannot keep")
+            Wnew = _keep(p)
+        if undirected:
+            Wnew = 0.5 * (Wnew + Wnew.T)
+        return Wnew
     raise ValueError(f"unknown sparsify method {method!r}")
 
 
@@ -274,10 +342,15 @@ class Graph:
             self.W = create_small_world(N, options["probEdge"],
                                         options["probRewiring"], rng=rng)
         elif graph_type == "fuseEdges":
-            self.W = fuse_edges(options["adjacencyMatrices"],
-                                options.get("aggregationType", "sum"),
-                                options.get("normalizationType", "no"),
-                                options.get("forceUndirected", False))
+            self.W = fuse_edges(
+                options["adjacencyMatrices"],
+                options.get("aggregationType", "sum"),
+                options.get("normalizationType", "no"),
+                isolated_nodes=options.get("isolatedNodes", True),
+                force_undirected=options.get("forceUndirected", False),
+                force_connected=options.get("forceConnected", False),
+                node_list=options.get("nodeList"),
+                extra_components=options.get("extraComponents"))
         elif graph_type == "adjacency":
             self.W = np.asarray(options["adjacencyMatrix"], dtype=np.float64)
             assert self.W.shape[0] == N

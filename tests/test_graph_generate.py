@@ -121,9 +121,39 @@ def test_sparsify(rng):
     W = 0.5 * (W + W.T)
     np.fill_diagonal(W, 0)
     thr = G.sparsify_graph(W, "threshold", 0.5)
-    assert np.all((np.abs(thr) >= 0.5) | (thr == 0))
+    # effective threshold may be LOWER than requested (connectivity repair
+    # halves it); every kept entry clears it, every entry comes from W
+    eff = np.min(np.abs(thr)[thr != 0])
+    assert np.all((np.abs(thr) >= eff) | (thr == 0))
+    assert np.all((thr == 0) | (thr == W))
+    assert G.is_connected(thr)
     knn = G.sparsify_graph(W, "NN", 3)
     np.testing.assert_allclose(knn, knn.T)
+    assert G.is_connected(knn)
+
+
+def test_sparsify_connectivity_repair():
+    """A connected graph must stay connected: the weak bridge edge is
+    restored by halving the threshold / raising k
+    (`graphTools.py:469-515`)."""
+    rng = np.random.default_rng(3)
+    W = rng.random((8, 8)) * 0.4 + 0.6
+    W = 0.5 * (W + W.T)
+    np.fill_diagonal(W, 0)
+    W[0, :] = W[:, 0] = 0.0
+    W[0, 1] = W[1, 0] = 0.05          # sole bridge to node 0
+    assert G.is_connected(W)
+    thr = G.sparsify_graph(W, "threshold", 0.5)
+    assert G.is_connected(thr)
+    assert thr[0, 1] == W[0, 1]       # the bridge survived the repair
+    knn = G.sparsify_graph(W, "NN", 2)
+    assert G.is_connected(knn)
+    # disconnected input: repair must NOT resurrect edges
+    W2 = W.copy()
+    W2[0, 1] = W2[1, 0] = 0.0
+    thr2 = G.sparsify_graph(W2, "threshold", 0.5)
+    assert not G.is_connected(thr2)
+    assert np.all(np.abs(thr2)[thr2 != 0] >= 0.5)
 
 
 def test_fuse_edges():
@@ -133,6 +163,34 @@ def test_fuse_edges():
     np.testing.assert_array_equal(fused, [[0, 2.0], [2.0, 0]])
     rows = G.fuse_edges(A, "avg", "rows")
     np.testing.assert_allclose(rows.sum(1), [1.0, 1.0])
+
+
+def test_fuse_edges_full_option_surface():
+    """isolatedNodes removal, forceConnected largest-component extraction,
+    nodeList / extraComponents outputs (`graphTools.py:748-819`)."""
+    A = np.zeros((1, 7, 7))
+    # main component 0-1-2, secondary 3-4, node 5 weaker pair with 6?
+    A[0, 0, 1] = A[0, 1, 0] = 1.0
+    A[0, 1, 2] = A[0, 2, 1] = 1.0
+    A[0, 3, 4] = A[0, 4, 3] = 1.0
+    # nodes 5, 6 isolated
+    node_list: list = []
+    extra: list = []
+    W = G.fuse_edges(A[..., :, :], "sum", "no", isolated_nodes=False,
+                     force_undirected=True, force_connected=True,
+                     node_list=node_list, extra_components=extra)
+    assert W.shape == (3, 3)
+    assert node_list == [0, 1, 2]
+    assert len(extra) == 2
+    assert len(extra[0]) == 1 and extra[0][0].shape == (2, 2)
+    np.testing.assert_array_equal(extra[1][0], [3, 4])
+    assert G.is_connected(W)
+
+    # isolated nodes allowed: nothing dropped, node_list is all nodes
+    node_list2: list = []
+    W2 = G.fuse_edges(A, "sum", "no", node_list=node_list2)
+    assert W2.shape == (7, 7)
+    assert node_list2 == list(range(7))
 
 
 def test_fuse_edges_normalization_zero_rows(rng):

@@ -672,6 +672,102 @@ def test_graph_class_matches_reference(ref, rng):
                                rtol=1e-8, atol=1e-9)
 
 
+def test_sparsify_graph_matches_reference(ref, rng):
+    """`sparsifyGraph` incl. the connectivity repair (threshold halves p,
+    NN increments k; `graphTools.py:426-515`)."""
+    from graph_wavenet_tpu.graphs import generate as G
+
+    # connected weighted undirected graph whose naive sparsification
+    # disconnects: node 0 hangs off the rest by one weak 0.1 edge
+    w = rng.random((12, 12)) * 0.5 + 0.5
+    w = 0.5 * (w + w.T)
+    np.fill_diagonal(w, 0.0)
+    w[0, :] = w[:, 0] = 0.0
+    w[0, 1] = w[1, 0] = 0.1
+    assert ref.graph.isConnected(w)
+    for p in (0.05, 0.3, 0.8):          # 0.3/0.8 trigger the halving repair
+        np.testing.assert_allclose(
+            G.sparsify_graph(w, "threshold", p),
+            ref.graph.sparsifyGraph(w, "threshold", p), rtol=1e-12)
+    for k in (2, 3):
+        np.testing.assert_allclose(
+            G.sparsify_graph(w, "NN", k),
+            ref.graph.sparsifyGraph(w, "NN", k), rtol=1e-12)
+
+    # disconnected input: no repair (the reference guards on the ORIGINAL
+    # graph's connectivity) — the weak edge stays cut
+    w2 = w.copy()
+    w2[0, 1] = w2[1, 0] = 0.0
+    np.testing.assert_allclose(
+        G.sparsify_graph(w2, "threshold", 0.8),
+        ref.graph.sparsifyGraph(w2, "threshold", 0.8), rtol=1e-12)
+
+    # directed input: NN keeps per-row (incoming) raw-value top-k without
+    # the final symmetrization
+    wd = rng.random((10, 10))
+    np.fill_diagonal(wd, 0.0)
+    for method, p in (("threshold", 0.4), ("NN", 3)):
+        np.testing.assert_allclose(
+            G.sparsify_graph(wd, method, p),
+            ref.graph.sparsifyGraph(wd, method, p), rtol=1e-12)
+
+
+def test_fuse_edges_matches_reference(ref, rng):
+    """`createGraph('fuseEdges')` full option surface: aggregation,
+    normalization, isolatedNodes removal, forceUndirected, forceConnected
+    largest-component extraction with nodeList/extraComponents outputs
+    (`graphTools.py:698-819`)."""
+    from graph_wavenet_tpu.graphs import generate as G
+
+    E, Nn = 3, 14
+    A = rng.random((E, Nn, Nn)) * (rng.random((E, Nn, Nn)) < 0.3)
+    for i in range(E):
+        np.fill_diagonal(A[i], 0.0)
+    # nodes 10-13 detached from the main block; 10-11 form a private
+    # 2-node component, 12-13 are fully isolated
+    A[:, 10:, :] = 0.0
+    A[:, :, 10:] = 0.0
+    A[0, 10, 11] = A[0, 11, 10] = 0.7
+
+    for agg in ("sum", "avg"):
+        for norm in ("no", "rows", "cols"):
+            node_list_ref: list = []
+            extra_ref: list = []
+            theirs = ref.graph.createGraph("fuseEdges", 0, {
+                "adjacencyMatrices": A, "nodeList": node_list_ref,
+                "aggregationType": agg, "normalizationType": norm,
+                "isolatedNodes": False, "forceUndirected": True,
+                "forceConnected": True, "extraComponents": extra_ref})
+            node_list: list = []
+            extra: list = []
+            ours = G.fuse_edges(
+                A, agg, norm, isolated_nodes=False, force_undirected=True,
+                force_connected=True, node_list=node_list,
+                extra_components=extra)
+            np.testing.assert_allclose(ours, theirs, rtol=1e-12)
+            assert node_list == node_list_ref
+            assert len(extra) == len(extra_ref) == 2
+            for a_ours, a_ref in zip(extra[0], extra_ref[0]):
+                np.testing.assert_allclose(a_ours, a_ref, rtol=1e-12)
+            for l_ours, l_ref in zip(extra[1], extra_ref[1]):
+                np.testing.assert_array_equal(l_ours, l_ref)
+
+    # keep-everything variant: isolated nodes allowed, no connectivity
+    # forcing, directed
+    node_list_ref = []
+    theirs = ref.graph.createGraph("fuseEdges", 0, {
+        "adjacencyMatrices": A, "nodeList": node_list_ref,
+        "aggregationType": "sum", "normalizationType": "rows",
+        "isolatedNodes": True, "forceUndirected": False,
+        "forceConnected": False})
+    node_list = []
+    ours = G.fuse_edges(A, "sum", "rows", isolated_nodes=True,
+                        force_undirected=False, force_connected=False,
+                        node_list=node_list)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-12)
+    assert node_list == node_list_ref == list(range(Nn))
+
+
 def test_spline_basis_matches_reference(ref):
     from graph_wavenet_tpu.graphs.coarsening import spline_basis
 
