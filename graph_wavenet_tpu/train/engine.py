@@ -439,6 +439,66 @@ class Engine:
         }
         return new_state, metrics
 
+    @functools.partial(jax.jit, static_argnums=(0, 6, 7), donate_argnums=1)
+    def train_step_syn_accum(self, state: TrainState, x, y, supports,
+                             projector, F_t: int, n_micro: int):
+        """One optimizer step over ``n_micro`` sequential micro-batches of
+        the modality-supervised (syn / CRASH) step: grads and metrics
+        averaged before a single clip+Adam update, ~n_micro-fold lower
+        activation memory. CRASH at K = int(F_t*5) ≈ 2912
+        (`/root/reference/Utils/util.py:416-417`) is exactly the workload
+        the reference chunks by hand "due to memory limit" (`util.py:
+        352-356`) — this is the TPU-native knob for it.
+
+        Per-sample supports (B, N, N) and cluster projectors (B, N, N) are
+        micro-sliced alongside the batch; shared (N, N) ones are closed
+        over. Same BN caveat as :meth:`train_step_accum`: micro-batches
+        normalize with their own statistics.
+        """
+        b = x.shape[0]
+        assert b % n_micro == 0, (
+            f"batch {b} must divide by n_micro={n_micro}")
+        mb = b // n_micro
+
+        def _micro(a):
+            return a.reshape(n_micro, mb, *a.shape[1:])
+
+        supports = list(supports or [])
+        sup_scan = [_micro(s) if (s.ndim == 3 and s.shape[0] == b) else None
+                    for s in supports]
+        proj_scan = (_micro(projector)
+                     if projector.ndim == 3 and projector.shape[0] == b
+                     else None)
+        rng = jax.random.fold_in(state.rng, state.step)
+        grad_fn = jax.value_and_grad(self._loss_syn, has_aux=True)
+
+        def body(carry, inp):
+            acc, _ = carry
+            xi, yi, i, sup_i_scan, proj_i = inp
+            sup_i = [a if a is not None else supports[j]
+                     for j, a in enumerate(sup_i_scan)]
+            proj_i = proj_i if proj_i is not None else projector
+            rng_i = jax.random.fold_in(rng, i)
+            (loss, (e_hat, real, ms)), grads = grad_fn(
+                state.params, state.model_state, xi, yi, sup_i, proj_i,
+                F_t, rng_i)
+            acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+            metrics = {
+                "loss": loss,
+                "mape": masked_mape(e_hat, real, 0.0),
+                "rmse": masked_rmse(e_hat, real, 0.0),
+            }
+            return (acc, ms), metrics
+
+        zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (gsum, new_ms), metrics = jax.lax.scan(
+            body, (zero, state.model_state),
+            (_micro(x), _micro(y), jnp.arange(n_micro, dtype=jnp.int32),
+             sup_scan, proj_scan))
+        grads = jax.tree_util.tree_map(lambda g: g / n_micro, gsum)
+        new_state = self._update(state, grads, new_ms)
+        return new_state, jax.tree_util.tree_map(jnp.mean, metrics)
+
     @functools.partial(jax.jit, static_argnums=(0, 8), donate_argnums=1)
     def train_steps_syn_resident(self, state: TrainState, xs, ys, idx,
                                  adj_of_sample, sup_stack, proj_stack,

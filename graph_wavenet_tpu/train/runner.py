@@ -393,10 +393,6 @@ class Runner:
         """Epoch loop for the shared-graph synthetic task: the reference
         drives `train_syn`/`eval_syn` with the single graph's cluster map
         (`/root/reference/train.py:248-249,272-273`)."""
-        if self.cfg.grad_accum > 1:
-            raise NotImplementedError(
-                "grad_accum is implemented for the real-dataset fit() path "
-                "only; set grad_accum=1 for synthetic/CRASH training")
         result = RunResult()
         engine = self.engine
         start_epoch = self._resume(resume_from)
@@ -413,10 +409,15 @@ class Runner:
             t1 = time.time()
             data["train_loader"].shuffle()
             steps = []
+            accum = self.cfg.grad_accum
             for x, y in self._feed(data["train_loader"]):
                 xs, ys = self._shard_xy(x, y)
-                state, m = engine.train_step_syn(state, xs, ys, sup, proj,
-                                                 F_t)
+                if accum > 1:
+                    state, m = engine.train_step_syn_accum(
+                        state, xs, ys, sup, proj, F_t, accum)
+                else:
+                    state, m = engine.train_step_syn(state, xs, ys, sup,
+                                                     proj, F_t)
                 steps.append(self._throttle(m))
             train_m = _epoch_mean(steps)   # device sync before stopping
             t2 = time.time()
@@ -480,10 +481,11 @@ class Runner:
                 resume_from: str | None = None) -> RunResult:
         """Epoch loop for the diff-G synthetic task (`train.py:145-208`):
         per-batch gather of each sample's supports and cluster projector."""
-        if self.cfg.grad_accum > 1:
-            raise NotImplementedError(
-                "grad_accum is implemented for the real-dataset fit() path "
-                "only; set grad_accum=1 for synthetic/CRASH training")
+        if self.cfg.grad_accum > 1 and self.cfg.scan_steps > 1:
+            raise ValueError(
+                "grad_accum > 1 is not supported together with the fused "
+                "multi-step path (scan_steps > 1) — set scan_steps=1 to "
+                "accumulate")
         result = RunResult()
         engine = self.engine
         start_epoch = self._resume(resume_from)
@@ -523,13 +525,20 @@ class Runner:
                 batches = loader.remainder_batches(scan)
             else:
                 batches = self._feed(loader)
+            accum = self.cfg.grad_accum
             for x, y, adj_idx in batches:
                 idx = jnp.asarray(adj_idx)
                 batch_sup = [self._shard_batched(s[idx])
                              for s in sup["train"]]
-                state, m = engine.train_step_syn(
-                    state, *self._shard_xy(x, y), batch_sup,
-                    self._shard_batched(proj["train"][idx]), F_t)
+                batch_proj = self._shard_batched(proj["train"][idx])
+                if accum > 1:
+                    state, m = engine.train_step_syn_accum(
+                        state, *self._shard_xy(x, y), batch_sup,
+                        batch_proj, F_t, accum)
+                else:
+                    state, m = engine.train_step_syn(
+                        state, *self._shard_xy(x, y), batch_sup,
+                        batch_proj, F_t)
                 steps.append(self._throttle(m))
             train_m = _epoch_mean(steps)   # device sync before stopping
             t2 = time.time()

@@ -205,6 +205,43 @@ def test_train_step_syn_diff_g(rng):
     np.testing.assert_allclose(f[..., 0], f[..., 3], atol=1e-6)
 
 
+@pytest.mark.parametrize("batched", [True, False])
+def test_train_step_syn_accum_matches_full_batch(rng, batched):
+    """Syn/CRASH gradient accumulation (lifts the round-1
+    NotImplementedError): n_micro micro-batches with micro-sliced
+    per-sample supports/projectors average to the full-batch gradient
+    (dropout off) within BN-noise tolerance — both diff-G batched and
+    shared-support forms."""
+    K, B, F_t = 24, 8, 4
+    cfg = small_model_cfg(out_dim=K, start_dilation=4, dropout=0.0)
+    x = jnp.asarray(rng.normal(size=(B, K, N, 2)).astype(np.float32))
+    y = jnp.asarray((rng.normal(size=(B, K, N, 2)) + 5).astype(np.float32))
+    if batched:
+        supports = make_supports(rng, batch=B)
+        labels = rng.integers(0, 4, size=(B, N))
+        P = jnp.asarray(np.stack(
+            [eng.cluster_mean_projector(l, 4) for l in labels]))
+    else:
+        supports = make_supports(rng)
+        P = jnp.asarray(eng.cluster_mean_projector(
+            rng.integers(0, 4, size=N), 4))
+
+    tc = TrainConfig(learning_rate=1e-3)
+    e1 = eng.Engine(cfg, tc, StandardScaler(0.0, 1.0), diff_g=batched,
+                    seed=4)
+    s1, m1 = e1.train_step_syn(e1.state, x, y, supports, P, F_t)
+    e2 = eng.Engine(cfg, tc, StandardScaler(0.0, 1.0), diff_g=batched,
+                    seed=4)
+    s2, m2 = e2.train_step_syn_accum(e2.state, x, y, supports, P, F_t, 4)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=5e-3)
+    # same tolerance rationale as test_train_step_accum_matches_full_batch
+    jax.tree_util.tree_map(
+        lambda p, q: np.testing.assert_allclose(np.asarray(p),
+                                                np.asarray(q), atol=2.5e-3),
+        jax.device_get(s1.params), jax.device_get(s2.params))
+
+
 def test_checkpoint_roundtrip(tmp_path, rng):
     cfg = small_model_cfg()
     tcfg = TrainConfig()
