@@ -17,6 +17,7 @@ Single-process usage degrades cleanly: ``initialize`` is a no-op and
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -60,7 +61,36 @@ def global_batch(local_batch: np.ndarray, sharding):
 
 
 def replicated_host_value(value, mesh):
-    """Replicate a small host value (e.g. supports) across the global mesh."""
+    """Replicate a small host value (e.g. supports) across the global mesh.
+
+    Multi-process: ``jax.device_put`` rejects shardings with
+    non-addressable devices, so the replica is assembled with
+    ``make_array_from_process_local_data`` — every process must hold the
+    SAME full value (true for seeded host data and same-seed init)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    return jax.device_put(value, NamedSharding(mesh, P()))
+    s = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        return jax.device_put(value, s)
+    return jax.make_array_from_process_local_data(s, np.asarray(value))
+
+
+def replicate_pytree(tree, mesh):
+    """Replicate a pytree (e.g. a full TrainState) across a possibly
+    multi-process global mesh. PRNG key arrays are round-tripped through
+    ``key_data``/``wrap_key_data`` (extended dtypes cannot cross the
+    host-assembly API directly)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if jax.process_count() == 1:
+        return jax.device_put(tree, NamedSharding(mesh, P()))
+
+    def leaf(v):
+        if hasattr(v, "dtype") and jnp.issubdtype(v.dtype,
+                                                  jax.dtypes.prng_key):
+            data = replicated_host_value(jax.random.key_data(v), mesh)
+            return jax.random.wrap_key_data(data,
+                                            impl=jax.random.key_impl(v))
+        return replicated_host_value(v, mesh)
+
+    return jax.tree_util.tree_map(leaf, tree)

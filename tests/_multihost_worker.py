@@ -1,0 +1,83 @@
+"""Subprocess worker for the true multi-process distributed test.
+
+Each OS process owns 4 virtual CPU devices and joins a 2-process
+``jax.distributed`` cluster (coordinator on localhost) — the actual
+process-coordination path a real multi-host TPU pod uses (SURVEY.md §2.8),
+which the in-process 8-device virtual mesh cannot exercise. Run by
+``test_multiprocess.py``; not a pytest module.
+
+Usage: python _multihost_worker.py <port> <process_id> <num_processes> <out.npz>
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=4").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_enable_async_dispatch", False)
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from graph_wavenet_tpu.config import MeshConfig, ModelConfig, TrainConfig  # noqa: E402
+from graph_wavenet_tpu.data.scaler import StandardScaler  # noqa: E402
+from graph_wavenet_tpu.parallel import mesh as M  # noqa: E402
+from graph_wavenet_tpu.parallel import multihost  # noqa: E402
+from graph_wavenet_tpu.train.engine import Engine  # noqa: E402
+
+
+def main(port: int, pid: int, nprocs: int, out_path: str) -> None:
+    info = multihost.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=nprocs, process_id=pid)
+    assert info["process_count"] == nprocs, info
+    assert info["local_devices"] == 4, info
+    assert info["global_devices"] == 4 * nprocs, info
+
+    # identical model/data in every process (same seeds); each process
+    # feeds only ITS half of the global batch through global_batch
+    B, T, N = 8, 12, 10
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(B, T, N, 2)).astype(np.float32)
+    y = (rng.normal(size=(B, T, N, 2)) + 5).astype(np.float32)
+    a = rng.random((N, N)).astype(np.float32)
+    sup_host = a / a.sum(-1, keepdims=True)
+
+    cfg = ModelConfig(num_nodes=N, in_dim=2, out_dim=T,
+                      residual_channels=4, dilation_channels=4,
+                      skip_channels=8, end_channels=16, blocks=2, layers=2,
+                      dropout=0.0, gcn_bool=True, addaptadj=True,
+                      n_supports=1)
+    tc = TrainConfig(learning_rate=1e-3, rng_impl="threefry2x32")
+    engine = Engine(cfg, tc, StandardScaler(5.0, 2.0), seed=0)
+
+    mesh = M.make_mesh(MeshConfig())
+    mcfg = MeshConfig()
+    state = multihost.replicate_pytree(engine.state, mesh)
+    sup = [multihost.replicated_host_value(jnp.asarray(sup_host), mesh)]
+
+    rows = B // nprocs
+    local_x = x[pid * rows:(pid + 1) * rows]
+    local_y = y[pid * rows:(pid + 1) * rows]
+    bs = M.batch_sharding(mesh, mcfg)
+    for _ in range(3):
+        gx = multihost.global_batch(local_x, bs)
+        gy = multihost.global_batch(local_y, bs)
+        state, m = engine.train_step(state, gx, gy, sup)
+
+    # params are replicated -> every process holds full copies locally
+    leaves = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    np.savez(out_path, *[np.asarray(l) for l in leaves],
+             loss=np.float64(m["loss"]))
+    print(f"worker {pid} done", flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
