@@ -122,3 +122,88 @@ def perm_eds(S: np.ndarray) -> tuple[np.ndarray, list[int]]:
     lead = V[:, np.argmax(np.abs(e))]
     order = np.argsort(-(lead ** 2), kind="stable")
     return _permute(S, order), order.tolist()
+
+
+# ---------------------------------------------------------------------------
+# Block-locality orderings (TPU block-sparse supports; beyond reference)
+# ---------------------------------------------------------------------------
+
+def rcm_order_edges(src: np.ndarray, dst: np.ndarray, n_nodes: int
+                    ) -> np.ndarray:
+    """Reverse Cuthill-McKee node permutation from an edge list — O(E log E)
+    host-side, no dense (N, N) intermediate (city-scale graphs can't afford
+    one).
+
+    Returns ``perm`` with ``new_id = perm[old_id]``, the convention
+    ``ops.block_sparse.from_edges_blocked(..., perm=...)`` consumes. RCM
+    concentrates every node's neighbors near the diagonal, so each 128-wide
+    destination block-row draws its sources from a few ADJACENT block-rows:
+    the count of distinct nonzero blocks per row — which directly sets the
+    block-sparse hop's DMA traffic (BENCH_NOTES.md "remaining headroom ...
+    needs locality") — collapses to the band width.
+    """
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    # symmetrized CSR adjacency, neighbors sorted by degree (classic CM)
+    u = np.concatenate([src, dst])
+    v = np.concatenate([dst, src])
+    keep = u != v
+    u, v = u[keep], v[keep]
+    pairs = np.unique(u * n_nodes + v)
+    u, v = pairs // n_nodes, pairs % n_nodes
+    degree = np.bincount(u, minlength=n_nodes)
+    # order neighbor lists by (u, degree[v]) so each BFS level expands
+    # lowest-degree-first without per-node sorts
+    order = np.lexsort((degree[v], u))
+    u, v = u[order], v[order]
+    starts = np.zeros(n_nodes + 1, np.int64)
+    np.cumsum(np.bincount(u, minlength=n_nodes), out=starts[1:])
+
+    visited = np.zeros(n_nodes, bool)
+    result = np.empty(n_nodes, np.int64)
+    pos = 0
+    # deterministic component seeds: lowest degree first (stable)
+    seed_order = np.argsort(degree, kind="stable")
+    for seed in seed_order:
+        if visited[seed]:
+            continue
+        visited[seed] = True
+        result[pos] = seed
+        head, tail = pos, pos + 1
+        while head < tail:
+            n = result[head]
+            head += 1
+            for w in v[starts[n]:starts[n + 1]]:
+                if not visited[w]:
+                    visited[w] = True
+                    result[tail] = w
+                    tail += 1
+        pos = tail
+    assert pos == n_nodes
+    result = result[::-1]                     # the "reverse" in RCM
+    perm = np.empty(n_nodes, np.int64)
+    perm[result] = np.arange(n_nodes)
+    return perm
+
+
+def block_locality_stats(src: np.ndarray, dst: np.ndarray, n_nodes: int,
+                         perm: np.ndarray | None = None,
+                         block_size: int = 128) -> dict:
+    """Distinct-source-block statistics of an edge list under a node
+    ordering — the quantity the block-sparse hop's HBM traffic is linear
+    in. Returns mean/max blocks per destination block-row and the total
+    nonzero block count."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    if perm is not None:
+        perm = np.asarray(perm, np.int64)
+        src, dst = perm[src], perm[dst]
+    nb = -(-n_nodes // block_size)
+    pair = (dst // block_size) * nb + (src // block_size)
+    uniq = np.unique(pair)
+    per_row = np.bincount(uniq // nb, minlength=nb)
+    return {
+        "n_blocks": int(len(uniq)),
+        "blocks_per_row_mean": float(per_row.mean()),
+        "blocks_per_row_max": int(per_row.max()),
+    }

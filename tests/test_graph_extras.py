@@ -130,3 +130,57 @@ def test_perm_adjacency_and_data(sbm, rng):
     # real data preserved
     k0 = perms[0].index(0)
     np.testing.assert_array_equal(xp[:, k0], x[:, 0])
+
+
+def knn_spatial_edges(n, k, rng):
+    """k-NN graph on random 2D points — the locality structure of a road
+    network (used by the RCM block-locality tests and city demo)."""
+    pos = rng.random((n, 2))
+    d = ((pos[:, None] - pos[None, :]) ** 2).sum(-1)
+    np.fill_diagonal(d, np.inf)
+    nbr = np.argsort(d, axis=1)[:, :k]
+    src = np.repeat(np.arange(n), k)
+    dst = nbr.reshape(-1)
+    return src, dst
+
+
+def test_rcm_order_is_valid_permutation(rng):
+    src, dst = knn_spatial_edges(200, 4, rng)
+    perm = ordering.rcm_order_edges(src, dst, 200)
+    assert sorted(perm.tolist()) == list(range(200))
+
+
+def test_rcm_reduces_block_count_on_spatial_graph(rng):
+    """The point of the ordering: a spatial graph under RCM needs far
+    fewer distinct source blocks per destination block-row (HBM traffic of
+    the block-sparse hop is linear in that count, BENCH_NOTES.md)."""
+    n = 1024
+    src, dst = knn_spatial_edges(n, 6, rng)
+    ident = ordering.block_locality_stats(src, dst, n, block_size=64)
+    perm = ordering.rcm_order_edges(src, dst, n)
+    rcm = ordering.block_locality_stats(src, dst, n, perm, block_size=64)
+    assert rcm["n_blocks"] < ident["n_blocks"] * 0.55, (ident, rcm)
+    assert rcm["blocks_per_row_max"] <= ident["blocks_per_row_max"]
+
+
+def test_rcm_perm_composes_with_from_edges_blocked(rng):
+    from graph_wavenet_tpu.ops import block_sparse
+
+    n = 60
+    src, dst = knn_spatial_edges(n, 3, rng)
+    w = rng.random(len(src)).astype(np.float32)
+    perm = ordering.rcm_order_edges(src, dst, n)
+    sp = block_sparse.from_edges_blocked(src, dst, w, n, block_size=4,
+                                         perm=perm)
+    dense = np.zeros((sp.n_nodes, sp.n_nodes), np.float32)
+    for s_, d_, w_ in zip(perm[src], perm[dst], w):
+        dense[s_, d_] += w_
+    np.testing.assert_allclose(sp.to_dense(), dense, atol=1e-6)
+
+
+def test_rcm_handles_disconnected_graph():
+    # two components + an isolated node
+    src = np.array([0, 1, 4, 5])
+    dst = np.array([1, 2, 5, 6])
+    perm = ordering.rcm_order_edges(src, dst, 8)
+    assert sorted(perm.tolist()) == list(range(8))
