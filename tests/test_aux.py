@@ -22,6 +22,8 @@ SMALL = ModelConfig(num_nodes=12, out_dim=6, residual_channels=4,
                     blocks=1, layers=2, dropout=0.0, n_supports=2)
 
 
+pytestmark = pytest.mark.slow  # multi-epoch/mesh loops; fast tier skips (README)
+
 def test_bench_train_step_smoke():
     r = benchmarks.bench_train_step(SMALL, batch=4, seq=6, steps=3,
                                     warmup=1)

@@ -164,6 +164,7 @@ def test_invert_assignment_roundtrip_and_errors(tmp_path):
         crash_raw.invert_assignment({0: [5]}, 3)
 
 
+@pytest.mark.slow
 def test_cli_raw_mat_uses_real_assignment(tmp_path, capsys):
     """The raw-mat CLI branch must consume the coordinate files' real
     electrode-region geometry, not the synthetic ring layout (ADVICE r1)."""
@@ -245,6 +246,7 @@ def test_export_pickles_roundtrip(tmp_path):
     assert sorted(assignment) == list(range(E))
 
 
+@pytest.mark.slow
 def test_crash_cli_with_raw_mat_dir(tmp_path):
     from graph_wavenet_tpu.cli import train as train_cli
 

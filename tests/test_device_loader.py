@@ -13,6 +13,8 @@ from graph_wavenet_tpu.data.loader import DataLoader
 from graph_wavenet_tpu.data.native_loader import WindowDataLoader
 
 
+pytestmark = pytest.mark.slow  # multi-epoch/mesh loops; fast tier skips (README)
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -10,6 +10,8 @@ import pytest
 from graph_wavenet_tpu.utils import misc
 
 
+pytestmark = pytest.mark.slow  # multi-epoch/mesh loops; fast tier skips (README)
+
 @pytest.fixture
 def metr_fixture(tmp_path, rng):
     """A tiny METR-shaped dataset + adjacency pickle on disk."""

@@ -126,6 +126,7 @@ def test_pool_E_batched_projectors(rng):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_step_learns(rng):
     cfg = small_model_cfg()
     tcfg = TrainConfig(learning_rate=3e-3, batch_size=8)
@@ -177,6 +178,7 @@ def test_predict_step_no_engine_pad(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(want))
 
 
+@pytest.mark.slow
 def test_train_step_syn_diff_g(rng):
     K = 24
     cfg = small_model_cfg(out_dim=K, start_dilation=4)
@@ -206,6 +208,7 @@ def test_train_step_syn_diff_g(rng):
 
 
 @pytest.mark.parametrize("batched", [True, False])
+@pytest.mark.slow
 def test_train_step_syn_accum_matches_full_batch(rng, batched):
     """Syn/CRASH gradient accumulation (lifts the round-1
     NotImplementedError): n_micro micro-batches with micro-sliced
@@ -242,6 +245,7 @@ def test_train_step_syn_accum_matches_full_batch(rng, batched):
         jax.device_get(s1.params), jax.device_get(s2.params))
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, rng):
     cfg = small_model_cfg()
     tcfg = TrainConfig()
@@ -305,6 +309,7 @@ def test_pool_F_indivisible_seq_rejected(rng):
         eng.pool_F(pred, 5)
 
 
+@pytest.mark.slow
 def test_train_step_accum_matches_full_batch(rng):
     """Gradient accumulation: n_micro micro-batches average to the
     full-batch gradient (dropout off, balanced masks) within tolerance."""

@@ -6,11 +6,14 @@ import dataclasses
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from graph_wavenet_tpu.config import ModelConfig, TrainConfig
 from graph_wavenet_tpu.data.scaler import StandardScaler
 from graph_wavenet_tpu.models.gwnet import apply_gwnet, init_gwnet
 from graph_wavenet_tpu.train.engine import Engine
+
+pytestmark = pytest.mark.slow  # full-model interpret-mode kernels; fast tier skips (README)
 
 N = 14
 

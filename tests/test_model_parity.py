@@ -164,6 +164,7 @@ def make_supports(rng, n, batch=None):
 
 @pytest.mark.parametrize("gcn_bool,addaptadj", [
     (True, True), (True, False), (False, False)])
+@pytest.mark.slow
 def test_gwnet_forward_parity(rng, gcn_bool, addaptadj):
     cfg = small_cfg(gcn_bool=gcn_bool, addaptadj=addaptadj)
     params, state = init_gwnet(jax.random.key(0), cfg)

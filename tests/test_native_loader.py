@@ -140,6 +140,7 @@ def test_streaming_dataset_matches_materialized(tmp_path, rng):
     np.testing.assert_allclose(stream["y_test"], mat["y_test"], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_streaming_dataset_trains(tmp_path, rng):
     """Runner.fit consumes the streaming dict unchanged."""
     from graph_wavenet_tpu.config import ModelConfig, TrainConfig

@@ -57,6 +57,7 @@ def test_pallas_gradients_match_xla(rng, support):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_model_level_matches_xla(rng, support):
     """Full gwnet forward with Pallas block supports == XLA block supports
     (duck-typed through the all-sparse gcn fast path)."""

@@ -17,6 +17,8 @@ from graph_wavenet_tpu.train.engine import Engine
 N = 16
 
 
+pytestmark = pytest.mark.slow  # multi-epoch/mesh loops; fast tier skips (README)
+
 def test_make_mesh_shapes():
     m = M.make_mesh(MeshConfig())
     assert m.devices.size == 8

@@ -28,6 +28,8 @@ from graph_wavenet_tpu.train.engine import Engine
 N_NODES = 12
 
 
+pytestmark = pytest.mark.slow  # multi-epoch/mesh loops; fast tier skips (README)
+
 def _cfg(**kw):
     base = dict(num_nodes=N_NODES, in_dim=2, out_dim=6,
                 residual_channels=8, dilation_channels=8, skip_channels=16,

@@ -64,6 +64,7 @@ def test_prefetch_propagates_producer_errors():
         list(it)
 
 
+@pytest.mark.slow
 def test_runner_fit_same_result_with_and_without_prefetch(rng, tmp_path):
     from graph_wavenet_tpu.config import ModelConfig, TrainConfig
     from graph_wavenet_tpu.data.scaler import StandardScaler

@@ -201,6 +201,7 @@ def test_gwnet_forward_matches_reference_random_configs(ref, seed):
         err_msg=f"cfg={cfg} t_out={t_out}")
 
 
+@pytest.mark.slow
 def test_gwnet_forward_matches_reference_from_our_weights(ref, rng):
     """Reverse direction: our random init exported into the reference model
     (strict load — the full reference param surface must be covered)."""
@@ -323,6 +324,7 @@ def _our_engine_from_ref(ref_model, cfg: ModelConfig, scaler) -> Engine:
     return engine
 
 
+@pytest.mark.slow
 def test_trainer_steps_match_reference(ref, rng):
     """Three full optimizer steps through the REAL reference trainer
     (`engine.py:41-58`: pad + forward + inverse-scale + masked MAE + clip-5 +
@@ -401,6 +403,7 @@ def test_trainer_eval_matches_reference(ref, rng):
     np.testing.assert_allclose(float(metrics["rmse"]), ref_rmse, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_train_syn_matches_reference(ref, rng):
     """Modality-supervised step (`engine.py:64-117`): the reference pools F
     (temporal block-mean) and E (in-place ragged community-mean via
@@ -448,6 +451,7 @@ def test_train_syn_matches_reference(ref, rng):
                                    rtol=1e-3, atol=2e-5, err_msg=k)
 
 
+@pytest.mark.slow
 def test_train_syn_diff_g_matches_reference(ref, rng):
     """Per-sample-graph training through the REAL reference trainer: dict
     supports select gwnet_diff_G (`engine.py:14-25`), train_syn gathers each

@@ -16,6 +16,8 @@ from graph_wavenet_tpu.train.runner import Runner
 N = 12
 
 
+pytestmark = pytest.mark.slow  # multi-epoch/mesh loops; fast tier skips (README)
+
 @pytest.fixture
 def dataset(rng):
     """A learnable toy dataset: targets are a fixed linear map of a noisy

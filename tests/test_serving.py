@@ -2,6 +2,7 @@
 rollout, sequence reconstruction, checkpoint loading."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -26,6 +27,7 @@ def make_forecaster(rng, scaler=None):
                               scaler or StandardScaler(3.0, 2.0))
 
 
+@pytest.mark.slow
 def test_predict_layout_and_inverse_transform(rng):
     f = make_forecaster(rng)
     x = jnp.asarray(rng.normal(size=(4, 12, N, 2)).astype(np.float32))
@@ -67,6 +69,7 @@ def test_reconstruct_sequence_matches_host_reference(rng):
     np.testing.assert_allclose(np.asarray(got), want.T, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_forecaster_from_checkpoint(tmp_path, rng):
     from graph_wavenet_tpu.train import checkpoint as ckpt
     from graph_wavenet_tpu.train.engine import Engine

@@ -10,6 +10,7 @@ comparing the per-step loss trajectory and final parameters.
 """
 
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 import jax.numpy as jnp
@@ -41,6 +42,7 @@ def torch_masked_mae(preds, labels, null_val=0.0):
     return loss.mean()
 
 
+@pytest.mark.slow
 def test_training_trajectory_matches_torch(rng):
     cfg = small_cfg(gcn_bool=True, addaptadj=True)
     scaler = StandardScaler(mean=31.0, std=9.5)
