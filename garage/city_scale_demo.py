@@ -8,7 +8,19 @@ same sparse mix op the model uses, so the forecasting task is learnable and
 the graph structure matters. A short run demonstrating the loss descends;
 ~477 ms/step wall, 234 ms device (BENCH_NOTES.md).
 
+Graph families (--graph):
+- ``spatial`` (default): a k-NN road-network graph on random 2D points
+  (Gaussian kernel weights, doubletransition normalization on the edge
+  list), reordered with reverse Cuthill-McKee (``--ordering rcm``) so each
+  destination block-row draws from few adjacent source blocks — the
+  block-sparse hop's HBM traffic is linear in that count. ``--ordering
+  identity`` A/Bs the unordered layout.
+- ``random``: the round-1 synthetic block structure (uniform random
+  source blocks, fixed --blocks_per_row) — no locality to exploit, kept
+  as the worst-case baseline.
+
 Usage: python garage/city_scale_demo.py [--nodes 40960] [--steps 100]
+       [--graph spatial|random] [--ordering rcm|identity]
 """
 
 from __future__ import annotations
@@ -19,12 +31,61 @@ import time
 import numpy as np
 
 
+def spatial_edges(n: int, k: int, rng: np.random.Generator):
+    """k-NN graph on random 2D points (road-network locality), Gaussian
+    kernel weights — kd-tree, no O(N^2) distance matrix."""
+    from scipy.spatial import cKDTree
+
+    pos = rng.random((n, 2))
+    d, nbr = cKDTree(pos).query(pos, k=k + 1)     # col 0 = self
+    src = np.repeat(np.arange(n), k)
+    dst = nbr[:, 1:].reshape(-1)
+    dist = d[:, 1:].reshape(-1)
+    sigma = dist.std()
+    w = np.exp(-(dist ** 2) / (sigma ** 2)).astype(np.float32)
+    return src, dst, w
+
+
+def transition_edge_weights(src, dst, w, n):
+    """Row-normalized random-walk weights on the edge list (``asym_adj``,
+    reference util.py:130-136): A[s, d] / sum_d A[s, :]."""
+    deg = np.bincount(src, weights=w, minlength=n)
+    return (w / deg[src]).astype(np.float32)
+
+
+def build_spatial_supports(n, rng, ordering: str, block_sparse, ordering_mod,
+                           k: int = 8):
+    """doubletransition supports of a spatial k-NN graph in block-sparse
+    form under the chosen node ordering; prints the locality stats."""
+    src, dst, w = spatial_edges(n, k, rng)
+    perm = ordering_mod.rcm_order_edges(src, dst, n) \
+        if ordering == "rcm" else None
+    for name, p in (("identity", None), ("rcm", perm)):
+        if name == "rcm" and p is None:
+            continue
+        stats = ordering_mod.block_locality_stats(src, dst, n, p)
+        print(f"  {name:8s}: {stats['n_blocks']} nonzero blocks, "
+              f"{stats['blocks_per_row_mean']:.1f} mean / "
+              f"{stats['blocks_per_row_max']} max per block-row", flush=True)
+    sup = []
+    for s, d in ((src, dst), (dst, src)):        # A and A^T transitions
+        wt = transition_edge_weights(s, d, w, n)
+        sup.append(block_sparse.from_edges_blocked(s, d, wt, n, perm=perm))
+    return sup
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nodes", type=int, default=40960)
+    ap.add_argument("--graph", choices=("spatial", "random"),
+                    default="spatial")
+    ap.add_argument("--ordering", choices=("rcm", "identity"),
+                    default="rcm", help="node ordering for --graph spatial")
+    ap.add_argument("--knn", type=int, default=8,
+                    help="spatial graph: neighbors per node")
     ap.add_argument("--blocks_per_row", type=int, default=4,
-                    help="density: 128-wide nonzero blocks per block-row "
-                         "(incl. the diagonal block)")
+                    help="random graph density: 128-wide nonzero blocks "
+                         "per block-row (incl. the diagonal block)")
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--batch", type=int, default=4)
     args = ap.parse_args()
@@ -34,6 +95,7 @@ def main():
 
     from graph_wavenet_tpu.config import ModelConfig, TrainConfig
     from graph_wavenet_tpu.data.scaler import StandardScaler
+    from graph_wavenet_tpu.graphs import ordering as ordering_mod
     from graph_wavenet_tpu.ops import block_sparse
     from graph_wavenet_tpu.train.engine import Engine
 
@@ -42,10 +104,15 @@ def main():
         raise SystemExit(f"--nodes must be a positive multiple of the "
                          f"128-block size (got {n})")
     rng = np.random.default_rng(0)
-    print(f"building block-sparse supports for {n} nodes ...", flush=True)
-    sup = [block_sparse.random_block_support(n // 128, args.blocks_per_row,
-                                             128, np.random.default_rng(s))
-           for s in (1, 2)]
+    print(f"building block-sparse supports for {n} nodes "
+          f"({args.graph} graph) ...", flush=True)
+    if args.graph == "spatial":
+        sup = build_spatial_supports(n, rng, args.ordering, block_sparse,
+                                     ordering_mod, k=args.knn)
+    else:
+        sup = [block_sparse.random_block_support(
+            n // 128, args.blocks_per_row, 128, np.random.default_rng(s))
+            for s in (1, 2)]
     if jax.default_backend() == "tpu":
         # gathered-block-matmul Pallas kernels: 1.3x at this scale
         sup = [block_sparse.as_pallas(s) for s in sup]
