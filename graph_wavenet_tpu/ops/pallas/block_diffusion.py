@@ -126,6 +126,169 @@ def gathered_block_mix(blocks_flat: jnp.ndarray, slot_tbl: jnp.ndarray,
     return out[..., :r] if pad_r else out
 
 
+# ---------------------------------------------------------------------------
+# Flat (CSR-style) variants: grid over the LIVE block list
+# ---------------------------------------------------------------------------
+#
+# The padded (NB, MB) table above runs NB * MB grid steps — MB is the MAX
+# blocks per block-row, so skewed real graphs (spatial k-NN under RCM at
+# 41k nodes: mean 7.6, max 11 per row) pay ~1.45x the live work in
+# sentinel slots. The flat form stores the live blocks once, sorted by
+# destination block-row, and the grid iterates exactly L = n_live steps:
+# work is proportional to the MEAN, not the max. Consecutive grid steps
+# that share a destination row revisit the same output tile (legal: the
+# revisits are consecutive because the list is row-sorted) and accumulate
+# in VMEM scratch; the row boundary tests read the prefetched row table.
+
+
+def _mix_flat_kernel(row_ref, slot_ref, src_ref, blocks_ref, x_ref, o_ref,
+                     acc_ref, *, n_live: int, transpose_lhs: bool):
+    del slot_ref, src_ref  # consumed by the index maps
+    ell = pl.program_id(1)
+    row = row_ref[ell]
+
+    @pl.when((ell == 0) | (row != row_ref[jnp.maximum(ell - 1, 0)]))
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    dims = ((((0,), (0,)) if transpose_lhs else ((1,), (0,))), ((), ()))
+    acc_ref[...] += jax.lax.dot_general(
+        blocks_ref[0], x_ref[0], dimension_numbers=dims,
+        preferred_element_type=jnp.float32)
+
+    @pl.when((ell == n_live - 1)
+             | (row != row_ref[jnp.minimum(ell + 1, n_live - 1)]))
+    def _():
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nb", "transpose_lhs", "interpret"))
+def gathered_block_mix_flat(blocks_flat: jnp.ndarray, slot_tbl: jnp.ndarray,
+                            x_pad: jnp.ndarray, src_tbl: jnp.ndarray,
+                            row_tbl: jnp.ndarray, *, nb: int,
+                            transpose_lhs: bool,
+                            interpret: bool = False) -> jnp.ndarray:
+    """out (nb, BS, R): for each live entry l (row-sorted),
+    ``blocks_flat[slot_tbl[l]] (contract) x_pad[src_tbl[l]]`` accumulated
+    into block-row ``row_tbl[l]``.
+
+    Every block-row in [0, nb) MUST appear at least once in ``row_tbl``
+    (callers insert a zero-block dummy for empty rows) or its output tile
+    is left unwritten.
+    """
+    assert slot_tbl.ndim == 1 and src_tbl.shape == slot_tbl.shape \
+        and row_tbl.shape == slot_tbl.shape, "flat tables must be (L,)"
+    n_live = slot_tbl.shape[0]
+    bs = blocks_flat.shape[1]
+    r = x_pad.shape[-1]
+    slot_tbl = slot_tbl.astype(jnp.int32)
+    src_tbl = src_tbl.astype(jnp.int32)
+    row_tbl = row_tbl.astype(jnp.int32)
+
+    pad_r = (-r) % 128
+    if pad_r:
+        x_pad = jnp.pad(x_pad, ((0, 0), (0, 0), (0, pad_r)))
+    rp = r + pad_r
+    rt = _pick_rt(rp)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        # j OUTER so same-row steps stay consecutive per output tile
+        grid=(rp // rt, n_live),
+        in_specs=[
+            pl.BlockSpec((1, bs, bs),
+                         lambda j, l, row, slot, src: (slot[l], 0, 0)),
+            pl.BlockSpec((1, bs, rt),
+                         lambda j, l, row, slot, src: (src[l], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, bs, rt),
+                               lambda j, l, row, slot, src: (row[l], 0, j)),
+        scratch_shapes=[pltpu.VMEM((bs, rt), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_mix_flat_kernel, n_live=n_live,
+                          transpose_lhs=transpose_lhs),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, bs, rp), x_pad.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_live * bs * bs * rp,
+            bytes_accessed=(n_live * (bs * bs + bs * rt)
+                            + nb * bs * rp) * x_pad.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(row_tbl, slot_tbl, src_tbl, blocks_flat, x_pad)
+    return out[..., :r] if pad_r else out
+
+
+def _dblocks_flat_kernel(row_ref, src_ref, x_ref, g_ref, o_ref, acc_ref, *,
+                         nj: int):
+    del row_ref, src_ref
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[0], g_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _():
+        o_ref[0] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def gathered_block_outer_flat(x_pad: jnp.ndarray, g_blocks: jnp.ndarray,
+                              src_tbl: jnp.ndarray, row_tbl: jnp.ndarray,
+                              *, out_dtype,
+                              interpret: bool = False) -> jnp.ndarray:
+    """dblocks (L, BS, BS): per live entry l, contract the R axis of
+    ``x_pad[src_tbl[l]]`` (BS, R) with ``g_blocks[row_tbl[l]]`` (BS, R) —
+    the flat-layout weight cotangent."""
+    n_live = src_tbl.shape[0]
+    bs = x_pad.shape[1]
+    r = x_pad.shape[-1]
+    src_tbl = src_tbl.astype(jnp.int32)
+    row_tbl = row_tbl.astype(jnp.int32)
+    pad_r = (-r) % 128
+    if pad_r:
+        x_pad = jnp.pad(x_pad, ((0, 0), (0, 0), (0, pad_r)))
+        g_blocks = jnp.pad(g_blocks, ((0, 0), (0, 0), (0, pad_r)))
+    rp = r + pad_r
+    rt = _pick_rt(rp)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_live, rp // rt),
+        in_specs=[
+            pl.BlockSpec((1, bs, rt),
+                         lambda l, j, row, src: (src[l], 0, j)),
+            pl.BlockSpec((1, bs, rt),
+                         lambda l, j, row, src: (row[l], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, bs, bs),
+                               lambda l, j, row, src: (l, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((bs, bs), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_dblocks_flat_kernel, nj=rp // rt),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_live, bs, bs), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_live * bs * bs * rp,
+            bytes_accessed=(2 * n_live * bs * rt + n_live * bs * bs
+                            ) * x_pad.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(row_tbl, src_tbl, x_pad, g_blocks)
+
+
 def _dblocks_kernel(src_ref, x_ref, g_ref, o_ref, acc_ref, *, nj: int):
     del src_ref
     j = pl.program_id(2)

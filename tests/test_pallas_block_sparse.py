@@ -127,3 +127,87 @@ def test_pallas_sentinel_padded_rows(rng):
     # sentinel slots contribute exactly zero gradient
     sent = np.asarray(sp.block_idx) == sp.blocks.shape[0]
     assert np.all(np.asarray(g2)[sent] == 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Flat (live-block CSR) form
+# ---------------------------------------------------------------------------
+
+
+def test_flat_forward_matches_xla(rng, support):
+    x2 = jnp.asarray(
+        rng.normal(size=(support.n_nodes, 96)).astype(np.float32))
+    ref = support.mix_2d(x2)
+    out = B.as_flat_pallas(support).mix_2d(x2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_flat_gradients_match_xla(rng, support):
+    """dx through the flat form == the padded XLA form; dblocks maps back
+    to the same per-block values through the flat storage order."""
+    x2 = jnp.asarray(
+        rng.normal(size=(support.n_nodes, 96)).astype(np.float32))
+    flat = B.as_flat_pallas(support)
+
+    gr = jax.grad(lambda a: jnp.sum(jnp.sin(support.mix_2d(a))))(x2)
+    gf = jax.grad(lambda a: jnp.sum(jnp.sin(flat.mix_2d(a))))(x2)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_flat(bf):
+        s = B.FlatBlockSparseSupport(bf, flat.row_tbl, flat.src_tbl,
+                                     flat.slot_tbl, flat.row_t, flat.src_t,
+                                     flat.slot_t, flat.inv_slot)
+        return jnp.sum(jnp.sin(s.mix_2d(x2)))
+
+    def loss_padded(blocks):
+        s = B.BlockSparseSupport(blocks, support.block_idx, support.idx_t,
+                                 support.perm_t)
+        return jnp.sum(jnp.sin(s.mix_2d(x2)))
+
+    gbf = jax.grad(loss_flat)(flat.blocks_flat)
+    gbp = jax.grad(loss_padded)(support.blocks)
+    # map the padded gradient into flat storage order (live, row-major)
+    bidx = np.asarray(support.block_idx)
+    rr, mm = np.nonzero(bidx < bidx.shape[0])
+    np.testing.assert_allclose(np.asarray(gbf)[:len(rr)],
+                               np.asarray(gbp)[rr, mm],
+                               rtol=1e-5, atol=1e-5)
+    # the shared trailing zero block gets exactly zero gradient
+    assert np.all(np.asarray(gbf)[-1] == 0.0)
+
+
+def test_flat_skewed_rows_and_empty_rows(rng):
+    """Rows with different live-block counts (the flat form's reason to
+    exist) plus an entirely empty block-row and an x block-row nothing
+    reads from: forward and both gradients must match the dense support."""
+    n = 4 * 128
+    a = np.zeros((n, n), np.float32)
+    a[:128, :128] = rng.random((128, 128))        # col-block 0: 1 source
+    a[:384, 128:256] = rng.random((384, 128))     # col-block 1: 3 sources
+    # col-block 2: empty (no in-edges); source row 3 unused (no out-edges)
+    a[:128, 384:] = rng.random((128, 128))        # col-block 3: 1 source
+    sp = B.from_dense(a, block_size=128)
+    flat = B.as_flat_pallas(sp)
+    x2 = jnp.asarray(rng.normal(size=(n, 64)).astype(np.float32))
+    ref = sp.mix_2d(x2)
+    out = flat.mix_2d(x2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    assert np.all(np.asarray(out)[256:384] == 0.0)  # empty dest row
+    gr = jax.grad(lambda v: jnp.sum(sp.mix_2d(v) ** 2))(x2)
+    gf = jax.grad(lambda v: jnp.sum(flat.mix_2d(v) ** 2))(x2)
+    # gradient magnitudes reach ~5e3 here; fp32 accumulation-order noise
+    # needs a matching absolute term (a real indexing bug is O(1e3) off)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=1e-4, atol=0.5)
+    assert np.all(np.asarray(gf)[384:] == 0.0)      # unused source row
+
+
+def test_flat_pytree_roundtrip(support):
+    f = B.as_flat_pallas(support)
+    leaves, treedef = jax.tree_util.tree_flatten(f)
+    f2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert isinstance(f2, B.FlatBlockSparseSupport)
+    assert f2.n_nodes == support.n_nodes
