@@ -76,11 +76,8 @@ def _differential_time(run_steps, n1: int, n2: int) -> float:
 
 
 def bench_train_step(cfg: ModelConfig, batch: int = 64, seq: int = 12,
-                     steps: int = 50, warmup: int = 3,
-                     use_pallas: bool | None = None) -> dict:
+                     steps: int = 50, warmup: int = 3) -> dict:
     """Throughput of the jitted train step for one config."""
-    if use_pallas is not None:
-        cfg = replace(cfg, use_pallas=use_pallas)
     engine = Engine(cfg, TrainConfig(), StandardScaler(54.0, 20.0))
     x, y, supports = _random_inputs(cfg, batch, seq)
     xj, yj = jnp.asarray(x), jnp.asarray(y)
@@ -281,10 +278,10 @@ def bench_sparse_train_step(n_nodes: int = 40960, batch: int = 4,
 
     cfg = _replace(FLAGSHIP, num_nodes=n_nodes, out_dim=seq,
                    dtype="bfloat16", addaptadj=False)
-    block_forms = ("block", "block-pallas", "block-flat")
+    block_forms = ("block", "block-pallas", "block-flat", "block-rect")
     if form in block_forms:
         sub_form = {"block": "block", "block-pallas": "pallas",
-                    "block-flat": "flat"}[form]
+                    "block-flat": "flat", "block-rect": "flat-rect"}[form]
         if graph == "spatial":
             from graph_wavenet_tpu.graphs import ordering as ordering_mod
             from graph_wavenet_tpu.graphs import spatial
@@ -304,6 +301,10 @@ def bench_sparse_train_step(n_nodes: int = 40960, batch: int = 4,
             sup = spatial.doubletransition_block_supports(
                 src, dst, w, n_nodes, perm=perm, form=sub_form)
         else:
+            if sub_form == "flat-rect":
+                raise ValueError(
+                    "block-rect builds from an edge list; use "
+                    "graph='spatial'")
             sup = [block_sparse.random_block_support(
                 n_nodes // 128, blocks_per_row, 128, np.random.default_rng(s))
                 for s in (1, 2)]

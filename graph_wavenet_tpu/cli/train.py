@@ -67,8 +67,6 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="activation compute dtype (params/accum stay fp32)")
-    p.add_argument("--use_pallas", action="store_true",
-                   help="use the fused Pallas kernels (experimental)")
     p.add_argument("--rng_impl", type=str, default="rbg",
                    choices=["rbg", "threefry2x32"],
                    help="dropout PRNG; rbg = TPU hardware RNG (fast)")
@@ -185,7 +183,7 @@ def model_config(args, diff_g: bool):
         n_supports=0 if args.aptonly else 2,
         start_dilation=4 if diff_g else 1,
         fresh_nodevec=args.fresh_nodevec and diff_g,
-        dtype=args.dtype, use_pallas=args.use_pallas)
+        dtype=args.dtype)
 
 
 def main(argv=None) -> dict:

@@ -54,14 +54,14 @@ class ModelConfig:
     # numerics
     dtype: str = "float32"       # activation dtype ("float32" | "bfloat16")
     param_dtype: str = "float32"
-    # kernels: use the fused Pallas TPU kernels (gated TCN + diffusion GCN)
-    # instead of the XLA reference ops; falls back to interpret mode off-TPU.
-    # EXPERIMENTAL and off by default: XLA wins at the reference shapes
-    # (BENCH_NOTES.md), bf16 configs always use XLA (the kernels' layouts
-    # miss Mosaic's bf16 minimum tile), and Mosaic compile times blow up at
-    # flagship row counts. Shared-graph fp32 supports only.
-    use_pallas: bool = False
-    pallas_row_block: int = 32   # rows of B*T per diffusion-kernel program
+    # NB: round-1 shipped experimental fused Pallas kernels for the gated
+    # TCN + dense diffusion GCN behind a `use_pallas` flag. They lost
+    # 3-30x to XLA at every flagship shape and were removed in round 2
+    # (postmortem in BENCH_NOTES.md "Pallas kernel status"); the Pallas
+    # surface is the block-sparse kernel family (`ops/pallas/
+    # block_diffusion.py`), which wins where sparsity exists. Old
+    # checkpoint sidecars carrying the flag load fine (`from_dict`
+    # filters unknown keys).
     # diffusion dataflow: "fused" (per-hop chain, accumulated projection),
     # "stacked" (all hops of a support in one wide matmul over precomputed
     # powers), "concat" (reference-shaped single projection matmul) — see

@@ -63,19 +63,25 @@ def doubletransition_block_supports(src: np.ndarray, dst: np.ndarray,
     in 128x128 block-sparse form straight from the edge list, under node
     ordering ``perm`` (``new = perm[old]``).
 
-    form: "block" (padded XLA), "pallas" (padded Pallas kernels) or
-    "flat" (live-block Pallas kernels — the fastest on skewed real
-    graphs); defaults to "pallas" if ``use_pallas`` else "block".
+    form: "block" (padded XLA), "pallas" (padded Pallas kernels),
+    "flat" (live-block Pallas kernels — fastest square form on skewed
+    real graphs) or "flat-rect" (128x512 rectangular dest blocks — the
+    bandwidth lever; N must divide by 512); defaults to "pallas" if
+    ``use_pallas`` else "block".
     """
     from graph_wavenet_tpu.ops import block_sparse
 
     if form is None:
         form = "pallas" if use_pallas else "block"
-    wrap = {"block": lambda s: s, "pallas": block_sparse.as_pallas,
-            "flat": block_sparse.as_flat_pallas}[form]
     sup = []
     for s, d in ((src, dst), (dst, src)):        # A and A^T transitions
         wt = transition_edge_weights(s, d, w, n)
+        if form == "flat-rect":
+            sup.append(block_sparse.from_edges_flat(s, d, wt, n, 128, 512,
+                                                    perm=perm))
+            continue
+        wrap = {"block": lambda sp: sp, "pallas": block_sparse.as_pallas,
+                "flat": block_sparse.as_flat_pallas}[form]
         sup.append(wrap(block_sparse.from_edges_blocked(s, d, wt, n,
                                                         perm=perm)))
     return sup

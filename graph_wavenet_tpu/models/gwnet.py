@@ -33,7 +33,6 @@ from graph_wavenet_tpu.ops.adaptive import (
     svd_nodevecs,
 )
 from graph_wavenet_tpu.ops.diffusion import (
-    dropout_scale,
     gcn_apply,
     gcn_init,
     support_powers,
@@ -177,57 +176,24 @@ def _wavenet_stack(cfg: ModelConfig, params: Params, state: State,
         assert rng is not None, "training with dropout needs an rng"
         dropout_keys = jax.random.split(rng, len(params["layers"]))
 
-    # fused Pallas kernels: NON-EMPTY shared (N, N) supports and fp32
-    # activations only — batched (B, N, N) diff-G supports and the
-    # identity-only GCN (supports=[]) use the XLA path, and the kernels'
-    # (rows, C) layouts do not satisfy Mosaic's bf16 (16, 128) minimum
-    # tile, so bf16 configs fall back to XLA (which is faster at these
-    # shapes anyway, BENCH_NOTES.md)
-    fused = (cfg.use_pallas and cfg.dtype == "float32"
-             and (not use_gcn or (bool(supports) and all(
-                 getattr(a, "ndim", None) == 2 for a in supports))))
-    if fused:
-        from graph_wavenet_tpu.ops.pallas.diffusion import gcn_rows
-        from graph_wavenet_tpu.ops.pallas.gated_tcn import (
-            fused_gated_tcn,
-            pack_gate_params,
-        )
-
-        interpret = jax.default_backend() != "tpu"
-
     def make_layer_fn(dilation: int):
         """One WaveNet layer as a pure function (remat-able)."""
 
         def layer_fn(layer, bn_state_i, residual, skip, supports_t, stacks_t,
                      dropout_key):
-            if fused:
-                w_gate, b_gate = pack_gate_params(layer["filter"],
-                                                  layer["gate"])
-                x = fused_gated_tcn(residual, w_gate, b_gate, dilation,
-                                    interpret)
-            else:
-                x = gated_tcn_apply(layer["filter"], layer["gate"],
-                                    residual, dilation)
+            x = gated_tcn_apply(layer["filter"], layer["gate"],
+                                residual, dilation)
             s = linear_apply(layer["skip"], x[:, -t_final:])
             # every contribution is pre-cropped to T_final, so the reference's
             # running crop (`model.py:216-222`) collapses to a plain add
             skip = s if skip is None else s + skip
 
             if use_gcn:
-                if fused:
-                    x = gcn_rows(x, list(supports_t), layer["gcn"],
-                                 cfg.diffusion_order,
-                                 row_block=cfg.pallas_row_block,
-                                 interpret=interpret)
-                    if train and cfg.dropout > 0.0:
-                        x = x * dropout_scale(dropout_key, cfg.dropout,
-                                              x.shape, x.dtype)
-                else:
-                    x = gcn_apply(layer["gcn"], x, list(supports_t),
-                                  order=cfg.diffusion_order,
-                                  dropout=cfg.dropout, rng=dropout_key,
-                                  train=train, mode=cfg.resolved_gcn_mode,
-                                  stacks=list(stacks_t) or None)
+                x = gcn_apply(layer["gcn"], x, list(supports_t),
+                              order=cfg.diffusion_order,
+                              dropout=cfg.dropout, rng=dropout_key,
+                              train=train, mode=cfg.resolved_gcn_mode,
+                              stacks=list(stacks_t) or None)
             else:
                 x = linear_apply(layer["residual"], x)
 
@@ -244,7 +210,7 @@ def _wavenet_stack(cfg: ModelConfig, params: Params, state: State,
     # XLA CSE does not merge them across jax.checkpoint boundaries, so
     # hoisting (not per-layer recompute) is load-bearing under remat too
     stacks_t = ()
-    if (use_gcn and not fused and cfg.resolved_gcn_mode == "stacked"
+    if (use_gcn and cfg.resolved_gcn_mode == "stacked"
             and all(getattr(a, "ndim", None) in (2, 3)
                     for a in supports_t)):
         stacks_t = tuple(support_powers(a, cfg.diffusion_order)

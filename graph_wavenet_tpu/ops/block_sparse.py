@@ -382,8 +382,9 @@ class FlatBlockSparseSupport:
 
     @property
     def n_nodes(self) -> int:
-        # row_tbl is sorted and covers every block-row (dummy entries)
-        return (int(self.row_tbl[-1]) + 1) * self.block_size
+        # row_tbl is sorted and covers every DEST block-row (dummy
+        # entries); the dest axis is the blocks' second (rectangular form)
+        return (int(self.row_tbl[-1]) + 1) * self.blocks_flat.shape[2]
 
     @property
     def block_size(self) -> int:
@@ -443,6 +444,77 @@ def as_flat_pallas(sp: BlockSparseSupport) -> FlatBlockSparseSupport:
         as_i32(row_t), as_i32(src_t), as_i32(slot_t), as_i32(inv_slot))
 
 
+def from_edges_flat(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
+                    n_nodes: int, bs_src: int = 128, bs_dst: int = 512,
+                    perm: np.ndarray | None = None
+                    ) -> FlatBlockSparseSupport:
+    """Build the flat form straight from an edge list, with optionally
+    RECTANGULAR blocks (``bs_src`` x ``bs_dst``).
+
+    Wide destination blocks are the city-scale bandwidth lever: the mix
+    kernel reads one (bs_src, R) x tile per live block, so grouping
+    ``bs_dst / bs_src`` destination rows per block amortizes each x read
+    across them (under a locality ordering adjacent dest rows share most
+    sources). The zero fill inside wider blocks costs MXU flops, which are
+    cheap while the kernel is gather-bound (BENCH_NOTES.md round-2 floor
+    accounting).
+
+    Edge (src -> dst, weight): ``A[src, dst] = weight`` (duplicates
+    accumulate), ``out[dst] += weight * x[src]`` — the ``nconv``
+    orientation. ``n_nodes`` must divide by both block sizes (pad the
+    graph first; zero rows are inert). ``perm``: node reordering applied
+    first (``new = perm[old]``).
+    """
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    weight = np.asarray(weight, np.float32)
+    if perm is not None:
+        perm = np.asarray(perm, np.int64)
+        src, dst = perm[src], perm[dst]
+    assert n_nodes % bs_src == 0 and n_nodes % bs_dst == 0, (
+        f"N={n_nodes} must divide by both block sizes ({bs_src}, "
+        f"{bs_dst}); zero-pad the graph first (zero rows are inert)")
+    nbs = n_nodes // bs_src
+    nbd = n_nodes // bs_dst
+    sb, gd = src // bs_src, dst // bs_dst
+    pair = gd * nbs + sb                            # dest-major
+    uniq, inv = np.unique(pair, return_inverse=True)
+    u_gd, u_sb = uniq // nbs, uniq % nbs
+    n_live = len(uniq)
+    blocks_flat = np.zeros((n_live + 1, bs_src, bs_dst), np.float32)
+    np.add.at(blocks_flat, (inv, src % bs_src, dst % bs_dst), weight)
+
+    row, srct, slot = u_gd, u_sb, np.arange(n_live, dtype=np.int64)
+    empty = np.setdiff1d(np.arange(nbd), row)
+    if len(empty):
+        row = np.concatenate([row, empty])
+        srct = np.concatenate([srct, np.zeros(len(empty), np.int64)])
+        slot = np.concatenate([slot,
+                               np.full(len(empty), n_live, np.int64)])
+        order = np.argsort(row, kind="stable")
+        row, srct, slot = row[order], srct[order], slot[order]
+    inv_slot = np.zeros(n_live + 1, np.int64)
+    inv_slot[slot] = np.arange(len(slot), dtype=np.int64)
+    inv_slot[n_live] = len(slot)
+
+    order_t = np.argsort(u_sb, kind="stable")
+    row_t = u_sb[order_t]
+    src_t = u_gd[order_t]
+    slot_t = np.arange(n_live, dtype=np.int64)[order_t]
+    empty_t = np.setdiff1d(np.arange(nbs), row_t)
+    if len(empty_t):
+        row_t = np.concatenate([row_t, empty_t])
+        src_t = np.concatenate([src_t, np.zeros(len(empty_t), np.int64)])
+        slot_t = np.concatenate([slot_t,
+                                 np.full(len(empty_t), n_live, np.int64)])
+        order = np.argsort(row_t, kind="stable")
+        row_t, src_t, slot_t = row_t[order], src_t[order], slot_t[order]
+    as_i32 = lambda a: jnp.asarray(a, jnp.int32)
+    return FlatBlockSparseSupport(
+        jnp.asarray(blocks_flat), as_i32(row), as_i32(srct), as_i32(slot),
+        as_i32(row_t), as_i32(src_t), as_i32(slot_t), as_i32(inv_slot))
+
+
 @jax.custom_vjp
 def _block_mix_flat(x2, blocks_flat, row_tbl, src_tbl, slot_tbl, row_t,
                     src_t, slot_t, inv_slot):
@@ -452,14 +524,15 @@ def _block_mix_flat(x2, blocks_flat, row_tbl, src_tbl, slot_tbl, row_t,
     )
 
     n, r = x2.shape
-    bs = blocks_flat.shape[1]
-    assert _interpret() or bs % 128 == 0, (
-        f"Pallas block-sparse kernels need block_size % 128 == 0 on TPU "
-        f"(got {bs})")
-    nb = n // bs
+    bs_s, bs_d = blocks_flat.shape[1], blocks_flat.shape[2]
+    assert _interpret() or (bs_s % 128 == 0 and bs_d % 128 == 0), (
+        f"Pallas block-sparse kernels need block sizes % 128 == 0 on TPU "
+        f"(got {bs_s}x{bs_d})")
+    assert n % bs_s == 0 and n % bs_d == 0, (
+        f"N={n} must divide by both block sizes ({bs_s}, {bs_d})")
     out = gathered_block_mix_flat(
-        blocks_flat.astype(x2.dtype), slot_tbl, x2.reshape(nb, bs, r),
-        src_tbl, row_tbl, nb=nb, transpose_lhs=True,
+        blocks_flat.astype(x2.dtype), slot_tbl, x2.reshape(n // bs_s, bs_s, r),
+        src_tbl, row_tbl, nb=n // bs_d, transpose_lhs=True,
         interpret=_interpret())
     return out.reshape(n, r)
 
@@ -481,15 +554,14 @@ def _block_mix_flat_bwd(res, gout):
     (x2, blocks_flat, row_tbl, src_tbl, slot_tbl, row_t, src_t,
      slot_t, inv_slot) = res
     n, r = x2.shape
-    bs = blocks_flat.shape[1]
-    nb = n // bs
+    bs_s, bs_d = blocks_flat.shape[1], blocks_flat.shape[2]
     interp = _interpret()
     gout = gout.astype(x2.dtype)
-    gb = gout.reshape(nb, bs, r)
+    gb = gout.reshape(n // bs_d, bs_d, r)
     # dx[v] = sum over live blocks with src == v: block (contract dest j) g
     dxb = gathered_block_mix_flat(
-        blocks_flat.astype(x2.dtype), slot_t, gb, src_t, row_t, nb=nb,
-        transpose_lhs=False, interpret=interp)
+        blocks_flat.astype(x2.dtype), slot_t, gb, src_t, row_t,
+        nb=n // bs_s, transpose_lhs=False, interpret=interp)
     dx2 = dxb.reshape(n, r)
     # per-entry weight cotangents, one row per forward-table entry; each
     # live storage slot appears exactly once, so reassembling storage
@@ -498,10 +570,10 @@ def _block_mix_flat_bwd(res, gout):
     # shared trailing zero block, whose gradient is pinned to zero —
     # inv_slot's sentinel points past dflat into the zero pad row.
     dflat = gathered_block_outer_flat(
-        x2.reshape(nb, bs, r), gb, src_tbl, row_tbl,
+        x2.reshape(n // bs_s, bs_s, r), gb, src_tbl, row_tbl,
         out_dtype=accum_dtype(x2.dtype), interpret=interp)
     dflat_pad = jnp.concatenate(
-        [dflat, jnp.zeros((1, bs, bs), dflat.dtype)])
+        [dflat, jnp.zeros((1, bs_s, bs_d), dflat.dtype)])
     dblocks = jnp.take(dflat_pad, inv_slot, axis=0)
     zero = lambda a: np.zeros(a.shape, jax.dtypes.float0)
     return (dx2, dblocks.astype(blocks_flat.dtype), zero(row_tbl),

@@ -169,9 +169,15 @@ def gathered_block_mix_flat(blocks_flat: jnp.ndarray, slot_tbl: jnp.ndarray,
                             row_tbl: jnp.ndarray, *, nb: int,
                             transpose_lhs: bool,
                             interpret: bool = False) -> jnp.ndarray:
-    """out (nb, BS, R): for each live entry l (row-sorted),
+    """out (nb, BSo, R): for each live entry l (row-sorted),
     ``blocks_flat[slot_tbl[l]] (contract) x_pad[src_tbl[l]]`` accumulated
     into block-row ``row_tbl[l]``.
+
+    Blocks may be RECTANGULAR (BSc, BSo): the contracted axis must match
+    ``x_pad``'s row size, the other becomes the output row size (under
+    ``transpose_lhs`` the first axis contracts; else the second).
+    Rectangular dest blocks amortize each x tile read over BSo
+    destination rows — the bandwidth lever at city scale.
 
     Every block-row in [0, nb) MUST appear at least once in ``row_tbl``
     (callers insert a zero-block dummy for empty rows) or its output tile
@@ -180,7 +186,12 @@ def gathered_block_mix_flat(blocks_flat: jnp.ndarray, slot_tbl: jnp.ndarray,
     assert slot_tbl.ndim == 1 and src_tbl.shape == slot_tbl.shape \
         and row_tbl.shape == slot_tbl.shape, "flat tables must be (L,)"
     n_live = slot_tbl.shape[0]
-    bs = blocks_flat.shape[1]
+    bs_a, bs_b = blocks_flat.shape[1], blocks_flat.shape[2]
+    bs_x = bs_a if transpose_lhs else bs_b      # contracted (x) axis
+    bs_o = bs_b if transpose_lhs else bs_a      # output rows
+    assert x_pad.shape[1] == bs_x, (
+        f"x rows {x_pad.shape[1]} must match the contracted block axis "
+        f"{bs_x}")
     r = x_pad.shape[-1]
     slot_tbl = slot_tbl.astype(jnp.int32)
     src_tbl = src_tbl.astype(jnp.int32)
@@ -197,26 +208,26 @@ def gathered_block_mix_flat(blocks_flat: jnp.ndarray, slot_tbl: jnp.ndarray,
         # j OUTER so same-row steps stay consecutive per output tile
         grid=(rp // rt, n_live),
         in_specs=[
-            pl.BlockSpec((1, bs, bs),
+            pl.BlockSpec((1, bs_a, bs_b),
                          lambda j, l, row, slot, src: (slot[l], 0, 0)),
-            pl.BlockSpec((1, bs, rt),
+            pl.BlockSpec((1, bs_x, rt),
                          lambda j, l, row, slot, src: (src[l], 0, j)),
         ],
-        out_specs=pl.BlockSpec((1, bs, rt),
+        out_specs=pl.BlockSpec((1, bs_o, rt),
                                lambda j, l, row, slot, src: (row[l], 0, j)),
-        scratch_shapes=[pltpu.VMEM((bs, rt), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bs_o, rt), jnp.float32)],
     )
     out = pl.pallas_call(
         functools.partial(_mix_flat_kernel, n_live=n_live,
                           transpose_lhs=transpose_lhs),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, bs, rp), x_pad.dtype),
+        out_shape=jax.ShapeDtypeStruct((nb, bs_o, rp), x_pad.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_live * bs * bs * rp,
-            bytes_accessed=(n_live * (bs * bs + bs * rt)
-                            + nb * bs * rp) * x_pad.dtype.itemsize,
+            flops=2 * n_live * bs_a * bs_b * rp,
+            bytes_accessed=(n_live * (bs_a * bs_b + bs_x * rt)
+                            + nb * bs_o * rp) * x_pad.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
     )(row_tbl, slot_tbl, src_tbl, blocks_flat, x_pad)
@@ -246,11 +257,13 @@ def gathered_block_outer_flat(x_pad: jnp.ndarray, g_blocks: jnp.ndarray,
                               src_tbl: jnp.ndarray, row_tbl: jnp.ndarray,
                               *, out_dtype,
                               interpret: bool = False) -> jnp.ndarray:
-    """dblocks (L, BS, BS): per live entry l, contract the R axis of
-    ``x_pad[src_tbl[l]]`` (BS, R) with ``g_blocks[row_tbl[l]]`` (BS, R) —
-    the flat-layout weight cotangent."""
+    """dblocks (L, BSx, BSg): per live entry l, contract the R axis of
+    ``x_pad[src_tbl[l]]`` (BSx, R) with ``g_blocks[row_tbl[l]]``
+    (BSg, R) — the flat-layout weight cotangent. Rectangular blocks
+    (BSx != BSg) are supported."""
     n_live = src_tbl.shape[0]
-    bs = x_pad.shape[1]
+    bs_x = x_pad.shape[1]
+    bs_g = g_blocks.shape[1]
     r = x_pad.shape[-1]
     src_tbl = src_tbl.astype(jnp.int32)
     row_tbl = row_tbl.astype(jnp.int32)
@@ -265,24 +278,25 @@ def gathered_block_outer_flat(x_pad: jnp.ndarray, g_blocks: jnp.ndarray,
         num_scalar_prefetch=2,
         grid=(n_live, rp // rt),
         in_specs=[
-            pl.BlockSpec((1, bs, rt),
+            pl.BlockSpec((1, bs_x, rt),
                          lambda l, j, row, src: (src[l], 0, j)),
-            pl.BlockSpec((1, bs, rt),
+            pl.BlockSpec((1, bs_g, rt),
                          lambda l, j, row, src: (row[l], 0, j)),
         ],
-        out_specs=pl.BlockSpec((1, bs, bs),
+        out_specs=pl.BlockSpec((1, bs_x, bs_g),
                                lambda l, j, row, src: (l, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((bs, bs), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bs_x, bs_g), jnp.float32)],
     )
     return pl.pallas_call(
         functools.partial(_dblocks_flat_kernel, nj=rp // rt),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_live, bs, bs), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((n_live, bs_x, bs_g), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_live * bs * bs * rp,
-            bytes_accessed=(2 * n_live * bs * rt + n_live * bs * bs
+            flops=2 * n_live * bs_x * bs_g * rp,
+            bytes_accessed=(n_live * (bs_x + bs_g) * rt
+                            + n_live * bs_x * bs_g
                             ) * x_pad.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,

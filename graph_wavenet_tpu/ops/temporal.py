@@ -6,8 +6,9 @@ two (1, kernel_size)-dilated convolutions per layer
 channels-last ``(B, T, N, C)`` activations a (1, k) dilated *valid* conv over
 time is exactly k shifted channel-matmuls — we express it that way so XLA maps
 every tap onto the MXU and fuses the tanh/sigmoid gate epilogue, instead of
-going through general conv lowering. A fused Pallas kernel for the whole gated
-unit lives in ``ops.pallas.gated_tcn``.
+going through general conv lowering. (A fused Pallas kernel for the whole
+gated unit was tried in round 1 and removed: it lost to XLA at every
+flagship shape — postmortem in BENCH_NOTES.md "Pallas kernel status".)
 
 Weight layout: ``w[k, c_in, c_out]`` — tap-major; tap ``k`` multiplies
 ``x[:, t + k*dilation]`` (cross-correlation, torch convention), so
@@ -56,10 +57,9 @@ def causal_conv_apply(params: dict, x: jnp.ndarray,
 
 def pack_gated_conv_params(filter_params: dict, gate_params: dict) -> dict:
     """Concat separate filter/gate conv params into ONE double-width conv
-    (w (k, C, 2F), b (2F,)) — filter channels first, gate second. THE
-    packing convention, shared by the XLA path here and the fused Pallas
-    kernel (``ops.pallas.gated_tcn``); keep it in one place so the two
-    backends cannot drift."""
+    (w (k, C, 2F), b (2F,)) — filter channels first, gate second: the
+    taps' x slices are read once instead of twice and the channel matmul
+    doubles in width."""
     return {
         "w": jnp.concatenate([filter_params["w"], gate_params["w"]],
                              axis=-1),

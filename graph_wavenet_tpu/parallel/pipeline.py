@@ -125,10 +125,6 @@ def pipeline_apply(cfg: ModelConfig, params: Params, state: State,
     assert cfg.blocks % n_stages == 0, (
         f"blocks={cfg.blocks} must divide by n_stages={n_stages} (stages "
         "are whole blocks)")
-    assert not cfg.use_pallas, (
-        "pipeline_apply runs the XLA layer path only — the fused Pallas "
-        "kernels are not wired into the pipelined stage (and lose to XLA "
-        "at these shapes anyway, BENCH_NOTES.md); set use_pallas=False")
     b = x.shape[0]
     assert b % n_micro == 0, (
         f"batch {b} must divide by n_micro={n_micro}")

@@ -168,18 +168,12 @@ def test_pipeline_remat_matches_unrematted(rng):
                                    rtol=1e-6, atol=1e-7)
 
 
-def test_pipeline_rejects_diff_g_and_pallas(rng):
+def test_pipeline_rejects_diff_g(rng):
     mesh = make_pipeline_mesh(2)
     eng_dg = Engine(_cfg(start_dilation=1), TrainConfig(),
                     StandardScaler(0.0, 1.0), diff_g=True)
     with pytest.raises(AssertionError, match="shared-graph"):
         make_pipeline_train_step(eng_dg, mesh, 2)
-    cfg = _cfg(use_pallas=True)
-    eng = Engine(cfg, TrainConfig(), StandardScaler(0.0, 1.0))
-    x, _, supports = _data(rng)
-    with pytest.raises(AssertionError, match="use_pallas"):
-        pipeline_apply(cfg, eng.state.params, eng.state.model_state, x,
-                       supports, mesh=mesh, n_micro=2)
 
 
 def test_pipeline_stacked_mode_with_sparse_supports(rng):
