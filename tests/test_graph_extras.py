@@ -184,3 +184,84 @@ def test_rcm_handles_disconnected_graph():
     dst = np.array([1, 2, 5, 6])
     perm = ordering.rcm_order_edges(src, dst, 8)
     assert sorted(perm.tolist()) == list(range(8))
+
+
+# ---------------------------------------------------------------------------
+# Hilbert ordering + spatial graph builders (round 2)
+# ---------------------------------------------------------------------------
+
+
+def test_hilbert_order_is_valid_permutation(rng):
+    pos = rng.random((300, 2))
+    perm = ordering.hilbert_order_points(pos)
+    assert sorted(perm.tolist()) == list(range(300))
+
+
+def test_hilbert_reduces_block_count_on_spatial_graph(rng):
+    n = 1024
+    pos = rng.random((n, 2))
+    from graph_wavenet_tpu.graphs import spatial
+
+    src, dst, _w = spatial.knn_graph_edges(pos, 6)
+    ident = ordering.block_locality_stats(src, dst, n, block_size=64)
+    perm = ordering.hilbert_order_points(pos)
+    hil = ordering.block_locality_stats(src, dst, n, perm, block_size=64)
+    assert hil["n_blocks"] < ident["n_blocks"] * 0.55, (ident, hil)
+
+
+def test_hilbert_locality_nearby_points_nearby_ids(rng):
+    # points inside one tiny cell land in a contiguous id range
+    pos = rng.random((256, 2))
+    pos[:8] = 0.5 + pos[:8] * 1e-4           # cluster
+    perm = ordering.hilbert_order_points(pos)
+    ids = np.sort(perm[:8])
+    assert ids[-1] - ids[0] == 7, ids        # consecutive
+    assert sorted(perm.tolist()) == list(range(256))
+
+
+def test_best_block_ordering_picks_fewest_blocks(rng):
+    n = 512
+    pos = rng.random((n, 2))
+    from graph_wavenet_tpu.graphs import spatial
+
+    src, dst, _w = spatial.knn_graph_edges(pos, 5)
+    perm, name, stats = ordering.best_block_ordering(src, dst, n, pos=pos,
+                                                     block_size=64)
+    assert name in ("rcm", "hilbert")
+    for cand in (ordering.rcm_order_edges(src, dst, n),
+                 ordering.hilbert_order_points(pos)):
+        other = ordering.block_locality_stats(src, dst, n, cand,
+                                              block_size=64)
+        assert stats["n_blocks"] <= other["n_blocks"]
+
+
+def test_spatial_transition_weights_row_normalized(rng):
+    from graph_wavenet_tpu.graphs import spatial
+
+    n = 40
+    src, dst, w = spatial.random_spatial_graph(n, 4, rng)
+    wt = spatial.transition_edge_weights(src, dst, w, n)
+    sums = np.bincount(src, weights=wt, minlength=n)
+    has_out = np.bincount(src, minlength=n) > 0
+    np.testing.assert_allclose(sums[has_out], 1.0, atol=1e-6)
+    assert np.all(sums[~has_out] == 0.0)
+
+
+def test_spatial_doubletransition_matches_mod_adj(rng):
+    """The edge-list doubletransition pair == dense mod_adj('doubletransition')
+    on the same adjacency (reference util.py:178-194)."""
+    from graph_wavenet_tpu.graphs import spatial
+    from graph_wavenet_tpu.graphs.normalize import mod_adj
+
+    n = 64
+    src, dst, w = spatial.random_spatial_graph(n, 4, rng)
+    dense = np.zeros((n, n), np.float32)
+    np.add.at(dense, (src, dst), w)
+    ref = mod_adj(dense, "doubletransition")
+    sup = spatial.doubletransition_block_supports(src, dst, w, n,
+                                                  form="block")
+    for got, want in zip(sup, ref):
+        dense = got.to_dense()          # zero-padded up to the block size
+        np.testing.assert_allclose(dense[:n, :n], np.asarray(want),
+                                   atol=1e-5)
+        assert np.all(dense[n:] == 0) and np.all(dense[:, n:] == 0)
