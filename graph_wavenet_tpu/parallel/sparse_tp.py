@@ -1,0 +1,249 @@
+"""Node-dimension tensor parallelism for BLOCK-SPARSE diffusion supports.
+
+Dense node-TP (``parallel.mesh.support_sharding``) is pure GSPMD: shard
+the (N, N) support's rows and let the compiler insert the collectives.
+That cannot work for the flat block-sparse supports — their hops are
+Pallas kernels with data-dependent index maps the partitioner cannot see
+through — so city-scale graphs (the workload block-sparse exists for,
+BENCH_NOTES.md) were single-chip. This module is the ``shard_map``
+counterpart, same design as ``parallel.halo`` for time-SP:
+
+- every shard on the ``model`` axis owns a contiguous range of
+  DESTINATION block-rows (contiguous is what the RCM/Hilbert orderings
+  in ``graphs.ordering`` optimize for) and the live blocks targeting
+  them;
+- forward: ``all_gather`` the node-sharded activations over ICI (the
+  same collective GSPMD inserts for dense row-sharded supports), then
+  run the LOCAL flat kernel (``ops.pallas.block_diffusion.
+  gathered_block_mix_flat``) — output is born node-sharded;
+- backward dx: the same pattern over a SOURCE-partitioned copy of the
+  blocks with the transposed tables (scatter-free, like single-chip);
+- backward dblocks: computed for the dest-partitioned copy from the
+  gathered activations (exact); the source-partitioned copy is a
+  derived view and receives zeros — to TRAIN sparse supports under
+  node-TP, re-derive it from the updated dest copy between steps
+  (fixed graph supports, the city-scale norm, need nothing).
+
+Per-shard tables are stacked with a leading shard axis and padded to the
+max per-shard length with dummy zero-block entries (they contribute
+nothing — same trick as the single-chip flat form's empty-row dummies).
+
+Sharded supports are duck-typed like every other support: they carry
+``mix_2d`` and drop into ``ops.diffusion.gcn_apply``'s all-sparse fast
+path unchanged, so the whole mesh-aware train step works by passing
+``shard_flat_support(flat, mesh)`` instead of ``flat``.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from graph_wavenet_tpu.ops.block_sparse import (
+    FlatBlockSparseSupport,
+    _interpret,
+)
+from graph_wavenet_tpu.parallel.mesh import MODEL
+
+
+def _extract_live(flat: FlatBlockSparseSupport):
+    """(row, src, blocks) of the live entries, storage order."""
+    row = np.asarray(flat.row_tbl, np.int64)
+    src = np.asarray(flat.src_tbl, np.int64)
+    slot = np.asarray(flat.slot_tbl, np.int64)
+    blocks = np.asarray(flat.blocks_flat)
+    n_live = blocks.shape[0] - 1
+    live = slot < n_live
+    order = np.argsort(slot[live], kind="stable")
+    return (row[live][order], src[live][order], blocks[:n_live])
+
+
+def _partition(row, src, blocks, n_shards: int, nb_local: int, bs_a: int,
+               bs_b: int):
+    """Partition live entries by ``row // nb_local``; localize rows; pad
+    every shard to the same (max) table length with zero-block dummies and
+    guarantee every local row appears. Returns stacked arrays with a
+    leading shard axis."""
+    per_rows, per_srcs, per_slots, per_blocks = [], [], [], []
+    max_live = 0
+    shards = []
+    for s in range(n_shards):
+        sel = (row // nb_local) == s
+        r = row[sel] - s * nb_local
+        sc = src[sel]
+        b = blocks[sel]
+        # local dummy coverage for empty local dest rows
+        empty = np.setdiff1d(np.arange(nb_local), r)
+        n_live = len(r)
+        rr = np.concatenate([r, empty])
+        ss = np.concatenate([sc, np.zeros(len(empty), np.int64)])
+        sl = np.concatenate([np.arange(n_live, dtype=np.int64),
+                             np.full(len(empty), -1, np.int64)])  # -1 = zero
+        order = np.argsort(rr, kind="stable")
+        shards.append((rr[order], ss[order], sl[order], b, n_live))
+        max_live = max(max_live, n_live)
+    max_tbl = max(len(s[0]) for s in shards)
+    for rr, ss, sl, b, n_live in shards:
+        pad_t = max_tbl - len(rr)
+        # pad tables with dummies on the LAST local row (rows stay sorted)
+        rr = np.concatenate([rr, np.full(pad_t, nb_local - 1, np.int64)])
+        ss = np.concatenate([ss, np.zeros(pad_t, np.int64)])
+        sl = np.concatenate([sl, np.full(pad_t, -1, np.int64)])
+        sl = np.where(sl < 0, max_live, sl)       # sentinel -> zero block
+        order = np.argsort(rr, kind="stable")
+        per_rows.append(rr[order])
+        per_srcs.append(ss[order])
+        per_slots.append(sl[order])
+        bpad = np.zeros((max_live + 1, bs_a, bs_b), np.float32)
+        bpad[:b.shape[0]] = b
+        per_blocks.append(bpad)
+    as_i32 = lambda a: jnp.asarray(np.stack(a), jnp.int32)
+    return (jnp.asarray(np.stack(per_blocks)), as_i32(per_rows),
+            as_i32(per_srcs), as_i32(per_slots))
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class ShardedFlatSupport:
+    """Node-TP flat block-sparse support (see module docstring).
+
+    All table/block fields carry a leading shard axis (sharded over the
+    ``model`` mesh axis inside ``mix_2d``'s shard_map)."""
+
+    blocks_f: jnp.ndarray   # (S, Lf+1, BS, BS) dest-partitioned
+    row_f: jnp.ndarray      # (S, Ltf) LOCAL dest block-row, sorted
+    src_f: jnp.ndarray      # (S, Ltf) GLOBAL source x block-row
+    slot_f: jnp.ndarray     # (S, Ltf)
+    blocks_b: jnp.ndarray   # (S, Lb+1, BS, BS) source-partitioned (dx)
+    row_b: jnp.ndarray      # (S, Ltb) LOCAL x block-row, sorted
+    src_b: jnp.ndarray      # (S, Ltb) GLOBAL dest block-row
+    slot_b: jnp.ndarray     # (S, Ltb)
+    mesh: Mesh = field(metadata=dict(static=True))
+    axis: str = field(metadata=dict(static=True))
+
+    @property
+    def block_size(self) -> int:
+        return self.blocks_f.shape[2]
+
+    @property
+    def n_nodes(self) -> int:
+        # S shards x local dest rows x block size (square supports)
+        s = self.blocks_f.shape[0]
+        nb_local = int(self.row_f[0][-1]) + 1
+        return s * nb_local * self.block_size
+
+    def mix_2d(self, x2: jnp.ndarray) -> jnp.ndarray:
+        return _sharded_mix(self.mesh, self.axis, x2, self.blocks_f,
+                            self.row_f, self.src_f, self.slot_f,
+                            self.blocks_b, self.row_b, self.src_b,
+                            self.slot_b)
+
+
+def shard_flat_support(flat: FlatBlockSparseSupport, mesh: Mesh,
+                       axis: str = MODEL) -> ShardedFlatSupport:
+    """Partition a flat block-sparse support over ``mesh``'s ``axis``
+    (host-side). N's block-rows must divide evenly by the axis size."""
+    n_shards = mesh.shape[axis]
+    bs_a, bs_b = flat.blocks_flat.shape[1], flat.blocks_flat.shape[2]
+    assert bs_a == bs_b, (
+        "node-TP sharding currently supports square blocks (the "
+        "rectangular form's dest grouping would need lcm-aligned ranges)")
+    row, src, blocks = _extract_live(flat)
+    nb = int(np.asarray(flat.row_tbl)[-1]) + 1
+    assert nb % n_shards == 0, (
+        f"{nb} block-rows must divide by the {axis} axis size {n_shards}")
+    nb_local = nb // n_shards
+    blocks_f, row_f, src_f, slot_f = _partition(
+        row, src, blocks, n_shards, nb_local, bs_a, bs_b)
+    # source partition for dx: same entries keyed by src, contract dest
+    blocks_b, row_b, src_b, slot_b = _partition(
+        src, row, blocks, n_shards, nb_local, bs_a, bs_b)
+    return ShardedFlatSupport(blocks_f, row_f, src_f, slot_f,
+                              blocks_b, row_b, src_b, slot_b,
+                              mesh=mesh, axis=axis)
+
+
+def _local_mix(blocks, row, src, slot, x_full, nb_local: int,
+               transpose_lhs: bool):
+    from graph_wavenet_tpu.ops.pallas.block_diffusion import (
+        gathered_block_mix_flat,
+    )
+
+    return gathered_block_mix_flat(
+        blocks.astype(x_full.dtype), slot, x_full, src, row, nb=nb_local,
+        transpose_lhs=transpose_lhs, interpret=_interpret())
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _sharded_mix(mesh, axis, x2, blocks_f, row_f, src_f, slot_f,
+                 blocks_b, row_b, src_b, slot_b):
+    """(N, R) -> (N, R), N sharded over ``axis``; see module docstring.
+
+    Sparse support WEIGHTS get zero cotangents here (fixed-graph supports
+    are the city-scale norm; the trainable adaptive adjacency is dense
+    and goes through GSPMD). Do not put a ShardedFlatSupport on the
+    parameter path.
+    """
+    bs = blocks_f.shape[3]
+    n, r = x2.shape
+    nb_local = n // bs // mesh.shape[axis]
+    spec_t = P(axis)        # per-shard tables/blocks by leading axis
+
+    def fwd(x_local, bf, rf, sf, lf):
+        x_full = jax.lax.all_gather(x_local, axis, axis=0, tiled=True)
+        xb = x_full.reshape(-1, bs, r)
+        out = _local_mix(bf[0], rf[0], sf[0], lf[0], xb,
+                         nb_local=nb_local, transpose_lhs=True)
+        return out.reshape(-1, r)
+
+    # check_vma off: the Pallas calls inside don't declare varying-axis
+    # info; correctness is pinned by the exactness tests instead
+    return jax.shard_map(
+        fwd, mesh=mesh,
+        in_specs=(P(axis, None), spec_t, spec_t, spec_t, spec_t),
+        out_specs=P(axis, None),
+        check_vma=False)(x2, blocks_f, row_f, src_f, slot_f)
+
+
+def _sharded_mix_fwd(mesh, axis, x2, blocks_f, row_f, src_f, slot_f,
+                     blocks_b, row_b, src_b, slot_b):
+    out = _sharded_mix(mesh, axis, x2, blocks_f, row_f, src_f, slot_f,
+                       blocks_b, row_b, src_b, slot_b)
+    return out, (x2, blocks_f, row_f, src_f, slot_f, blocks_b, row_b,
+                 src_b, slot_b)
+
+
+def _sharded_mix_bwd(mesh, axis, res, gout):
+    (x2, blocks_f, row_f, src_f, slot_f, blocks_b, row_b, src_b,
+     slot_b) = res
+    bs = blocks_f.shape[3]
+    n, r = x2.shape
+    nb_local = n // bs // mesh.shape[axis]
+    spec_t = P(axis)
+    gout = gout.astype(x2.dtype)
+
+    def bwd(g_local, bb, rb, sb, lb):
+        # dx over the SOURCE partition: contract the blocks' dest axis
+        g_full = jax.lax.all_gather(g_local, axis, axis=0, tiled=True)
+        gb = g_full.reshape(-1, bs, r)
+        dx = _local_mix(bb[0], rb[0], sb[0], lb[0], gb, nb_local=nb_local,
+                        transpose_lhs=False)
+        return dx.reshape(-1, r)
+
+    dx = jax.shard_map(
+        bwd, mesh=mesh,
+        in_specs=(P(axis, None), spec_t, spec_t, spec_t, spec_t),
+        out_specs=P(axis, None),
+        check_vma=False)(gout, blocks_b, row_b, src_b, slot_b)
+    zi = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (dx.astype(x2.dtype), jnp.zeros_like(blocks_f), zi(row_f),
+            zi(src_f), zi(slot_f), jnp.zeros_like(blocks_b), zi(row_b),
+            zi(src_b), zi(slot_b))
+
+
+_sharded_mix.defvjp(_sharded_mix_fwd, _sharded_mix_bwd)

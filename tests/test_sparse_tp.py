@@ -1,0 +1,125 @@
+"""Node-TP for block-sparse supports (parallel/sparse_tp.py).
+
+Exactness target: the single-chip flat form (itself pinned against the
+dense path in test_pallas_block_sparse.py). Runs on the virtual 8-device
+CPU mesh (conftest) with the kernels in interpret mode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graph_wavenet_tpu.config import MeshConfig
+from graph_wavenet_tpu.ops import block_sparse as B
+from graph_wavenet_tpu.parallel.mesh import MODEL, make_mesh
+from graph_wavenet_tpu.parallel.sparse_tp import (
+    ShardedFlatSupport,
+    shard_flat_support,
+)
+
+
+@pytest.fixture
+def mesh():
+    return make_mesh(MeshConfig(model_axis=4))
+
+
+@pytest.fixture
+def flat(rng):
+    # 8 block-rows of 64 across 4 model shards; skewed + one empty row
+    n = 8 * 64
+    a = np.zeros((n, n), np.float32)
+    a[:64, :64] = rng.random((64, 64))
+    a[:320, 64:128] = rng.random((320, 64))      # col-block 1: 5 sources
+    # col-block 2 empty; source row 7 unused
+    a[:64, 192:256] = rng.random((64, 64))
+    a[384:448, 256:448] = rng.random((64, 192))  # cross-shard sources
+    return B.as_flat_pallas(B.from_dense(a, block_size=64))
+
+
+def test_sharded_mix_matches_flat(rng, mesh, flat):
+    sh = shard_flat_support(flat, mesh)
+    n = flat.n_nodes
+    x2 = jnp.asarray(rng.normal(size=(n, 32)).astype(np.float32))
+    ref = flat.mix_2d(x2)
+    out = sh.mix_2d(x2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_mix_dx_matches_flat(rng, mesh, flat):
+    sh = shard_flat_support(flat, mesh)
+    n = flat.n_nodes
+    x2 = jnp.asarray(rng.normal(size=(n, 32)).astype(np.float32))
+    gr = jax.grad(lambda v: jnp.sum(jnp.sin(flat.mix_2d(v))))(x2)
+    gs = jax.grad(lambda v: jnp.sum(jnp.sin(sh.mix_2d(v))))(x2)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gr),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_mix_under_jit_with_sharded_input(rng, mesh, flat):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = shard_flat_support(flat, mesh)
+    n = flat.n_nodes
+    x2 = jax.device_put(
+        jnp.asarray(rng.normal(size=(n, 32)).astype(np.float32)),
+        NamedSharding(mesh, P(MODEL, None)))
+    out = jax.jit(sh.mix_2d)(x2)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(flat.mix_2d(x2)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_gcn_apply_matches_dense(rng, mesh, flat):
+    """Full gcn block through the all-sparse fast path with node-TP
+    supports == the single-chip flat supports."""
+    from graph_wavenet_tpu.ops.diffusion import gcn_apply, gcn_init
+
+    n = flat.n_nodes
+    sh = shard_flat_support(flat, mesh)
+    params = gcn_init(jax.random.key(0), 4, 8, n_supports=1, order=2)
+    x = jnp.asarray(rng.normal(size=(2, 3, n, 4)).astype(np.float32))
+    ref = gcn_apply(params, x, [flat], order=2)
+    out = gcn_apply(params, x, [sh], order=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_model_train_step(rng, mesh, flat):
+    """One full train step (DP x node-TP mesh) with sharded sparse
+    supports: loss matches the single-device step on the same data."""
+    from graph_wavenet_tpu.config import ModelConfig, TrainConfig
+    from graph_wavenet_tpu.data.scaler import StandardScaler
+    from graph_wavenet_tpu.train.engine import Engine
+
+    n = flat.n_nodes
+    cfg = ModelConfig(num_nodes=n, in_dim=1, out_dim=4,
+                      residual_channels=4, dilation_channels=4,
+                      skip_channels=8, end_channels=8, blocks=1, layers=2,
+                      gcn_bool=True, addaptadj=False, n_supports=1,
+                      dropout=0.0)
+    engine = Engine(cfg, TrainConfig(), StandardScaler(0.0, 1.0), seed=0)
+    x = jnp.asarray(rng.normal(size=(4, 4, n, 1)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(4, 4, n, 1)).astype(np.float32) + 5.0)
+    _, m_ref = engine.train_step(engine.state, x, y, [flat])
+    engine2 = Engine(cfg, TrainConfig(), StandardScaler(0.0, 1.0), seed=0)
+    sh = shard_flat_support(flat, mesh)
+    _, m_sh = engine2.train_step(engine2.state, x, y, [sh])
+    np.testing.assert_allclose(float(m_sh["loss"]), float(m_ref["loss"]),
+                               rtol=1e-5)
+
+
+def test_shard_flat_support_requires_divisible_rows(mesh, flat):
+    mesh3 = make_mesh(MeshConfig(model_axis=8))
+    with pytest.raises(AssertionError, match="divide"):
+        shard_flat_support(B.as_flat_pallas(
+            B.random_block_support(6, 2, 64)), mesh3)
+
+
+def test_sharded_support_pytree_roundtrip(mesh, flat):
+    sh = shard_flat_support(flat, mesh)
+    leaves, treedef = jax.tree_util.tree_flatten(sh)
+    sh2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert isinstance(sh2, ShardedFlatSupport)
+    assert sh2.mesh is sh.mesh
