@@ -20,15 +20,20 @@ from graph_wavenet_tpu.benchmarks import bench_sparse_train_step  # noqa: E402
 
 def main() -> None:
     cases = [
-        dict(n_nodes=5120, form="block-flat", graph="spatial",
-             ordering="best"),
-        dict(n_nodes=40960, form="block-flat", graph="spatial",
-             ordering="rcm"),
+        # the production configuration first (flat live-block + best
+        # ordering), then the A/B axes: padded-vs-flat, rcm-vs-hilbert,
+        # rect, and the round-1 random-block baseline
         dict(n_nodes=40960, form="block-flat", graph="spatial",
              ordering="best"),
         dict(n_nodes=40960, form="block-pallas", graph="spatial",
              ordering="best"),
+        dict(n_nodes=40960, form="block-flat", graph="spatial",
+             ordering="rcm"),
+        dict(n_nodes=40960, form="block-rect", graph="spatial",
+             ordering="best"),
         dict(n_nodes=40960, form="block-flat", graph="random"),
+        dict(n_nodes=5120, form="block-flat", graph="spatial",
+             ordering="best"),
     ]
     for case in cases:
         r = bench_sparse_train_step(**case)
