@@ -367,8 +367,9 @@ def run_all(batch: int = 64, steps: int = 30,
             continue  # config 5 runs via bench_sharded_train_step
         out[name] = bench_train_step(replace(cfg, dtype=dtype), batch=batch,
                                      steps=steps)
-    out["syn-40k-block-sparse"] = bench_sparse_train_step(
-        steps=max(steps // 3, 6), form="block-pallas")
+    out["city-40k-block-flat"] = bench_sparse_train_step(
+        steps=max(steps // 3, 6), form="block-flat", graph="spatial",
+        ordering="best")
     return out
 
 
