@@ -76,12 +76,17 @@ def doubletransition_block_supports(src: np.ndarray, dst: np.ndarray,
     sup = []
     for s, d in ((src, dst), (dst, src)):        # A and A^T transitions
         wt = transition_edge_weights(s, d, w, n)
-        if form == "flat-rect":
+        if form == "flat":
+            # build the live-block form directly — the padded
+            # intermediate costs ~25x the host build time at 82k nodes
+            sup.append(block_sparse.from_edges_flat(s, d, wt, n, 128, 128,
+                                                    perm=perm))
+        elif form == "flat-rect":
             sup.append(block_sparse.from_edges_flat(s, d, wt, n, 128, 512,
                                                     perm=perm))
-            continue
-        wrap = {"block": lambda sp: sp, "pallas": block_sparse.as_pallas,
-                "flat": block_sparse.as_flat_pallas}[form]
-        sup.append(wrap(block_sparse.from_edges_blocked(s, d, wt, n,
-                                                        perm=perm)))
+        else:
+            wrap = {"block": lambda sp: sp,
+                    "pallas": block_sparse.as_pallas}[form]
+            sup.append(wrap(block_sparse.from_edges_blocked(s, d, wt, n,
+                                                            perm=perm)))
     return sup

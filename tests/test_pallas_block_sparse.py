@@ -280,3 +280,23 @@ def test_rect_flat_matches_dense(rng):
     live_sq = to_dense_grad_sq(np.ones_like(np.asarray(gsq))) != 0
     np.testing.assert_allclose(drect[live_sq], dsq[live_sq],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_from_edges_flat_square_matches_padded_route(rng):
+    """Direct square from_edges_flat == as_flat_pallas(from_edges_blocked)
+    on the same edges (the spatial builder's fast path)."""
+    n = 512
+    src = rng.integers(0, n, 1500)
+    dst = rng.integers(0, n, 1500)
+    w = rng.normal(size=1500).astype(np.float32)
+    via_padded = B.as_flat_pallas(
+        B.from_edges_blocked(src, dst, w, n, block_size=128))
+    direct = B.from_edges_flat(src, dst, w, n, 128, 128)
+    x2 = jnp.asarray(rng.normal(size=(n, 64)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(direct.mix_2d(x2)),
+                               np.asarray(via_padded.mix_2d(x2)),
+                               rtol=1e-5, atol=1e-5)
+    gr = jax.grad(lambda v: jnp.sum(via_padded.mix_2d(v) ** 2))(x2)
+    gd = jax.grad(lambda v: jnp.sum(direct.mix_2d(v) ** 2))(x2)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gr),
+                               rtol=1e-4, atol=1e-4)
