@@ -333,3 +333,49 @@ def test_time_sp_crash_scale_long_k(rng):
         lambda p, q: np.testing.assert_allclose(
             np.asarray(p), np.asarray(q), atol=2e-5),
         jax.device_get(s1.params), jax.device_get(s2.params))
+
+
+def test_syn_accum_under_time_sp_mesh_matches_single_device(rng):
+    """Gradient accumulation composes with DP x time-SP on the
+    modality-supervised path: the accumulated step under the sharded mesh
+    equals the single-device accumulated step (r2; the accuracy-
+    neutrality of accum itself is measured in garage/bn_accum_ab.py)."""
+    K, B = 48, 4                              # rf = 1 + 4*4*(2^2-1) = 49
+    cfg = ModelConfig(num_nodes=N, in_dim=1, out_dim=K,
+                      residual_channels=4, dilation_channels=4,
+                      skip_channels=8, end_channels=16, blocks=4,
+                      layers=2, start_dilation=4, dropout=0.0,
+                      gcn_bool=True, addaptadj=False, n_supports=1)
+    assert cfg.receptive_field == K + 1
+    tcfg = TrainConfig(learning_rate=1e-3)
+    x = rng.normal(size=(B, K, N, 1)).astype(np.float32)
+    y = (rng.normal(size=(B, K, N, 2)) + 3.0).astype(np.float32)
+    ba = rng.random((B, N, N)).astype(np.float32)
+    ba = ba / ba.sum(-1, keepdims=True)
+    labels = rng.integers(0, 4, size=(B, N))
+    from graph_wavenet_tpu.train.engine import cluster_mean_projector
+    proj_np = np.stack([cluster_mean_projector(l, 4) for l in labels])
+    F_t = 4
+
+    e1 = Engine(cfg, tcfg, StandardScaler(0.0, 1.0), diff_g=True)
+    s1, m1 = e1.train_step_syn_accum(
+        e1.state, jnp.asarray(x), jnp.asarray(y), [jnp.asarray(ba)],
+        jnp.asarray(proj_np), F_t, 2)
+
+    mcfg = MeshConfig(model_axis=1, time_axis=2, data_axis=4,
+                      shard_time=True)
+    mesh = M.make_mesh(mcfg)
+    e2 = Engine(cfg, tcfg, StandardScaler(0.0, 1.0), diff_g=True)
+    state = M.shard_state(mesh, e2.state)
+    xb, yb = M.shard_batch(mesh, mcfg, x, y)
+    bsh = M.support_sharding(mesh, mcfg, batched=True)
+    s2, m2 = e2.train_step_syn_accum(
+        state, xb, yb, [jax.device_put(jnp.asarray(ba), bsh)],
+        jax.device_put(jnp.asarray(proj_np), bsh), F_t, 2)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda p, q: np.testing.assert_allclose(
+            np.asarray(p), np.asarray(q), atol=2e-5),
+        jax.device_get(s1.params), jax.device_get(s2.params))
