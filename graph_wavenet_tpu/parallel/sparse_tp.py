@@ -77,22 +77,26 @@ def _partition(row, src, blocks, n_shards: int, nb_local: int, bs_a: int,
         r = row[sel] - s * nb_local
         sc = src[sel]
         b = blocks[sel]
-        # local dummy coverage for empty local dest rows
+        # local dummy coverage for empty local dest rows; dummy sources
+        # point at the shard's OWN first row (the zero block makes the
+        # value irrelevant, and halo mode needs in-range sources)
         empty = np.setdiff1d(np.arange(nb_local), r)
         n_live = len(r)
         rr = np.concatenate([r, empty])
-        ss = np.concatenate([sc, np.zeros(len(empty), np.int64)])
+        ss = np.concatenate([sc, np.full(len(empty), s * nb_local,
+                                         np.int64)])
         sl = np.concatenate([np.arange(n_live, dtype=np.int64),
                              np.full(len(empty), -1, np.int64)])  # -1 = zero
         order = np.argsort(rr, kind="stable")
         shards.append((rr[order], ss[order], sl[order], b, n_live))
         max_live = max(max_live, n_live)
     max_tbl = max(len(s[0]) for s in shards)
-    for rr, ss, sl, b, n_live in shards:
+    for shard_id, (rr, ss, sl, b, n_live) in enumerate(shards):
         pad_t = max_tbl - len(rr)
         # pad tables with dummies on the LAST local row (rows stay sorted)
         rr = np.concatenate([rr, np.full(pad_t, nb_local - 1, np.int64)])
-        ss = np.concatenate([ss, np.zeros(pad_t, np.int64)])
+        ss = np.concatenate([ss, np.full(pad_t, shard_id * nb_local,
+                                         np.int64)])
         sl = np.concatenate([sl, np.full(pad_t, -1, np.int64)])
         sl = np.where(sl < 0, max_live, sl)       # sentinel -> zero block
         order = np.argsort(rr, kind="stable")
@@ -125,6 +129,11 @@ class ShardedFlatSupport:
     slot_b: jnp.ndarray     # (S, Ltb)
     mesh: Mesh = field(metadata=dict(static=True))
     axis: str = field(metadata=dict(static=True))
+    # halo mode: sources fit in {s-1, s, s+1} for every shard (what the
+    # RCM/Hilbert orderings produce) -> two neighbor ppermutes replace the
+    # all_gather, cutting per-hop ICI traffic ~S/3-fold. When True the
+    # src tables are pre-remapped into the [prev | own | next] concat.
+    halo: bool = field(metadata=dict(static=True))
 
     @property
     def block_size(self) -> int:
@@ -138,16 +147,38 @@ class ShardedFlatSupport:
         return s * nb_local * self.block_size
 
     def mix_2d(self, x2: jnp.ndarray) -> jnp.ndarray:
-        return _sharded_mix(self.mesh, self.axis, x2, self.blocks_f,
-                            self.row_f, self.src_f, self.slot_f,
-                            self.blocks_b, self.row_b, self.src_b,
-                            self.slot_b)
+        return _sharded_mix(self.mesh, self.axis, self.halo, x2,
+                            self.blocks_f, self.row_f, self.src_f,
+                            self.slot_f, self.blocks_b, self.row_b,
+                            self.src_b, self.slot_b)
+
+
+def _halo_eligible(src_stacked: jnp.ndarray, nb_local: int) -> bool:
+    """True iff every shard's sources lie in shards {s-1, s, s+1}
+    (no wrap) — the band structure RCM/Hilbert orderings produce."""
+    src = np.asarray(src_stacked, np.int64) // nb_local   # (S, Lt) shards
+    s_idx = np.arange(src.shape[0])[:, None]
+    return bool(np.all(np.abs(src - s_idx) <= 1))
+
+
+def _remap_halo(src_stacked: jnp.ndarray, nb_local: int) -> jnp.ndarray:
+    """Global block-row ids -> indices into each shard's
+    [prev | own | next] 3*nb_local concat: src - (s-1)*nb_local."""
+    src = np.asarray(src_stacked, np.int64)
+    s_idx = np.arange(src.shape[0])[:, None]
+    return jnp.asarray(src - (s_idx - 1) * nb_local, jnp.int32)
 
 
 def shard_flat_support(flat: FlatBlockSparseSupport, mesh: Mesh,
-                       axis: str = MODEL) -> ShardedFlatSupport:
+                       axis: str = MODEL,
+                       halo: bool | str = "auto") -> ShardedFlatSupport:
     """Partition a flat block-sparse support over ``mesh``'s ``axis``
-    (host-side). N's block-rows must divide evenly by the axis size."""
+    (host-side). N's block-rows must divide evenly by the axis size.
+
+    halo: "auto" (default) switches to the neighbor-ppermute exchange
+    when every shard's sources fit in the adjacent shards (see the class
+    docstring); True forces it (build-time assert), False forces the
+    all_gather form."""
     n_shards = mesh.shape[axis]
     bs_a, bs_b = flat.blocks_flat.shape[1], flat.blocks_flat.shape[2]
     assert bs_a == bs_b, (
@@ -163,9 +194,20 @@ def shard_flat_support(flat: FlatBlockSparseSupport, mesh: Mesh,
     # source partition for dx: same entries keyed by src, contract dest
     blocks_b, row_b, src_b, slot_b = _partition(
         src, row, blocks, n_shards, nb_local, bs_a, bs_b)
+    eligible = (n_shards >= 2 and _halo_eligible(src_f, nb_local)
+                and _halo_eligible(src_b, nb_local))
+    if halo is True and not eligible:
+        raise ValueError(
+            "halo=True but some shard draws sources beyond its adjacent "
+            "shards; reorder the graph (graphs.ordering rcm/hilbert) or "
+            "use halo=False")
+    use_halo = eligible if halo == "auto" else bool(halo)
+    if use_halo:
+        src_f = _remap_halo(src_f, nb_local)
+        src_b = _remap_halo(src_b, nb_local)
     return ShardedFlatSupport(blocks_f, row_f, src_f, slot_f,
                               blocks_b, row_b, src_b, slot_b,
-                              mesh=mesh, axis=axis)
+                              mesh=mesh, axis=axis, halo=use_halo)
 
 
 def _local_mix(blocks, row, src, slot, x_full, nb_local: int,
@@ -179,8 +221,23 @@ def _local_mix(blocks, row, src, slot, x_full, nb_local: int,
         transpose_lhs=transpose_lhs, interpret=_interpret())
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _sharded_mix(mesh, axis, x2, blocks_f, row_f, src_f, slot_f,
+def _gathered(x_local, axis: str, halo: bool):
+    """Inside shard_map: the rows visible to this shard's kernel —
+    either the full all_gather or the [prev | own | next] halo concat
+    (two neighbor ppermutes; wrap slots exist but remapped tables never
+    reference out-of-band rows)."""
+    if not halo:
+        return jax.lax.all_gather(x_local, axis, axis=0, tiled=True)
+    s = jax.lax.axis_size(axis)
+    prev = jax.lax.ppermute(
+        x_local, axis, perm=[(i, (i + 1) % s) for i in range(s)])
+    nxt = jax.lax.ppermute(
+        x_local, axis, perm=[(i, (i - 1) % s) for i in range(s)])
+    return jnp.concatenate([prev, x_local, nxt], axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _sharded_mix(mesh, axis, halo, x2, blocks_f, row_f, src_f, slot_f,
                  blocks_b, row_b, src_b, slot_b):
     """(N, R) -> (N, R), N sharded over ``axis``; see module docstring.
 
@@ -195,8 +252,7 @@ def _sharded_mix(mesh, axis, x2, blocks_f, row_f, src_f, slot_f,
     spec_t = P(axis)        # per-shard tables/blocks by leading axis
 
     def fwd(x_local, bf, rf, sf, lf):
-        x_full = jax.lax.all_gather(x_local, axis, axis=0, tiled=True)
-        xb = x_full.reshape(-1, bs, r)
+        xb = _gathered(x_local, axis, halo).reshape(-1, bs, r)
         out = _local_mix(bf[0], rf[0], sf[0], lf[0], xb,
                          nb_local=nb_local, transpose_lhs=True)
         return out.reshape(-1, r)
@@ -210,15 +266,15 @@ def _sharded_mix(mesh, axis, x2, blocks_f, row_f, src_f, slot_f,
         check_vma=False)(x2, blocks_f, row_f, src_f, slot_f)
 
 
-def _sharded_mix_fwd(mesh, axis, x2, blocks_f, row_f, src_f, slot_f,
-                     blocks_b, row_b, src_b, slot_b):
-    out = _sharded_mix(mesh, axis, x2, blocks_f, row_f, src_f, slot_f,
-                       blocks_b, row_b, src_b, slot_b)
+def _sharded_mix_fwd(mesh, axis, halo, x2, blocks_f, row_f, src_f,
+                     slot_f, blocks_b, row_b, src_b, slot_b):
+    out = _sharded_mix(mesh, axis, halo, x2, blocks_f, row_f, src_f,
+                       slot_f, blocks_b, row_b, src_b, slot_b)
     return out, (x2, blocks_f, row_f, src_f, slot_f, blocks_b, row_b,
                  src_b, slot_b)
 
 
-def _sharded_mix_bwd(mesh, axis, res, gout):
+def _sharded_mix_bwd(mesh, axis, halo, res, gout):
     (x2, blocks_f, row_f, src_f, slot_f, blocks_b, row_b, src_b,
      slot_b) = res
     bs = blocks_f.shape[3]
@@ -229,8 +285,7 @@ def _sharded_mix_bwd(mesh, axis, res, gout):
 
     def bwd(g_local, bb, rb, sb, lb):
         # dx over the SOURCE partition: contract the blocks' dest axis
-        g_full = jax.lax.all_gather(g_local, axis, axis=0, tiled=True)
-        gb = g_full.reshape(-1, bs, r)
+        gb = _gathered(g_local, axis, halo).reshape(-1, bs, r)
         dx = _local_mix(bb[0], rb[0], sb[0], lb[0], gb, nb_local=nb_local,
                         transpose_lhs=False)
         return dx.reshape(-1, r)

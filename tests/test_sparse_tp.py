@@ -123,3 +123,51 @@ def test_sharded_support_pytree_roundtrip(mesh, flat):
     sh2 = jax.tree_util.tree_unflatten(treedef, leaves)
     assert isinstance(sh2, ShardedFlatSupport)
     assert sh2.mesh is sh.mesh
+
+
+def _banded_flat(rng, n_blocks=8, bs=64):
+    """Tri-diagonal block support: every shard's sources lie in adjacent
+    shards under any contiguous partition (the halo-eligible structure
+    RCM/Hilbert produce)."""
+    n = n_blocks * bs
+    a = np.zeros((n, n), np.float32)
+    for i in range(n_blocks):
+        for j in (i - 1, i, i + 1):
+            if 0 <= j < n_blocks:
+                a[j * bs:(j + 1) * bs, i * bs:(i + 1) * bs] = \
+                    rng.random((bs, bs))
+    return B.as_flat_pallas(B.from_dense(a, block_size=bs))
+
+
+def test_halo_mode_auto_selected_and_exact(rng, mesh):
+    flat = _banded_flat(rng)
+    sh = shard_flat_support(flat, mesh)          # halo="auto"
+    assert sh.halo, "banded support should auto-select halo mode"
+    n = flat.n_nodes
+    x2 = jnp.asarray(rng.normal(size=(n, 32)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(sh.mix_2d(x2)),
+                               np.asarray(flat.mix_2d(x2)),
+                               rtol=1e-5, atol=1e-5)
+    gr = jax.grad(lambda v: jnp.sum(jnp.sin(flat.mix_2d(v))))(x2)
+    gs = jax.grad(lambda v: jnp.sum(jnp.sin(sh.mix_2d(v))))(x2)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gr),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_halo_mode_matches_all_gather_mode(rng, mesh):
+    flat = _banded_flat(rng)
+    n = flat.n_nodes
+    x2 = jnp.asarray(rng.normal(size=(n, 32)).astype(np.float32))
+    h = shard_flat_support(flat, mesh, halo=True)
+    g = shard_flat_support(flat, mesh, halo=False)
+    np.testing.assert_allclose(np.asarray(h.mix_2d(x2)),
+                               np.asarray(g.mix_2d(x2)),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_halo_rejected_for_long_range_support(rng, mesh, flat):
+    # the shared fixture has a source 5 shards away from its dest range
+    sh = shard_flat_support(flat, mesh)          # auto
+    assert not sh.halo
+    with pytest.raises(ValueError, match="adjacent"):
+        shard_flat_support(flat, mesh, halo=True)
