@@ -72,11 +72,65 @@ def main(port: int, pid: int, nprocs: int, out_path: str) -> None:
         gy = multihost.global_batch(local_y, bs)
         state, m = engine.train_step(state, gx, gy, sup)
 
+    # --- sparse node-TP across the process boundary --------------------
+    # banded block-sparse support sharded over a cross-process model axis
+    # (halo auto-selects); one train step must agree across processes and
+    # with the single-process value the test computes.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from graph_wavenet_tpu.ops import block_sparse
+    from graph_wavenet_tpu.parallel.sparse_tp import shard_flat_support
+
+    sx, sy, sp = sparse_tp_case()
+    mcfg2 = MeshConfig(model_axis=2, shard_nodes=True)
+    mesh2 = M.make_mesh(mcfg2)
+    ssup = shard_flat_support(block_sparse.as_flat_pallas(sp), mesh2)
+    assert ssup.halo, "banded support should run the halo exchange"
+    # every process holds the same host copy; place each field with its
+    # leading shard axis over the (cross-process) model axis
+    ssup = jax.tree_util.tree_map(
+        lambda a: jax.device_put(np.asarray(a), NamedSharding(
+            mesh2, P(M.MODEL, *[None] * (a.ndim - 1)))), ssup)
+    scfg = ModelConfig(num_nodes=sx.shape[2], in_dim=1, out_dim=4,
+                       residual_channels=4, dilation_channels=4,
+                       skip_channels=8, end_channels=8, blocks=1,
+                       layers=2, dropout=0.0, gcn_bool=True,
+                       addaptadj=False, n_supports=1)
+    seng = Engine(scfg, tc, StandardScaler(0.0, 1.0), seed=0)
+    sstate = multihost.replicate_pytree(seng.state, mesh2)
+    rows = sx.shape[0] // nprocs
+    bs2 = M.batch_sharding(mesh2, mcfg2)
+    gx = multihost.global_batch(sx[pid * rows:(pid + 1) * rows], bs2)
+    gy = multihost.global_batch(sy[pid * rows:(pid + 1) * rows], bs2)
+    _, sm = seng.train_step(sstate, gx, gy, [ssup])
+
     # params are replicated -> every process holds full copies locally
     leaves = jax.tree_util.tree_leaves(jax.device_get(state.params))
     np.savez(out_path, *[np.asarray(l) for l in leaves],
-             loss=np.float64(m["loss"]))
+             loss=np.float64(m["loss"]),
+             sparse_loss=np.float64(sm["loss"]))
     print(f"worker {pid} done", flush=True)
+
+
+def sparse_tp_case():
+    """Deterministic banded sparse-TP fixture shared by the worker and the
+    single-process reference in test_multiprocess.py."""
+    n_sp, bsz = 128, 32
+    nb = n_sp // bsz
+    band = np.zeros((n_sp, n_sp), np.float32)
+    rb = np.random.default_rng(2)
+    for i in range(nb):
+        for j in (i - 1, i, i + 1):
+            if 0 <= j < nb:
+                band[j * bsz:(j + 1) * bsz, i * bsz:(i + 1) * bsz] = \
+                    rb.random((bsz, bsz)) / (3 * bsz)
+    from graph_wavenet_tpu.ops import block_sparse
+
+    sp = block_sparse.from_dense(band, block_size=bsz)
+    r2 = np.random.default_rng(3)
+    sx = r2.normal(size=(4, 4, n_sp, 1)).astype(np.float32)
+    sy = (r2.normal(size=(4, 4, n_sp, 1)) + 5).astype(np.float32)
+    return sx, sy, sp
 
 
 if __name__ == "__main__":

@@ -90,9 +90,28 @@ def test_two_process_dp_matches_single_process(tmp_path):
         state, m = engine.train_step(state, jnp.asarray(x), jnp.asarray(y),
                                      sup)
     leaves = jax.tree_util.tree_leaves(jax.device_get(state.params))
-    dist_leaves = [a[k] for k in a.files if k != "loss"]
+    dist_leaves = [a[k] for k in a.files
+                   if k not in ("loss", "sparse_loss")]
     assert len(leaves) == len(dist_leaves)
     for ours, theirs in zip(leaves, dist_leaves):
         np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-5)
     np.testing.assert_allclose(float(m["loss"]), float(a["loss"]),
+                               rtol=1e-4)
+
+    # sparse node-TP across the process boundary (halo exchange): the
+    # workers' cross-process step must match a plain single-process step
+    # on the unsharded flat support
+    from _multihost_worker import sparse_tp_case
+    from graph_wavenet_tpu.ops import block_sparse
+
+    sx, sy, sp = sparse_tp_case()
+    scfg = ModelConfig(num_nodes=sx.shape[2], in_dim=1, out_dim=4,
+                       residual_channels=4, dilation_channels=4,
+                       skip_channels=8, end_channels=8, blocks=1,
+                       layers=2, dropout=0.0, gcn_bool=True,
+                       addaptadj=False, n_supports=1)
+    seng = Engine(scfg, tc, StandardScaler(0.0, 1.0), seed=0)
+    _, sm = seng.train_step(seng.state, jnp.asarray(sx), jnp.asarray(sy),
+                            [block_sparse.as_flat_pallas(sp)])
+    np.testing.assert_allclose(float(sm["loss"]), float(a["sparse_loss"]),
                                rtol=1e-4)
