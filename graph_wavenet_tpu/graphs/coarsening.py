@@ -5,8 +5,16 @@ Parity surface: the pooling-support functions of
 ``coarsen`` (Graclus/metis-style heavy-edge matching), ``computePerm``,
 ``permAdjacency`` (fake-node padding so pooling is a 1-D stride-2 op), and
 ``permCoarsening`` for data vectors. Unused by the training path in the
-reference (SURVEY.md §2.5) but part of the library surface; implemented
-independently from the published algorithm.
+reference (SURVEY.md §2.5) but part of the library surface.
+
+Provenance: the coarsening/matching/permutation functions are re-derived
+from the published Graclus/Defferrard algorithm descriptions. The
+``spline_basis`` Cox-de Boor recursion follows the standard textbook
+recursion as implemented in mdeff/cnn_graph (MIT license) — the same
+origin the reference credits for its ``splineBasis``
+(`graphTools.py:1137-1180`, "taken verbatim from mdeff/cnn_graph");
+the open-knot-vector construction and the endpoint fix here differ (see
+the in-function comment).
 
 All host-side numpy.
 """

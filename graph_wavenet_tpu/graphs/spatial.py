@@ -21,15 +21,30 @@ def knn_graph_edges(pos: np.ndarray, k: int
     """Directed k-NN edges ``(src, dst, weight)`` on point coordinates
     ``pos (N, d)`` with Gaussian kernel weights ``exp(-d^2 / sigma^2)``,
     sigma = the std of all k-NN distances (the DCRNN kernel-bandwidth
-    convention). kd-tree; no O(N^2) distance matrix."""
+    convention). kd-tree; no O(N^2) distance matrix.
+
+    The self match is filtered by INDEX, not by assuming it lands in
+    column 0: with coincident points (duplicate sensor coordinates) the
+    kd-tree may return the self point in any zero-distance column, and a
+    positional drop would keep a self-loop while dropping a true
+    neighbor (ADVICE r2). Rows whose k+1 nearest are all coincident keep
+    k neighbors by dropping the LAST tied column instead. sigma is
+    guarded against degenerate all-equidistant inputs."""
     from scipy.spatial import cKDTree
 
     n = pos.shape[0]
-    d, nbr = cKDTree(pos).query(pos, k=k + 1)     # col 0 = self
+    d, nbr = cKDTree(pos).query(pos, k=k + 1)
+    # drop the self match per row wherever it landed; if self is absent
+    # (> k coincident duplicates) drop the last column (a tied duplicate)
+    self_col = np.argmax(nbr == np.arange(n)[:, None], axis=1)
+    self_col = np.where((nbr == np.arange(n)[:, None]).any(axis=1),
+                        self_col, k)
+    keep = np.ones((n, k + 1), bool)
+    keep[np.arange(n), self_col] = False
     src = np.repeat(np.arange(n), k)
-    dst = nbr[:, 1:].reshape(-1)
-    dist = d[:, 1:].reshape(-1)
-    sigma = dist.std()
+    dst = nbr[keep].reshape(-1)
+    dist = d[keep].reshape(-1)
+    sigma = max(float(dist.std()), 1e-12)
     w = np.exp(-(dist ** 2) / (sigma ** 2)).astype(np.float32)
     return src, dst, w
 
