@@ -74,6 +74,11 @@ def main():
                          "per block-row (incl. the diagonal block)")
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--addaptadj", action="store_true",
+                    help="train the block-masked adaptive adjacency on "
+                         "the supports' union pattern — the FULL "
+                         "reference model (learned graph included) at "
+                         "city scale (ops/adaptive_block.py)")
     args = ap.parse_args()
 
     import jax
@@ -127,11 +132,19 @@ def main():
     scaler = StandardScaler(float(series.mean()), float(series.std()))
     std = scaler.transform(series)
 
+    if args.addaptadj:
+        from graph_wavenet_tpu.ops.adaptive_block import mask_from_supports
+
+        mask = mask_from_supports(sup)
+        print(f"adaptive mask: {mask.n_live} live blocks "
+              f"(union of supports + diagonal)", flush=True)
+        sup = list(sup) + [mask]
+
     K, H = 12, 12
     cfg = ModelConfig(num_nodes=n, in_dim=2, out_dim=H,
                       residual_channels=32, dilation_channels=32,
                       skip_channels=256, end_channels=512, blocks=4,
-                      layers=2, gcn_bool=True, addaptadj=False,
+                      layers=2, gcn_bool=True, addaptadj=args.addaptadj,
                       n_supports=2, dtype="bfloat16")
     engine = Engine(cfg, TrainConfig(learning_rate=3e-3), scaler)
 

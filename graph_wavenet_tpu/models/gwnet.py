@@ -32,6 +32,7 @@ from graph_wavenet_tpu.ops.adaptive import (
     random_nodevecs,
     svd_nodevecs,
 )
+from graph_wavenet_tpu.ops.adaptive_block import BlockAdaptiveMask
 from graph_wavenet_tpu.ops.diffusion import (
     gcn_apply,
     gcn_init,
@@ -139,6 +140,13 @@ def apply_gwnet(cfg: ModelConfig, params: Params, state: State,
 
     new_supports = supports
     use_adapt = cfg.gcn_bool and cfg.addaptadj and supports is not None
+    masks = [s for s in (supports or [])
+             if isinstance(s, BlockAdaptiveMask)]
+    if masks and not use_adapt:
+        raise ValueError(
+            "supports contain a BlockAdaptiveMask but the adaptive "
+            "adjacency is off (gcn_bool and addaptadj must both be set "
+            "to materialize it)")
     if use_adapt:
         if cfg.fresh_nodevec:
             # the quirk flag belongs to the diff-G variant only
@@ -148,8 +156,31 @@ def apply_gwnet(cfg: ModelConfig, params: Params, state: State,
                 "fresh_nodevec=True reproduces the diff-G per-forward "
                 "random embeddings (apply_gwnet_diff_g); the shared-graph "
                 "model has no such mode — unset fresh_nodevec")
-        adp = adaptive_adjacency(params["nodevec1"], params["nodevec2"])
-        new_supports = list(supports) + [adp]
+        fixed = [s for s in supports
+                 if not isinstance(s, BlockAdaptiveMask)]
+        if masks:
+            # block-masked adaptive adjacency: materialize a flat
+            # block-sparse support on the mask's live pattern — the full
+            # reference model (learned graph included) at city scale,
+            # where the dense (N, N) adp cannot exist
+            adp = masks[0].materialize(params["nodevec1"],
+                                       params["nodevec2"])
+        else:
+            if (any(hasattr(s, "mix_2d") for s in fixed)
+                    and cfg.num_nodes >= 16384):
+                # mixing sparse fixed supports with the dense adp is fine
+                # at small N (the reference semantics); at city scale the
+                # O(N^2) materialization (>= 1 GB fp32) is always a
+                # mistake — demand the masked form instead
+                raise ValueError(
+                    "addaptadj with sparse fixed supports at "
+                    f"num_nodes={cfg.num_nodes} needs a BlockAdaptiveMask "
+                    "in the supports list (ops.adaptive_block."
+                    "mask_from_supports(fixed)); the dense adaptive "
+                    "adjacency would materialize O(N^2)")
+            adp = adaptive_adjacency(params["nodevec1"],
+                                     params["nodevec2"])
+        new_supports = fixed + [adp]
 
     return _wavenet_stack(cfg, params, state, x, new_supports,
                           use_gcn=cfg.gcn_bool and supports is not None,
