@@ -32,7 +32,6 @@ from graph_wavenet_tpu.ops.adaptive import (
     random_nodevecs,
     svd_nodevecs,
 )
-from graph_wavenet_tpu.ops.adaptive_block import BlockAdaptiveMask
 from graph_wavenet_tpu.ops.diffusion import (
     gcn_apply,
     gcn_init,
@@ -140,8 +139,10 @@ def apply_gwnet(cfg: ModelConfig, params: Params, state: State,
 
     new_supports = supports
     use_adapt = cfg.gcn_bool and cfg.addaptadj and supports is not None
+    # duck-typed mask detection (BlockAdaptiveMask and its node-TP
+    # counterpart ShardedBlockAdaptiveMask both carry the marker)
     masks = [s for s in (supports or [])
-             if isinstance(s, BlockAdaptiveMask)]
+             if getattr(s, "adaptive_mask", False)]
     if masks and not use_adapt:
         raise ValueError(
             "supports contain a BlockAdaptiveMask but the adaptive "
@@ -157,7 +158,7 @@ def apply_gwnet(cfg: ModelConfig, params: Params, state: State,
                 "random embeddings (apply_gwnet_diff_g); the shared-graph "
                 "model has no such mode — unset fresh_nodevec")
         fixed = [s for s in supports
-                 if not isinstance(s, BlockAdaptiveMask)]
+                 if not getattr(s, "adaptive_mask", False)]
         if masks:
             # block-masked adaptive adjacency: materialize a flat
             # block-sparse support on the mask's live pattern — the full

@@ -62,6 +62,10 @@ class BlockAdaptiveMask:
     without ``addaptadj`` is an error the model raises on.
     """
 
+    # duck-type marker checked by models.gwnet (also set on the node-TP
+    # counterpart, parallel.sparse_tp.ShardedBlockAdaptiveMask)
+    adaptive_mask = True
+
     # FlatBlockSparseSupport tables for the materialized support
     row_tbl: jnp.ndarray
     src_tbl: jnp.ndarray

@@ -171,3 +171,127 @@ def test_halo_rejected_for_long_range_support(rng, mesh, flat):
     assert not sh.halo
     with pytest.raises(ValueError, match="adjacent"):
         shard_flat_support(flat, mesh, halo=True)
+
+
+# ---------------------------------------------------------------------------
+# Trainable sharded supports (VERDICT r2 #5): exact weight gradients
+# ---------------------------------------------------------------------------
+
+
+def test_trainable_sharded_mix_matches_flat(rng, mesh, flat):
+    sh = shard_flat_support(flat, mesh, trainable=True)
+    n = flat.n_nodes
+    # global storage preserves the single-chip slot order
+    np.testing.assert_array_equal(np.asarray(sh.blocks),
+                                  np.asarray(flat.blocks_flat))
+    x2 = jnp.asarray(rng.normal(size=(n, 32)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(sh.mix_2d(x2)),
+                               np.asarray(flat.mix_2d(x2)),
+                               rtol=1e-5, atol=1e-5)
+    gr = jax.grad(lambda v: jnp.sum(jnp.sin(flat.mix_2d(v))))(x2)
+    gs = jax.grad(lambda v: jnp.sum(jnp.sin(sh.mix_2d(v))))(x2)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gr),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("halo", [False, "auto"])
+def test_trainable_dblocks_match_single_chip(rng, mesh, halo):
+    """The global blocks gradient under node-TP equals the single-chip
+    flat form's exact dblocks (both halo and all_gather modes)."""
+    import dataclasses
+
+    flat = _banded_flat(rng)
+    sh = shard_flat_support(flat, mesh, halo=halo, trainable=True)
+    if halo == "auto":
+        assert sh.halo
+    n = flat.n_nodes
+    x2 = jnp.asarray(rng.normal(size=(n, 24)).astype(np.float32))
+
+    def loss_single(blocks_flat):
+        sp = dataclasses.replace(flat, blocks_flat=blocks_flat)
+        return jnp.sum(jnp.sin(sp.mix_2d(x2)))
+
+    def loss_sharded(blocks):
+        sp = dataclasses.replace(sh, blocks=blocks)
+        return jnp.sum(jnp.sin(sp.mix_2d(x2)))
+
+    g_single = jax.grad(loss_single)(flat.blocks_flat)
+    g_sharded = jax.grad(loss_sharded)(sh.blocks)
+    np.testing.assert_allclose(np.asarray(g_sharded),
+                               np.asarray(g_single),
+                               rtol=1e-4, atol=1e-5)
+    # the trailing zero block's gradient is pinned to zero in both
+    assert np.abs(np.asarray(g_sharded[-1])).max() == 0
+    assert np.abs(np.asarray(g_single[-1])).max() == 0
+    assert np.abs(np.asarray(g_sharded[:-1])).max() > 0
+
+
+def test_trainable_sharded_sgd_matches_single_chip(rng, mesh):
+    """Three SGD steps updating the support weights under node-TP equal
+    the single-chip trainable-support steps exactly (the VERDICT r2 #5
+    acceptance)."""
+    import dataclasses
+
+    flat = _banded_flat(rng)
+    sh = shard_flat_support(flat, mesh, trainable=True)
+    n = flat.n_nodes
+    x2 = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+
+    def step(blocks, mix):
+        def loss(b):
+            return jnp.mean((mix(b) - y) ** 2)
+        l, g = jax.value_and_grad(loss)(blocks)
+        return blocks - 0.1 * g, l
+
+    b_single = flat.blocks_flat
+    b_shard = sh.blocks
+    for _ in range(3):
+        b_single, l1 = step(
+            b_single,
+            lambda b: dataclasses.replace(flat, blocks_flat=b).mix_2d(x2))
+        b_shard, l2 = step(
+            b_shard,
+            lambda b: dataclasses.replace(sh, blocks=b).mix_2d(x2))
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(b_shard), np.asarray(b_single),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_adaptive_mask_matches_single_chip(rng, mesh):
+    """Block-masked adaptive adjacency under node-TP: forward and
+    nodevec gradients equal the single-chip masked path."""
+    from graph_wavenet_tpu.ops import adaptive_block
+    from graph_wavenet_tpu.parallel.sparse_tp import shard_adaptive_mask
+
+    bs, nb = 64, 8
+    n = bs * nb
+    # banded mask (halo-eligible under 4 shards)
+    d, s = [], []
+    for i in range(nb):
+        for j in (i - 1, i, i + 1):
+            if 0 <= j < nb:
+                d.append(i)
+                s.append(j)
+    mask = adaptive_block.mask_from_pairs(np.array(d), np.array(s), bs, nb)
+    smask = shard_adaptive_mask(mask, mesh)
+    assert smask.template.halo, "banded mask should auto-select halo"
+
+    nv1 = jnp.asarray(rng.normal(size=(n, 6)).astype(np.float32))
+    nv2 = jnp.asarray(rng.normal(size=(6, n)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+
+    def loss_single(nv1, nv2):
+        return jnp.sum(jnp.sin(mask.materialize(nv1, nv2).mix_2d(x2)))
+
+    def loss_sharded(nv1, nv2):
+        return jnp.sum(jnp.sin(smask.materialize(nv1, nv2).mix_2d(x2)))
+
+    np.testing.assert_allclose(float(loss_sharded(nv1, nv2)),
+                               float(loss_single(nv1, nv2)), rtol=1e-5)
+    g1 = jax.grad(loss_single, argnums=(0, 1))(nv1, nv2)
+    g2 = jax.grad(loss_sharded, argnums=(0, 1))(nv1, nv2)
+    for a, b in zip(g2, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+        assert np.abs(np.asarray(a)).max() > 0
