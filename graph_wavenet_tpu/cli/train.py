@@ -29,6 +29,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adjdata", type=str,
                    default="data/sensor_graph/adj_mx.pkl")
     p.add_argument("--adjtype", type=str, default="doubletransition")
+    p.add_argument("--graph_npz", type=str, default=None,
+                   help="city-scale graph: an edge-list .npz (src, dst, "
+                        "weight[, pos, n_nodes] — graphs.city) replacing "
+                        "--adjdata; builds ordered block-sparse "
+                        "doubletransition supports, permutes+pads the "
+                        "data's node axis to match, and records the node "
+                        "layout + graph fingerprint in every checkpoint "
+                        "sidecar (gwt-test maps predictions back)")
+    p.add_argument("--ordering", type=str, default="best",
+                   choices=("best", "rcm", "hilbert", "identity"),
+                   help="node ordering for --graph_npz (best = fewest "
+                        "live blocks among RCM/Hilbert)")
+    p.add_argument("--sparse", type=str, default="auto",
+                   choices=("auto", "flat", "block", "pallas"),
+                   help="block-sparse support form for --graph_npz "
+                        "(auto = flat live-block Pallas kernels on TPU, "
+                        "padded XLA blocks elsewhere)")
+    p.add_argument("--block_size", type=int, default=128,
+                   help="node block size for --graph_npz supports (TPU "
+                        "Pallas kernels need multiples of 128)")
     p.add_argument("--gcn_bool", action="store_true")
     p.add_argument("--aptonly", action="store_true")
     p.add_argument("--addaptadj", action="store_true")
@@ -353,6 +373,8 @@ def _run(args) -> dict:
                                 resume_from=args.resume)
         runner.test_syn(data, supports, G, F_t, data["n_communities"],
                         result)
+    elif args.graph_npz:
+        result = _run_city(args, train_cfg, mesh, mesh_cfg)
     else:
         from graph_wavenet_tpu.data.metr import load_dataset
         from graph_wavenet_tpu.graphs.normalize import load_adj
@@ -396,6 +418,70 @@ def _run(args) -> dict:
 
     print(f"Total time spent: {time.time() - t1:.4f}")
     return {"result": result}
+
+
+def _run_city(args, train_cfg, mesh, mesh_cfg):
+    """--graph_npz branch: ordered block-sparse supports from an
+    edge-list graph, data permuted+padded into model node space, node
+    layout persisted in every checkpoint sidecar (VERDICT r2 #2)."""
+    import dataclasses
+
+    from graph_wavenet_tpu.data.metr import load_dataset
+    from graph_wavenet_tpu.graphs import city
+    from graph_wavenet_tpu.train.engine import Engine
+    from graph_wavenet_tpu.train.runner import Runner
+
+    g = city.load_graph_npz(args.graph_npz)
+    supports, mask, layout = city.build_city_supports(
+        g["src"], g["dst"], g["weight"], g["n_nodes"], pos=g["pos"],
+        ordering=args.ordering, form=args.sparse,
+        block_size=args.block_size, addaptadj=args.addaptadj)
+    print(f"graph: {g['n_nodes']} nodes (+{layout['n_pad'] - g['n_nodes']}"
+          f" pad), ordering={layout['ordering']}, form={layout['form']}, "
+          f"{layout['n_blocks']} live blocks "
+          f"({layout['blocks_per_row_mean']:.1f} mean / "
+          f"{layout['blocks_per_row_max']} max per row)", flush=True)
+
+    data = load_dataset(args.data, args.batch_size, seed=args.seed,
+                        resident=args.resident, node_layout=layout)
+    horizon = int(data["y_train"].shape[1])
+    if args.seq_length != horizon:
+        raise SystemExit(
+            f"--seq_length {args.seq_length} does not match the dataset's "
+            f"target horizon {horizon}; pass --seq_length {horizon}")
+    if not args.gcn_bool:
+        raise SystemExit("--graph_npz builds graph supports; pass "
+                         "--gcn_bool (a temporal-only model has no use "
+                         "for the graph)")
+    cfg = dataclasses.replace(model_config(args, diff_g=False),
+                              num_nodes=layout["n_pad"])
+    sup_list = [] if args.aptonly else list(supports)
+    if args.addaptadj:
+        if mesh is not None and mesh_cfg.shard_nodes:
+            from graph_wavenet_tpu.parallel.sparse_tp import \
+                shard_adaptive_mask
+
+            mask = shard_adaptive_mask(mask, mesh)
+        sup_list = sup_list + [mask]
+    if mesh is not None and mesh_cfg.shard_nodes and not args.aptonly:
+        from graph_wavenet_tpu.ops.block_sparse import FlatBlockSparseSupport
+        from graph_wavenet_tpu.parallel.sparse_tp import shard_flat_support
+
+        if not all(isinstance(s, FlatBlockSparseSupport)
+                   for s in supports):
+            raise SystemExit(
+                "--mesh_model > 1 with --graph_npz needs --sparse flat "
+                "(node-TP shards the flat live-block form)")
+        sup_list = ([shard_flat_support(s, mesh) for s in supports]
+                    + sup_list[len(supports):])
+
+    engine = Engine(cfg, train_cfg, data["scaler"],
+                    steps_per_epoch=data["train_loader"].num_batch)
+    runner = Runner(engine, train_cfg, mesh=mesh, mesh_cfg=mesh_cfg,
+                    extra_meta={"graph_layout": layout})
+    result = runner.fit(data, sup_list, resume_from=args.resume)
+    runner.test(data, sup_list, result)
+    return result
 
 
 def cli() -> None:

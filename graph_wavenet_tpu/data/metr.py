@@ -30,11 +30,17 @@ def load_dataset(dataset_dir: str, batch_size: int,
                  valid_batch_size: int | None = None,
                  test_batch_size: int | None = None,
                  seed: int = 0, resident: str = "host",
-                 scaler: StandardScaler | None = None) -> dict:
+                 scaler: StandardScaler | None = None,
+                 node_layout: dict | None = None) -> dict:
     """``scaler``: standardize feature 0 with THIS scaler instead of fitting
     one on this directory's x_train — evaluation of a checkpoint must use
     the training-time statistics (cli/test.py passes the sidecar scaler), or
-    inputs and the inverse transform silently disagree."""
+    inputs and the inverse transform silently disagree.
+
+    ``node_layout``: city-scale node layout (``graphs.city``) — the node
+    axis of every split is permuted into model order and zero-padded to
+    the block multiple AFTER the scaler fit (pad zeros must not bias the
+    statistics) and before the loaders are built."""
     valid_batch_size = valid_batch_size or batch_size
     test_batch_size = test_batch_size or batch_size
     rng = np.random.default_rng(seed)
@@ -46,6 +52,10 @@ def load_dataset(dataset_dir: str, batch_size: int,
     if scaler is None:
         scaler = StandardScaler.fit(data["x_train"][..., 0])
     apply_feature0_scaling(data, scaler)
+    if node_layout is not None:
+        from graph_wavenet_tpu.graphs.city import apply_layout_to_data
+
+        apply_layout_to_data(data, node_layout)
     cls = loader_cls(resident)
     data["train_loader"] = cls(data["x_train"], data["y_train"],
                                batch_size, rng=rng)

@@ -72,7 +72,8 @@ def doubletransition_block_supports(src: np.ndarray, dst: np.ndarray,
                                     w: np.ndarray, n: int,
                                     perm: np.ndarray | None = None,
                                     use_pallas: bool = False,
-                                    form: str | None = None) -> list:
+                                    form: str | None = None,
+                                    block_size: int = 128) -> list:
     """The canonical doubletransition support pair (``mod_adj``,
     reference ``util.py:187-188``: ``[asym_adj(A), asym_adj(A^T)]``) built
     in 128x128 block-sparse form straight from the edge list, under node
@@ -94,14 +95,14 @@ def doubletransition_block_supports(src: np.ndarray, dst: np.ndarray,
         if form == "flat":
             # build the live-block form directly — the padded
             # intermediate costs ~25x the host build time at 82k nodes
-            sup.append(block_sparse.from_edges_flat(s, d, wt, n, 128, 128,
-                                                    perm=perm))
+            sup.append(block_sparse.from_edges_flat(
+                s, d, wt, n, block_size, block_size, perm=perm))
         elif form == "flat-rect":
-            sup.append(block_sparse.from_edges_flat(s, d, wt, n, 128, 512,
-                                                    perm=perm))
+            sup.append(block_sparse.from_edges_flat(
+                s, d, wt, n, block_size, 4 * block_size, perm=perm))
         else:
             wrap = {"block": lambda sp: sp,
                     "pallas": block_sparse.as_pallas}[form]
-            sup.append(wrap(block_sparse.from_edges_blocked(s, d, wt, n,
-                                                            perm=perm)))
+            sup.append(wrap(block_sparse.from_edges_blocked(
+                s, d, wt, n, block_size=block_size, perm=perm)))
     return sup

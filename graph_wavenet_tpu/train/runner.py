@@ -35,9 +35,11 @@ from graph_wavenet_tpu.train.metrics import metric
 
 def _as_support(s):
     """Device-coerce a support: dense arrays via jnp.asarray; ELL /
-    block-sparse support objects (duck-typed by mix_2d) pass through —
-    their leaves are already jax arrays."""
-    return s if hasattr(s, "mix_2d") else jnp.asarray(s)
+    block-sparse support objects (duck-typed by mix_2d) and adaptive
+    masks pass through — their leaves are already jax arrays."""
+    if hasattr(s, "mix_2d") or getattr(s, "adaptive_mask", False):
+        return s
+    return jnp.asarray(s)
 
 
 class DeviceWedgedError(RuntimeError):
@@ -129,7 +131,8 @@ class Runner:
     """Drives an Engine over a dataset dict from the data layer."""
 
     def __init__(self, engine: Engine, train_cfg: TrainConfig,
-                 log_fn=_print_flush, mesh=None, mesh_cfg=None):
+                 log_fn=_print_flush, mesh=None, mesh_cfg=None,
+                 extra_meta: dict | None = None):
         """``mesh``/``mesh_cfg`` (optional): a `jax.sharding.Mesh` +
         `MeshConfig` from ``parallel.mesh`` — the loop then replicates the
         train state, shards every batch with ``batch_sharding`` and the
@@ -159,6 +162,11 @@ class Runner:
             # _throttle. Keyed off the mesh's own devices, not the default
             # backend — a CPU test mesh on a TPU/GPU host still deadlocks.
             self._emulated = mesh.devices.flat[0].platform == "cpu"
+        # extra_meta: JSON-serializable records merged into every
+        # checkpoint sidecar's "extra" (e.g. the city-scale node layout
+        # from graphs.city.build_city_supports — gwt-test/serving read it
+        # back to map predictions out of model node space)
+        self.extra_meta = extra_meta or {}
         self._ckpt_scores: dict[str, float] = {}
         self._ckpt_writer = (ckpt.AsyncCheckpointer()
                              if train_cfg.async_checkpoint else None)
@@ -196,7 +204,12 @@ class Runner:
         state = M.shard_state(self.mesh, state)
         if supports is not None:
             ssh = M.support_sharding(self.mesh, self.mesh_cfg)
-            supports = [jax.device_put(s, ssh)
+            # sparse supports (mix_2d) and adaptive masks place their own
+            # leaves through shard_map specs / replication under jit —
+            # forcing a layout here would fight parallel.sparse_tp
+            supports = [s if (hasattr(s, "mix_2d")
+                              or getattr(s, "adaptive_mask", False))
+                        else jax.device_put(s, ssh)
                         if getattr(s, "ndim", None) == 2
                         else jax.device_put(s, M.replicated(self.mesh))
                         for s in supports]
@@ -688,7 +701,8 @@ class Runner:
             ".msgpack")
         meta = dict(model_cfg=self.engine.model_cfg, train_cfg=self.cfg,
                     scaler=self.engine.scaler,
-                    extra={"epoch": epoch, "val_loss": val_loss})
+                    extra={"epoch": epoch, "val_loss": val_loss,
+                           **self.extra_meta})
         if self._ckpt_writer is not None:
             self._ckpt_writer.save(path, state, **meta)
         else:
