@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="adjacency pickle for the fixed supports "
                         "(checkpoint mode; omit for aptonly/temporal "
                         "checkpoints)")
+    p.add_argument("--graph_npz", type=str, default=None,
+                   help="edge-list graph for a city-scale checkpoint "
+                        "(gwt-train --graph_npz): fingerprint-verified, "
+                        "block-sparse supports rebuilt under the "
+                        "persisted node layout; requests speak ORIGINAL "
+                        "node ids")
     p.add_argument("--adjtype", type=str, default="doubletransition")
     p.add_argument("--aptonly", action="store_true",
                    help="adaptive-adjacency-only: no fixed supports")
@@ -77,6 +83,17 @@ def _build_predictor(args):
         # artifacts bake ONE batch size — the batcher must pad to exactly it
         return fc.predict, scaler, info, int(fc.in_shape[0])
 
+    if args.graph_npz:
+        fc = serving.Forecaster.from_city_checkpoint(
+            args.checkpoint, args.graph_npz, aptonly=args.aptonly)
+        info = {"source": "checkpoint",
+                "num_nodes": fc.input_nodes,
+                "model_nodes": fc.cfg.num_nodes,
+                "graph_fingerprint": fc.node_layout["fingerprint"],
+                "ordering": fc.node_layout["ordering"],
+                "in_dim": fc.cfg.in_dim, "horizon": fc.cfg.out_dim,
+                "receptive_field": fc.cfg.receptive_field}
+        return fc.predict, fc.scaler, info, None
     supports = None
     if args.aptonly:
         supports = []

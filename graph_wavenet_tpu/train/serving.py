@@ -23,6 +23,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from graph_wavenet_tpu.config import ModelConfig
 from graph_wavenet_tpu.data.scaler import StandardScaler
@@ -31,7 +32,17 @@ from graph_wavenet_tpu.models.gwnet import apply_gwnet
 
 @dataclass(eq=False)
 class Forecaster:
-    """Inference bundle around a trained shared-graph model."""
+    """Inference bundle around a trained shared-graph model.
+
+    ``supports`` may be dense (N, N) arrays, ELL/block-sparse support
+    objects (duck-typed by ``mix_2d`` — city-scale checkpoints), or a
+    ``BlockAdaptiveMask`` for the block-masked adaptive adjacency; all
+    pass straight into :func:`apply_gwnet`.
+
+    ``node_layout`` (city-scale checkpoints, ``graphs.city``): when set,
+    :meth:`predict` speaks ORIGINAL node ids — inputs are permuted+padded
+    into model node space on device and predictions mapped back, so a
+    consumer never sees the training-time ordering."""
 
     cfg: ModelConfig
     params: Any
@@ -39,6 +50,7 @@ class Forecaster:
     supports: list | None
     scaler: StandardScaler = field(
         default_factory=lambda: StandardScaler(0.0, 1.0))
+    node_layout: dict | None = None
 
     @classmethod
     def from_checkpoint(cls, path: str, supports) -> "Forecaster":
@@ -59,6 +71,50 @@ class Forecaster:
         return cls(meta["model_cfg"], state.params, state.model_state,
                    supports, meta.get("scaler") or StandardScaler(0.0, 1.0))
 
+    @classmethod
+    def from_city_checkpoint(cls, path: str, graph_npz: str,
+                             aptonly: bool = False) -> "Forecaster":
+        """City-scale checkpoint (trained via ``gwt-train --graph_npz``):
+        verifies the sidecar's graph fingerprint against ``graph_npz``,
+        rebuilds the block-sparse supports under the PERSISTED node
+        permutation (+ the adaptive mask when the model trained one), and
+        returns a Forecaster that predicts in ORIGINAL node order."""
+        from graph_wavenet_tpu.graphs import city
+        from graph_wavenet_tpu.graphs.spatial import (
+            doubletransition_block_supports,
+        )
+        from graph_wavenet_tpu.train import checkpoint as ckpt
+
+        meta = ckpt.load_metadata(path)
+        layout = (meta.get("extra") or {}).get("graph_layout")
+        if layout is None:
+            raise ValueError(
+                f"{path} has no graph_layout sidecar record — it was not "
+                "trained with --graph_npz; use from_checkpoint")
+        g = city.load_graph_npz(graph_npz)
+        fp = city.graph_fingerprint(g["src"], g["dst"], g["weight"],
+                                    g["n_nodes"])
+        if fp != layout["fingerprint"]:
+            raise ValueError(
+                f"graph fingerprint mismatch: checkpoint trained on "
+                f"{layout['fingerprint']}, {graph_npz} is {fp}")
+        supports = doubletransition_block_supports(
+            g["src"], g["dst"], g["weight"], layout["n_pad"],
+            perm=np.asarray(layout["perm"], np.int64),
+            form=layout["form"], block_size=layout["block_size"])
+        mcfg = meta["model_cfg"]
+        if mcfg.addaptadj:
+            from graph_wavenet_tpu.ops.adaptive_block import (
+                mask_from_supports,
+            )
+
+            supports = list(supports) + [mask_from_supports(supports)]
+        if aptonly:
+            supports = supports[-1:] if mcfg.addaptadj else []
+        fc = cls.from_checkpoint(path, supports)
+        fc.node_layout = layout
+        return fc
+
     def _jit(self, key: tuple, build):
         """Per-instance jit cache: compiled executables (which embed the
         weights as constants) live on the Forecaster and are GC'd with it.
@@ -70,19 +126,138 @@ class Forecaster:
             cache[key] = jax.jit(build())
         return cache[key]
 
+    @property
+    def input_nodes(self) -> int:
+        """Node count :meth:`predict` expects (original ids under a city
+        layout, the model's padded count otherwise)."""
+        if self.node_layout is not None:
+            return self.node_layout["n_raw"]
+        return self.cfg.num_nodes
+
+    def _layout_maps(self):
+        """Static gather indices for the node-layout roundtrip: model
+        position j reads input row src_idx[j] (a zero pad row for pad
+        positions); output row r is model position perm[r]."""
+        layout = self.node_layout
+        perm = np.asarray(layout["perm"], np.int64)
+        n_raw, n_pad = layout["n_raw"], layout["n_pad"]
+        src_idx = np.full(n_pad, n_raw, np.int64)
+        src_idx[perm[:n_raw]] = np.arange(n_raw)
+        return src_idx, perm[:n_raw]
+
     def _predict_impl(self, x: jnp.ndarray) -> jnp.ndarray:
-        sup = None if self.supports is None else [jnp.asarray(s)
-                                                  for s in self.supports]
+        sup = None
+        if self.supports is not None:
+            sup = [s if (hasattr(s, "mix_2d")
+                         or getattr(s, "adaptive_mask", False))
+                   else jnp.asarray(s) for s in self.supports]
+        if self.node_layout is not None:
+            src_idx, out_idx = self._layout_maps()
+            xz = jnp.concatenate(
+                [x, jnp.zeros_like(x[:, :, :1])], axis=2)
+            x = jnp.take(xz, jnp.asarray(src_idx), axis=2)
         out, _ = apply_gwnet(self.cfg, self.params, self.model_state, x,
                              sup, train=False)
         # (B, 1, N, H) -> (B, H, N), inverse-standardized
         pred = jnp.transpose(out[:, -1], (0, 2, 1))
+        if self.node_layout is not None:
+            pred = jnp.take(pred, jnp.asarray(out_idx), axis=2)
         return pred * self.scaler.std + self.scaler.mean
 
     def predict(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (B, K, N, F) standardized features -> (B, H, N) forecasts in
-        raw units (horizon-major)."""
+        raw units (horizon-major). N = :attr:`input_nodes` — original
+        node order under a city layout."""
         return self._jit(("predict",), lambda: self._predict_impl)(x)
+
+
+@dataclass(eq=False)
+class DiffGForecaster:
+    """Inference bundle for the per-sample-graph (diff-G) model family —
+    the serving path the reference's diff-G eval loop approximates
+    (`/root/reference/train.py:330-370`, ``eval_syn`` at
+    `engine.py:132-181`): per-sample supports in, the fine-grained signal
+    and/or the pooled F/E modality estimates out."""
+
+    cfg: ModelConfig
+    params: Any
+    model_state: Any
+    scaler: StandardScaler = field(
+        default_factory=lambda: StandardScaler(0.0, 1.0))
+
+    @classmethod
+    def from_checkpoint(cls, path: str) -> "DiffGForecaster":
+        import dataclasses
+
+        from graph_wavenet_tpu.train import checkpoint as ckpt
+        from graph_wavenet_tpu.train.engine import Engine
+
+        meta = ckpt.load_metadata(path)
+        tcfg = meta["train_cfg"]
+        if tcfg.lr_decay < 1.0:
+            tcfg = dataclasses.replace(tcfg, lr_decay=1.0)
+        engine = Engine(meta["model_cfg"], tcfg, meta.get("scaler"),
+                        diff_g=True)
+        state = ckpt.load_checkpoint(path, engine.state)
+        return cls(meta["model_cfg"], state.params, state.model_state,
+                   meta.get("scaler") or StandardScaler(0.0, 1.0))
+
+    def _jit(self, key: tuple, build):
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        if key not in cache:
+            cache[key] = jax.jit(build())
+        return cache[key]
+
+    def _forward(self, x, supports):
+        from graph_wavenet_tpu.models.gwnet_diff_g import apply_gwnet_diff_g
+
+        out, _ = apply_gwnet_diff_g(self.cfg, self.params,
+                                    self.model_state, x, supports,
+                                    train=False)
+        return out * self.scaler.std + self.scaler.mean   # (B, 1, N, K)
+
+    def predict(self, x: jnp.ndarray,
+                supports: list | None) -> jnp.ndarray:
+        """Fine-grained signal estimate.
+
+        x: (B, K, N, F) standardized; supports: list of per-sample
+        (B, N, N) batched supports (or []/None like training). Returns
+        (B, K, N) in raw units.
+        """
+        has_sup = supports is not None
+        def build():
+            def run(x, supports):
+                out = self._forward(x, supports if has_sup else None)
+                return jnp.transpose(out[:, -1], (0, 2, 1))
+            return run
+
+        return self._jit(("predict", has_sup, len(supports or [])),
+                         build)(x, supports)
+
+    def predict_modalities(self, x: jnp.ndarray, supports: list | None,
+                           projector: jnp.ndarray, F_t: int):
+        """Pooled modality estimates, the quantities the diff-G task is
+        supervised on (`engine.py:87-105` semantics via the projector
+        matmul): returns ``(pred_F, pred_E)``, each (B, K, N) raw units.
+
+        projector: (N, N) shared or (B, N, N) per-sample cluster-mean
+        projector (``train.engine.cluster_mean_projector``); F_t: the
+        temporal pool factor (K must divide by it)."""
+        from graph_wavenet_tpu.train.engine import pool_E, pool_F
+
+        has_sup = supports is not None
+
+        def build():
+            def run(x, supports, projector):
+                out = self._forward(x, supports if has_sup else None)
+                f_hat = pool_F(out, F_t)
+                e_hat = pool_E(out, projector)
+                squeeze = lambda p: jnp.transpose(p[:, -1], (0, 2, 1))
+                return squeeze(f_hat), squeeze(e_hat)
+            return run
+
+        return self._jit(("modalities", has_sup, len(supports or []), F_t),
+                         build)(x, supports, projector)
 
 
 def rolling_forecast(forecaster: Forecaster, history: jnp.ndarray,
@@ -191,7 +366,8 @@ def export_forecaster(forecaster: Forecaster, path: str, batch_size: int,
     if seq_len is None:
         seq_len = cfg.receptive_field
     spec = jax.ShapeDtypeStruct(
-        (batch_size, seq_len, cfg.num_nodes, cfg.in_dim), jnp.float32)
+        (batch_size, seq_len, forecaster.input_nodes, cfg.in_dim),
+        jnp.float32)
     exp = jexport.export(jax.jit(forecaster._predict_impl),
                          platforms=platforms)(spec)
     with open(path, "wb") as f:

@@ -215,3 +215,45 @@ def test_serve_artifact_end_to_end(tmp_path, rng):
         handle["server"].shutdown()
         handle["batcher"].stop()
         handle["server"].server_close()
+
+
+@pytest.mark.slow
+def test_serve_city_checkpoint_end_to_end(tmp_path, rng):
+    """gwt-serve --graph_npz: serves a block-sparse city checkpoint,
+    requests speak ORIGINAL node ids (VERDICT r2 #3)."""
+    from graph_wavenet_tpu.cli import serve as serve_cli
+    from graph_wavenet_tpu.graphs import city
+    from graph_wavenet_tpu.graphs.spatial import knn_graph_edges
+
+    n = 30
+    pos = rng.random((n, 2))
+    src, dst, w = knn_graph_edges(pos, 3)
+    gpath = str(tmp_path / "g.npz")
+    city.save_graph_npz(gpath, src, dst, w, pos=pos, n_nodes=n)
+    _, _, layout = city.build_city_supports(
+        src, dst, w, n, pos=pos, ordering="rcm", form="flat",
+        block_size=16, addaptadj=True)
+    cfg = small_cfg(num_nodes=layout["n_pad"], n_supports=2,
+                    addaptadj=True)
+    scaler = StandardScaler(50.0, 10.0)
+    engine = Engine(cfg, TrainConfig(), scaler, seed=0)
+    path = str(tmp_path / "city.msgpack")
+    ckpt.save_checkpoint(path, engine.state, model_cfg=cfg,
+                         train_cfg=TrainConfig(), scaler=scaler,
+                         extra={"graph_layout": layout})
+
+    handle = serve_cli.main(
+        ["--checkpoint", path, "--graph_npz", gpath, "--port", "0",
+         "--window_ms", "5"], serve_forever=False)
+    try:
+        port = handle["server"].server_port
+        info = _get(port, "/healthz")
+        assert info["num_nodes"] == n
+        assert info["graph_fingerprint"] == layout["fingerprint"]
+        x = rng.normal(size=(6, n, 2)).astype(np.float32) * 10 + 50
+        out = _post(port, "/predict", {"x": x.tolist()})
+        y = np.asarray(out["y"])
+        assert y.shape == (cfg.out_dim, n) and np.isfinite(y).all()
+    finally:
+        handle["server"].shutdown()
+        handle["batcher"].stop()
