@@ -160,9 +160,11 @@ class ShardedFlatSupport:
     mesh: Mesh = field(metadata=dict(static=True))
     axis: str = field(metadata=dict(static=True))
     # halo mode: sources fit in {s-1, s, s+1} for every shard (what the
-    # RCM/Hilbert orderings produce) -> two neighbor ppermutes replace the
-    # all_gather, cutting per-hop ICI traffic ~S/3-fold. When True the
-    # src tables are pre-remapped into the [prev | own | next] concat.
+    # RCM/Hilbert orderings produce) -> two (N/S, R) neighbor ppermutes
+    # replace the (N, R) all_gather, cutting received off-chip bytes
+    # (S-1)/2-fold per hop — pinned as a compiled-HLO fact in
+    # tests/test_sparse_tp.py::test_halo_traffic_pinned_in_hlo. When True
+    # the src tables are pre-remapped into the [prev | own | next] concat.
     halo: bool = field(metadata=dict(static=True))
 
     @property

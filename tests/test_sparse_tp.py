@@ -295,3 +295,37 @@ def test_sharded_adaptive_mask_matches_single_chip(rng, mesh):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
         assert np.abs(np.asarray(a)).max() > 0
+
+
+def test_halo_traffic_pinned_in_hlo(rng, mesh):
+    """The halo-exchange ICI claim as a compiled-HLO fact (VERDICT r2
+    #6): the all_gather form moves one (N, R) all-gather per hop; halo
+    mode replaces it with exactly two (N/S, R) collective-permutes —
+    received off-chip bytes drop (S-1)/2-fold per hop."""
+    import re
+
+    flat = _banded_flat(rng)
+    n = flat.n_nodes
+    r = 32
+    x2 = jnp.zeros((n, r), jnp.float32)
+    s = mesh.shape[MODEL]
+
+    def collectives(sh):
+        txt = jax.jit(sh.mix_2d).lower(x2).compile().as_text()
+        shapes = {}
+        for kind in ("all-gather", "collective-permute"):
+            pat = rf"f32\[(\d+),(\d+)\]\S* {kind}\("
+            shapes[kind] = [(int(a), int(b))
+                            for a, b in re.findall(pat, txt)]
+        return shapes
+
+    g = collectives(shard_flat_support(flat, mesh, halo=False))
+    assert g["collective-permute"] == []
+    assert g["all-gather"] == [(n, r)], g
+    h = collectives(shard_flat_support(flat, mesh, halo=True))
+    assert h["all-gather"] == []
+    assert h["collective-permute"] == [(n // s, r)] * 2, h
+    # received off-chip bytes per device per hop
+    gather_recv = (s - 1) * (n // s) * r * 4
+    halo_recv = 2 * (n // s) * r * 4
+    assert gather_recv / halo_recv == (s - 1) / 2
