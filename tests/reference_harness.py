@@ -224,3 +224,106 @@ def engine_from_state_dict(sd: dict, cfg, tcfg, scaler):
         model_state=jax.tree.map(jnp.asarray, model_state),
         step=jnp.zeros((), jnp.int32), rng=engine.state.rng)
     return engine
+
+
+def build_ref_trainer_syn(ref, cfg, scaler, supports_by_split,
+                          seed=0, lr=1e-3, wd=1e-4):
+    """The reference ``trainer`` with DICT supports -> ``gwnet_diff_G``
+    (`engine.py:14-25`). supports_by_split: our ``stack_support_splits``
+    output (numpy (n, N, N) stacks per split). addaptadj stays False — the
+    reference diff-G's adaptive path draws unseedable fresh nodevecs per
+    forward (quirk #2 SURVEY.md §7.4), so it cannot be A/B'd."""
+    assert cfg.skip_channels == 8 * cfg.residual_channels
+    assert cfg.end_channels == 16 * cfg.residual_channels
+    torch.manual_seed(seed)
+    sup_dict = {split: [torch.tensor(np.asarray(s)) for s in sups]
+                for split, sups in supports_by_split.items()}
+    t = ref.engine.trainer(
+        ref.util.StandardScaler(scaler.mean, scaler.std), cfg.in_dim,
+        cfg.out_dim, cfg.num_nodes, cfg.residual_channels, cfg.dropout,
+        lr, wd, "cpu", sup_dict, cfg.gcn_bool, False,
+        {split: None for split in sup_dict}, cfg.blocks, cfg.layers)
+    assert type(t.model).__name__ == "gwnet_diff_G"
+    return t
+
+
+def run_reference_training_syn(ref, t, data: dict, graphs_by_split: dict,
+                               F_t: int, epochs: int, log=print) -> dict:
+    """The reference CLI's diff-G synthetic flow (`train.py:145-208`,
+    `329-361`): per-epoch shuffle, ``train_syn`` per (x, y, adj_idx)
+    batch, ``eval_syn`` over val, best epoch by min val loss, then the
+    test-split evaluation. One deliberate deviation, matching our
+    Runner.test_syn: the test pass uses the TEST split's graphs/supports
+    (the reference evaluates state='test' against G['val'] — quirk #3
+    SURVEY.md §7.4)."""
+
+    def _syn_batches(loader):
+        for x, y, ai in loader.get_iterator():
+            yield (_to_ref_batch(np.asarray(x)),
+                   _to_ref_batch(np.asarray(y)),
+                   torch.tensor(np.asarray(ai)))
+
+    history = []
+    best_val = float("inf")
+    best_sd = None
+    for epoch in range(1, epochs + 1):
+        t.set_state("train")
+        data["train_loader"].shuffle()
+        tr = []
+        for x, y, ai in _syn_batches(data["train_loader"]):
+            loss, _, _ = t.train_syn(x, y, F_t, graphs_by_split["train"],
+                                     adj_idx=ai)
+            tr.append(loss)
+        t.set_state("val")
+        va = []
+        for x, y, ai in _syn_batches(data["val_loader"]):
+            with torch.no_grad():
+                out = t.eval_syn(x, y, F_t, graphs_by_split["val"],
+                                 adj_idx=ai)
+            va.append(out[0])
+        ep = {"epoch": epoch, "train_loss": float(np.mean(tr)),
+              "valid_loss": float(np.mean(va))}
+        history.append(ep)
+        log(f"[ref] Epoch: {epoch:03d}, Train Loss: {ep['train_loss']:.4f}"
+            f", Valid Loss: {ep['valid_loss']:.4f}")
+        if ep["valid_loss"] < best_val:
+            best_val = ep["valid_loss"]
+            best_sd = copy.deepcopy(t.model.state_dict())
+
+    t.model.load_state_dict(best_sd)
+    t.set_state("test")
+    te, tm, tr_ = [], [], []
+    for x, y, ai in _syn_batches(data["test_loader"]):
+        with torch.no_grad():
+            out = t.eval_syn(x, y, F_t, graphs_by_split["test"],
+                             adj_idx=ai)
+        te.append(out[0])
+        tm.append(out[1])
+        tr_.append(out[2])
+    res = {"history": history, "best_val": best_val,
+           "test_loss": float(np.mean(te)),
+           "test_mape": float(np.mean(tm)),
+           "test_rmse": float(np.mean(tr_))}
+    log(f"[ref] test loss {res['test_loss']:.4f}, mape "
+        f"{res['test_mape']:.4f}, rmse {res['test_rmse']:.4f}")
+    return res
+
+
+def engine_from_state_dict_diff_g(sd: dict, cfg, tcfg, scaler):
+    """Our diff-G Engine from the reference model's exact initial
+    weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from graph_wavenet_tpu.train.engine import Engine, TrainState
+    from graph_wavenet_tpu.utils.torch_import import import_state_dict
+
+    engine = Engine(cfg, tcfg, scaler, diff_g=True)
+    params, model_state = import_state_dict(
+        {k: v.detach().numpy() for k, v in sd.items()}, cfg)
+    params = jax.tree.map(jnp.asarray, params)
+    engine.state = TrainState(
+        params=params, opt_state=engine.optimizer.init(params),
+        model_state=jax.tree.map(jnp.asarray, model_state),
+        step=jnp.zeros((), jnp.int32), rng=engine.state.rng)
+    return engine
