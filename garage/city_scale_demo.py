@@ -74,6 +74,10 @@ def main():
                          "per block-row (incl. the diagonal block)")
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--fuse2", choices=("on", "off"), default="on",
+                    help="fused order-2 hop-chain kernel for banded "
+                         "flat supports (ops/block_sparse.as_fused2); "
+                         "off = the two-call chain, for A/B")
     ap.add_argument("--addaptadj", action="store_true",
                     help="train the block-masked adaptive adjacency on "
                          "the supports' union pattern — the FULL "
@@ -131,6 +135,16 @@ def main():
     series = np.asarray(rollout(jax.random.key(7)))
     scaler = StandardScaler(float(series.mean()), float(series.std()))
     std = scaler.transform(series)
+
+    if args.fuse2 == "on":
+        fused = [block_sparse.as_fused2(s)
+                 if isinstance(s, block_sparse.FlatBlockSparseSupport)
+                 else s for s in sup]
+        n_fused = sum(isinstance(s, block_sparse.Fused2FlatSupport)
+                      for s in fused)
+        print(f"fused order-2 hop chain: {n_fused}/{len(sup)} supports "
+              "qualify", flush=True)
+        sup = fused
 
     if args.addaptadj:
         from graph_wavenet_tpu.ops.adaptive_block import mask_from_supports

@@ -24,7 +24,8 @@ blocks[n,m,k,j] * x[block_idx[n,m], k]``.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import functools
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
@@ -582,3 +583,128 @@ def _block_mix_flat_bwd(res, gout):
 
 
 _block_mix_flat.defvjp(_block_mix_flat_fwd, _block_mix_flat_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused order-2 hop chain (both hops of one support in one kernel pass)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _block_mix_flat2(delay, ring_w, x2, blocks_flat, row_tbl, src_tbl,
+                     slot_tbl, row_t, src_t, slot_t, inv_slot):
+    """(N, R) -> ((N, R), (N, R)): hop and hop-of-hop through the flat
+    block structure in ONE kernel pass (``ops.pallas.block_diffusion.
+    gathered_block_mix_flat2`` — hop 2 reads the intermediate from a VMEM
+    ring instead of HBM). Numerically identical to chaining
+    ``_block_mix_flat`` twice."""
+    from graph_wavenet_tpu.ops.pallas.block_diffusion import (
+        gathered_block_mix_flat2,
+    )
+
+    n, r = x2.shape
+    bs = blocks_flat.shape[1]
+    nb = n // bs
+    o1, o2 = gathered_block_mix_flat2(
+        blocks_flat.astype(x2.dtype), slot_tbl,
+        x2.reshape(nb, bs, r), src_tbl, row_tbl, nb=nb, delay=delay,
+        ring_w=ring_w, transpose_lhs=True, interpret=_interpret())
+    return o1.reshape(n, r), o2.reshape(n, r)
+
+
+def _block_mix_flat2_fwd(delay, ring_w, x2, blocks_flat, row_tbl, src_tbl,
+                         slot_tbl, row_t, src_t, slot_t, inv_slot):
+    out = _block_mix_flat2(delay, ring_w, x2, blocks_flat, row_tbl,
+                           src_tbl, slot_tbl, row_t, src_t, slot_t,
+                           inv_slot)
+    return out, (x2, out[0], blocks_flat, row_tbl, src_tbl, slot_tbl,
+                 row_t, src_t, slot_t, inv_slot)
+
+
+def _block_mix_flat2_bwd(delay, ring_w, res, g):
+    """Chain-rule of the two hops with the existing per-hop kernels
+    (the backward still reads the saved x1 = out1 from HBM — it is a
+    forward OUTPUT the gcn projection consumes anyway):
+    g1_eff = g1 + A-mixT(g2); dx = A-mixT(g1_eff);
+    dA[l] = x[src[l]] (x) g1_eff[row[l]]  +  x1[src[l]] (x) g2[row[l]].
+    """
+    from graph_wavenet_tpu.ops.pallas.block_diffusion import (
+        gathered_block_mix_flat,
+        gathered_block_outer_flat,
+    )
+
+    (x2, x1, blocks_flat, row_tbl, src_tbl, slot_tbl, row_t, src_t,
+     slot_t, inv_slot) = res
+    g1, g2 = g
+    n, r = x2.shape
+    bs = blocks_flat.shape[1]
+    nb = n // bs
+    interp = _interpret()
+    dt = x2.dtype
+    g1 = g1.astype(dt)
+    g2 = g2.astype(dt)
+    bf = blocks_flat.astype(dt)
+
+    def mixT(gb):
+        return gathered_block_mix_flat(
+            bf, slot_t, gb.reshape(nb, bs, r), src_t, row_t, nb=nb,
+            transpose_lhs=False, interpret=interp).reshape(n, r)
+
+    g1_eff = g1 + mixT(g2)
+    dx = mixT(g1_eff)
+    acc = accum_dtype(dt)
+    dflat = gathered_block_outer_flat(
+        x2.reshape(nb, bs, r), g1_eff.reshape(nb, bs, r), src_tbl,
+        row_tbl, out_dtype=acc, interpret=interp)
+    dflat = dflat + gathered_block_outer_flat(
+        x1.astype(dt).reshape(nb, bs, r), g2.reshape(nb, bs, r), src_tbl,
+        row_tbl, out_dtype=acc, interpret=interp)
+    dflat_pad = jnp.concatenate(
+        [dflat, jnp.zeros((1, bs, bs), dflat.dtype)])
+    dblocks = jnp.take(dflat_pad, inv_slot, axis=0).astype(
+        blocks_flat.dtype)
+    zero = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (dx, dblocks, zero(row_tbl), zero(src_tbl), zero(slot_tbl),
+            zero(row_t), zero(src_t), zero(slot_t), zero(inv_slot))
+
+
+_block_mix_flat2.defvjp(_block_mix_flat2_fwd, _block_mix_flat2_bwd)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class Fused2FlatSupport(FlatBlockSparseSupport):
+    """A :class:`FlatBlockSparseSupport` whose order-2 hop chain runs the
+    fused kernel (``mix2_2d``); single hops (``mix_2d``) are inherited.
+    Build with :func:`as_fused2` — only banded/ordered layouts qualify."""
+
+    delay: int = field(metadata=dict(static=True), default=1)
+    ring_w: int = field(metadata=dict(static=True), default=1)
+
+    def mix2_2d(self, x2: jnp.ndarray):
+        return _block_mix_flat2(self.delay, self.ring_w, x2,
+                                self.blocks_flat, self.row_tbl,
+                                self.src_tbl, self.slot_tbl, self.row_t,
+                                self.src_t, self.slot_t, self.inv_slot)
+
+
+def as_fused2(sp: FlatBlockSparseSupport,
+              max_ring: int = 16) -> FlatBlockSparseSupport:
+    """Upgrade a flat support to the fused order-2 kernel when its layout
+    qualifies (banded under the node ordering; square blocks); returns
+    the support unchanged otherwise — callers need no fallback logic."""
+    from graph_wavenet_tpu.ops.pallas.block_diffusion import fused2_schedule
+
+    if isinstance(sp, Fused2FlatSupport):
+        return sp
+    if sp.blocks_flat.shape[1] != sp.blocks_flat.shape[2]:
+        return sp
+    nb = int(np.asarray(sp.row_tbl)[-1]) + 1
+    sched = fused2_schedule(np.asarray(sp.row_tbl), np.asarray(sp.src_tbl),
+                            nb, max_ring=max_ring)
+    if sched is None:
+        return sp
+    d, w = sched
+    return Fused2FlatSupport(sp.blocks_flat, sp.row_tbl, sp.src_tbl,
+                             sp.slot_tbl, sp.row_t, sp.src_t, sp.slot_t,
+                             sp.inv_slot, delay=d, ring_w=w)

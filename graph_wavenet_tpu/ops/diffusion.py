@@ -145,6 +145,14 @@ def _gcn_apply_sparse(params: dict, x: jnp.ndarray,
     h = project(xn, 0)
     k = 1
     for sp in supports:
+        if order == 2 and hasattr(sp, "mix2_2d"):
+            # fused order-2 hop chain (ops.block_sparse.Fused2FlatSupport):
+            # both hops in one kernel pass, hop 2's gathered HBM re-read
+            # of the intermediate never exists
+            x1, x2h = sp.mix2_2d(xn)
+            h = h + project(x1, k) + project(x2h, k + 1)
+            k += 2
+            continue
         xk = xn
         for _ in range(order):
             xk = sp.mix_2d(xk)

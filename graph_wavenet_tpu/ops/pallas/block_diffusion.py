@@ -363,3 +363,187 @@ def gathered_block_outer(x_pad: jnp.ndarray, g_blocks: jnp.ndarray,
             transcendentals=0),
         interpret=interpret,
     )(src_flat, x_pad, g_blocks)
+
+
+# ---------------------------------------------------------------------------
+# Fused order-2 hop chain: both hops of one support in one kernel pass
+# ---------------------------------------------------------------------------
+#
+# The gcn's diffusion order is 2 (`/root/reference/model.py:45-50`): each
+# support runs x1 = A-mix(x), x2 = A-mix(x1). Run as two kernel calls the
+# intermediate x1 costs one HBM write + one full gathered re-read — and
+# the x-tile gathers are what the flat kernel is bound by at city scale
+# (BENCH_NOTES round-2 floor accounting; ~136 MB per hop pair at 41k).
+#
+# This kernel deletes hop 2's HBM x reads: one pass over the row-sorted
+# live-entry list does hop 1 as usual, parks each COMPLETED x1 block-row
+# (cast to the activation dtype, exactly like the two-call chain) in a
+# small VMEM ring, and runs hop 2 DELAYED by a host-computed entry count
+# D chosen so every x1 row a hop-2 entry reads is complete before it
+# runs. The ring width W is the max block-row span between a row's
+# completion and its last hop-2 use — small exactly when the node
+# ordering is banded (RCM/Hilbert, the same structure the node-TP halo
+# exchange exploits); the host-side scheduler refuses wide-band layouts
+# (callers fall back to the two-call chain).
+#
+# HBM traffic per hop pair: L x-tiles + 2L blocks + 2 out writes, vs the
+# chain's 2L x-tiles + 2L blocks + 2 writes + 1 intermediate read — the
+# hop-2 gather (the largest term when R >> BS) never exists.
+
+
+def fused2_schedule(row_tbl, src_tbl, n_rows: int,
+                    max_ring: int = 16) -> tuple[int, int] | None:
+    """(delay D, ring width W) for the fused order-2 kernel, or None when
+    the layout's band is too wide to ring-buffer (unordered graphs).
+
+    D = max over entries m of comp[src[m]] - m + 1 where comp[s] is the
+    last entry index of dest row s (every x1 row is complete D entries
+    before any hop-2 read of it). W = max over m of
+    row[min(m + D, L-1)] - src[m] + 1 (no ring slot is overwritten
+    between a row's completion and its last read)."""
+    import numpy as np
+
+    row = np.asarray(row_tbl, np.int64)
+    src = np.asarray(src_tbl, np.int64)
+    n_live = len(row)
+    comp = np.zeros(n_rows, np.int64)
+    comp[row] = np.arange(n_live)        # row-sorted: last index wins
+    d = int((comp[src] - np.arange(n_live)).max()) + 1
+    d = max(d, 1)
+    w = int((row[np.minimum(np.arange(n_live) + d, n_live - 1)]
+             - src).max()) + 1
+    if w < 1 or w > max_ring:
+        return None
+    return d, w
+
+
+def _mix_flat2_kernel(row_ref, slot_ref, src_ref, blocks1_ref, x_ref,
+                      blocks2_ref, o1_ref, o2_ref, acc1_ref, acc2_ref,
+                      ring_ref, *, n_live: int, delay: int, ring_w: int,
+                      transpose_lhs: bool):
+    l = pl.program_id(1)
+    dims = ((((0,), (0,)) if transpose_lhs else ((1,), (0,))), ((), ()))
+
+    @pl.when(l < n_live)
+    def _hop1():
+        lc = jnp.minimum(l, n_live - 1)
+        row = row_ref[lc]
+
+        @pl.when((l == 0) | (row != row_ref[jnp.maximum(l - 1, 0)]))
+        def _():
+            acc1_ref[...] = jnp.zeros_like(acc1_ref)
+
+        acc1_ref[...] += jax.lax.dot_general(
+            blocks1_ref[0], x_ref[0], dimension_numbers=dims,
+            preferred_element_type=jnp.float32)
+
+        @pl.when((l == n_live - 1)
+                 | (row != row_ref[jnp.minimum(l + 1, n_live - 1)]))
+        def _():
+            # cast at row completion = the two-call chain's inter-hop
+            # cast (mix_2d returns the activation dtype) — bit-identical
+            val = acc1_ref[...].astype(o1_ref.dtype)
+            o1_ref[0] = val
+            ring_ref[row % ring_w] = val
+
+    @pl.when(l >= delay)
+    def _hop2():
+        m = jnp.maximum(l - delay, 0)
+        row2 = row_ref[m]
+
+        @pl.when((m == 0) | (row2 != row_ref[jnp.maximum(m - 1, 0)]))
+        def _():
+            acc2_ref[...] = jnp.zeros_like(acc2_ref)
+
+        x1 = ring_ref[src_ref[m] % ring_w]
+        acc2_ref[...] += jax.lax.dot_general(
+            blocks2_ref[0], x1, dimension_numbers=dims,
+            preferred_element_type=jnp.float32)
+
+        @pl.when((m == n_live - 1)
+                 | (row2 != row_ref[jnp.minimum(m + 1, n_live - 1)]))
+        def _():
+            o2_ref[0] = acc2_ref[...].astype(o2_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "delay", "ring_w",
+                                             "transpose_lhs", "interpret"))
+def gathered_block_mix_flat2(blocks_flat: jnp.ndarray,
+                             slot_tbl: jnp.ndarray, x_pad: jnp.ndarray,
+                             src_tbl: jnp.ndarray, row_tbl: jnp.ndarray,
+                             *, nb: int, delay: int, ring_w: int,
+                             transpose_lhs: bool,
+                             interpret: bool = False):
+    """Both order-2 hops in one pass: returns ``(out1, out2)``, each
+    (nb, BS, R), with ``out1`` = the single-hop mix and ``out2`` the hop
+    over ``out1`` — numerically identical to two ``gathered_block_mix_
+    flat`` calls (same accumulation order, same inter-hop cast). Square
+    blocks only; ``delay``/``ring_w`` from :func:`fused2_schedule`."""
+    assert blocks_flat.shape[1] == blocks_flat.shape[2], (
+        "fused order-2 chain needs square blocks")
+    n_live = slot_tbl.shape[0]
+    bs = blocks_flat.shape[1]
+    r = x_pad.shape[-1]
+    slot_tbl = slot_tbl.astype(jnp.int32)
+    src_tbl = src_tbl.astype(jnp.int32)
+    row_tbl = row_tbl.astype(jnp.int32)
+
+    pad_r = (-r) % 128
+    if pad_r:
+        x_pad = jnp.pad(x_pad, ((0, 0), (0, 0), (0, pad_r)))
+    rp = r + pad_r
+    # ring_w fp32-equivalent tiles must fit VMEM next to the accumulators
+    # and the streaming tiles; cap the column tile accordingly
+    cap = max(512, (6 * 1024 * 1024 // (bs * 4)) // (ring_w + 2) // 128
+              * 128)
+    rt = min(_pick_rt(rp), cap)
+    while rp % rt:
+        rt -= 128
+    rt = max(rt, 128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(rp // rt, n_live + delay),
+        in_specs=[
+            pl.BlockSpec((1, bs, bs),
+                         lambda j, l, row, slot, src:
+                         (slot[jnp.minimum(l, n_live - 1)], 0, 0)),
+            pl.BlockSpec((1, bs, rt),
+                         lambda j, l, row, slot, src:
+                         (src[jnp.minimum(l, n_live - 1)], 0, j)),
+            pl.BlockSpec((1, bs, bs),
+                         lambda j, l, row, slot, src:
+                         (slot[jnp.maximum(l - delay, 0)], 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bs, rt),
+                         lambda j, l, row, slot, src:
+                         (row[jnp.minimum(l, n_live - 1)], 0, j)),
+            pl.BlockSpec((1, bs, rt),
+                         lambda j, l, row, slot, src:
+                         (row[jnp.maximum(l - delay, 0)], 0, j)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bs, rt), jnp.float32),
+            pltpu.VMEM((bs, rt), jnp.float32),
+            pltpu.VMEM((ring_w, bs, rt), x_pad.dtype),
+        ],
+    )
+    out1, out2 = pl.pallas_call(
+        functools.partial(_mix_flat2_kernel, n_live=n_live, delay=delay,
+                          ring_w=ring_w, transpose_lhs=transpose_lhs),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((nb, bs, rp), x_pad.dtype),
+                   jax.ShapeDtypeStruct((nb, bs, rp), x_pad.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_live * bs * bs * rp,
+            bytes_accessed=(n_live * (2 * bs * bs + bs * rt)
+                            + 2 * nb * bs * rp) * x_pad.dtype.itemsize,
+            transcendentals=0),
+        interpret=interpret,
+    )(row_tbl, slot_tbl, src_tbl, blocks_flat, x_pad, blocks_flat)
+    if pad_r:
+        return out1[..., :r], out2[..., :r]
+    return out1, out2

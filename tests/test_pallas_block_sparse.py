@@ -300,3 +300,106 @@ def test_from_edges_flat_square_matches_padded_route(rng):
     gd = jax.grad(lambda v: jnp.sum(direct.mix_2d(v) ** 2))(x2)
     np.testing.assert_allclose(np.asarray(gd), np.asarray(gr),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused order-2 hop chain (VERDICT r2 #7)
+# ---------------------------------------------------------------------------
+
+
+def _banded_flat_support(rng, nb=8, bs=16):
+    n = nb * bs
+    a = np.zeros((n, n), np.float32)
+    for i in range(nb):
+        for j in (i - 1, i, i + 1):
+            if 0 <= j < nb:
+                a[j * bs:(j + 1) * bs, i * bs:(i + 1) * bs] = \
+                    rng.random((bs, bs)) / (3 * bs)
+    return B.as_flat_pallas(B.from_dense(a, block_size=bs))
+
+
+def test_fused2_matches_chained_hops(rng):
+    flat = _banded_flat_support(rng)
+    fused = B.as_fused2(flat)
+    assert isinstance(fused, B.Fused2FlatSupport)
+    n = flat.n_nodes
+    x = jnp.asarray(rng.normal(size=(n, 40)), jnp.float32)
+    x1 = flat.mix_2d(x)
+    x2 = flat.mix_2d(x1)
+    o1, o2 = fused.mix2_2d(x)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(x1))
+    np.testing.assert_array_equal(np.asarray(o2), np.asarray(x2))
+
+
+def test_fused2_grads_match_chain(rng):
+    import dataclasses
+
+    flat = _banded_flat_support(rng)
+    fused = B.as_fused2(flat)
+    n = flat.n_nodes
+    x = jnp.asarray(rng.normal(size=(n, 24)), jnp.float32)
+
+    def loss_chain(x, blocks):
+        sp = dataclasses.replace(flat, blocks_flat=blocks)
+        a1 = sp.mix_2d(x)
+        a2 = sp.mix_2d(a1)
+        return jnp.sum(jnp.sin(a1) + jnp.cos(a2))
+
+    def loss_fused(x, blocks):
+        sp = dataclasses.replace(fused, blocks_flat=blocks)
+        a1, a2 = sp.mix2_2d(x)
+        return jnp.sum(jnp.sin(a1) + jnp.cos(a2))
+
+    gc = jax.grad(loss_chain, argnums=(0, 1))(x, flat.blocks_flat)
+    gf = jax.grad(loss_fused, argnums=(0, 1))(x, fused.blocks_flat)
+    for a, b in zip(gf, gc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_fused2_refuses_wide_band(rng):
+    """Unordered layouts (a far off-band block) must fall back."""
+    nb, bs = 8, 16
+    n = nb * bs
+    a = np.zeros((n, n), np.float32)
+    for i in range(nb):
+        a[i * bs:(i + 1) * bs, i * bs:(i + 1) * bs] = rng.random((bs, bs))
+    a[:bs, -bs:] = 1.0     # block (src 0 -> dest nb-1): span nb
+    sp = B.as_flat_pallas(B.from_dense(a, block_size=bs))
+    out = B.as_fused2(sp, max_ring=4)
+    assert not isinstance(out, B.Fused2FlatSupport)
+    # and rectangular blocks are refused too
+    rect = B.from_edges_flat(np.array([0]), np.array([1]),
+                             np.ones(1, np.float32), 128, 16, 64)
+    assert not isinstance(B.as_fused2(rect), B.Fused2FlatSupport)
+
+
+def test_fused2_through_gcn_apply(rng):
+    """gcn_apply takes the fused path for order-2 and matches the
+    unfused sparse supports."""
+    from graph_wavenet_tpu.ops.diffusion import gcn_apply, gcn_init
+
+    flat = _banded_flat_support(rng)
+    fused = B.as_fused2(flat)
+    n = flat.n_nodes
+    params = gcn_init(jax.random.key(0), 4, 6, n_supports=2, order=2)
+    x = jnp.asarray(rng.normal(size=(2, 3, n, 4)), jnp.float32)
+    want = gcn_apply(params, x, [flat, flat], order=2)
+    got = gcn_apply(params, x, [fused, fused], order=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused2_bf16(rng):
+    """bf16 activations: the fused inter-hop cast equals the chain's."""
+    flat = _banded_flat_support(rng)
+    fused = B.as_fused2(flat)
+    n = flat.n_nodes
+    x = jnp.asarray(rng.normal(size=(n, 32)), jnp.bfloat16)
+    x1 = flat.mix_2d(x)
+    x2 = flat.mix_2d(x1)
+    o1, o2 = fused.mix2_2d(x)
+    np.testing.assert_array_equal(np.asarray(o1, np.float32),
+                                  np.asarray(x1, np.float32))
+    np.testing.assert_array_equal(np.asarray(o2, np.float32),
+                                  np.asarray(x2, np.float32))
