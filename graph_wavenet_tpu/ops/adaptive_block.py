@@ -81,6 +81,10 @@ class BlockAdaptiveMask:
     bs_dst: int = field(metadata=dict(static=True))
     n_src_blocks: int = field(metadata=dict(static=True))
     n_dst_blocks: int = field(metadata=dict(static=True))
+    # (delay, ring_w) when the pattern qualifies for the fused order-2
+    # hop-chain kernel (ops.block_sparse.Fused2FlatSupport) — banded
+    # layouts under RCM/Hilbert orderings; None = plain chained hops
+    fuse2: tuple | None = field(metadata=dict(static=True), default=None)
 
     @property
     def n_live(self) -> int:
@@ -93,14 +97,21 @@ class BlockAdaptiveMask:
     def materialize(self, nodevec1: jnp.ndarray,
                     nodevec2: jnp.ndarray) -> FlatBlockSparseSupport:
         """Adaptive support for the current embeddings; differentiable in
-        both nodevecs. nodevec1 (N, r), nodevec2 (r, N)."""
+        both nodevecs. nodevec1 (N, r), nodevec2 (r, N). When the
+        pattern qualifies (``fuse2``), the result runs the fused order-2
+        hop-chain kernel like the fixed supports."""
+        from graph_wavenet_tpu.ops.block_sparse import Fused2FlatSupport
+
         blocks = adaptive_blocks(self, nodevec1, nodevec2)
         blocks_flat = jnp.concatenate(
             [blocks, jnp.zeros((1, self.bs_src, self.bs_dst),
                                blocks.dtype)])
-        return FlatBlockSparseSupport(
-            blocks_flat, self.row_tbl, self.src_tbl, self.slot_tbl,
-            self.row_t, self.src_t, self.slot_t, self.inv_slot)
+        tables = (blocks_flat, self.row_tbl, self.src_tbl, self.slot_tbl,
+                  self.row_t, self.src_t, self.slot_t, self.inv_slot)
+        if self.fuse2 is not None:
+            d, w = self.fuse2
+            return Fused2FlatSupport(*tables, delay=d, ring_w=w)
+        return FlatBlockSparseSupport(*tables)
 
 
 def adaptive_blocks(mask: BlockAdaptiveMask, nodevec1: jnp.ndarray,
@@ -216,6 +227,10 @@ def mask_from_pairs(dst_block: np.ndarray, src_block: np.ndarray,
     tmpl = from_edges_flat(src * block_size, dst * block_size,
                            np.ones(len(dst), np.float32),
                            n_blocks * block_size, block_size, block_size)
+    from graph_wavenet_tpu.ops.pallas.block_diffusion import fused2_schedule
+
+    fuse2 = fused2_schedule(np.asarray(tmpl.row_tbl),
+                            np.asarray(tmpl.src_tbl), n_blocks)
     return BlockAdaptiveMask(
         row_tbl=tmpl.row_tbl, src_tbl=tmpl.src_tbl, slot_tbl=tmpl.slot_tbl,
         row_t=tmpl.row_t, src_t=tmpl.src_t, slot_t=tmpl.slot_t,
@@ -223,7 +238,7 @@ def mask_from_pairs(dst_block: np.ndarray, src_block: np.ndarray,
         live_dst=jnp.asarray(dst, jnp.int32),
         live_src=jnp.asarray(src, jnp.int32),
         bs_src=block_size, bs_dst=block_size,
-        n_src_blocks=n_blocks, n_dst_blocks=n_blocks)
+        n_src_blocks=n_blocks, n_dst_blocks=n_blocks, fuse2=fuse2)
 
 
 def full_mask(n_nodes: int, block_size: int = 128) -> BlockAdaptiveMask:
