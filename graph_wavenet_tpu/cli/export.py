@@ -28,6 +28,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--adjdata", type=str,
                    default="data/sensor_graph/adj_mx.pkl")
     p.add_argument("--adjtype", type=str, default="doubletransition")
+    p.add_argument("--graph_npz", type=str, default=None,
+                   help="edge-list graph for a city-scale checkpoint "
+                        "(fingerprint-verified; the artifact's node axis "
+                        "speaks ORIGINAL node ids through the persisted "
+                        "layout)")
     p.add_argument("--aptonly", action="store_true",
                    help="no fixed supports (adaptive adjacency only)")
     p.add_argument("--batch_size", type=int, default=64,
@@ -54,13 +59,17 @@ def main(argv=None) -> dict:
     from graph_wavenet_tpu.graphs.normalize import load_adj
     from graph_wavenet_tpu.train import serving
 
-    if args.aptonly:
-        supports = []
+    if args.graph_npz:
+        forecaster = serving.Forecaster.from_city_checkpoint(
+            args.checkpoint, args.graph_npz, aptonly=args.aptonly)
     else:
-        _, _, adj = load_adj(args.adjdata, args.adjtype)
-        supports = adj
-    forecaster = serving.Forecaster.from_checkpoint(args.checkpoint,
-                                                    supports)
+        if args.aptonly:
+            supports = []
+        else:
+            _, _, adj = load_adj(args.adjdata, args.adjtype)
+            supports = adj
+        forecaster = serving.Forecaster.from_checkpoint(args.checkpoint,
+                                                        supports)
     path = serving.export_forecaster(
         forecaster, args.out, batch_size=args.batch_size,
         seq_len=args.seq_len or None, platforms=args.platforms)

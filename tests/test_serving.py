@@ -305,3 +305,45 @@ def test_diffg_forecaster_matches_eval_step(tmp_path, rng):
         np.asarray(e_hat),
         np.transpose(np.asarray(m["pred_E"])[:, -1], (0, 2, 1)),
         rtol=1e-5, atol=1e-5)
+
+
+def test_export_city_checkpoint_roundtrip(tmp_path, rng):
+    """gwt-export --graph_npz: the AOT artifact bakes the node-layout
+    gathers and the block-sparse hops; it predicts in ORIGINAL node
+    order, equal to the live Forecaster."""
+    from graph_wavenet_tpu.cli import export as export_cli
+    from graph_wavenet_tpu.graphs import city
+    from graph_wavenet_tpu.graphs.spatial import knn_graph_edges
+    from graph_wavenet_tpu.train import checkpoint as ckpt
+    from graph_wavenet_tpu.train.engine import Engine
+
+    n = 30
+    pos = rng.random((n, 2))
+    src, dst, w = knn_graph_edges(pos, 3)
+    gpath = str(tmp_path / "g.npz")
+    city.save_graph_npz(gpath, src, dst, w, pos=pos, n_nodes=n)
+    _, _, layout = city.build_city_supports(
+        src, dst, w, n, pos=pos, ordering="rcm", form="flat",
+        block_size=16, addaptadj=True)
+    cfg = ModelConfig(num_nodes=layout["n_pad"], out_dim=6,
+                      residual_channels=4, dilation_channels=4,
+                      skip_channels=8, end_channels=16, blocks=2,
+                      layers=2, dropout=0.0, n_supports=2, addaptadj=True)
+    scaler = StandardScaler(3.0, 2.0)
+    engine = Engine(cfg, TrainConfig(), scaler, seed=0)
+    path = str(tmp_path / "city.msgpack")
+    from graph_wavenet_tpu.train import checkpoint as _c
+
+    _c.save_checkpoint(path, engine.state, model_cfg=cfg,
+                       train_cfg=TrainConfig(), scaler=scaler,
+                       extra={"graph_layout": layout})
+    out = export_cli.main(["--checkpoint", path, "--graph_npz", gpath,
+                           "--out", str(tmp_path / "m.jaxexp"),
+                           "--batch_size", "2", "--seq_len", "12"])
+    loaded = serving.load_exported_forecaster(out["path"])
+    assert tuple(loaded.in_shape) == (2, 12, n, 2)
+    x = rng.normal(size=(2, 12, n, 2)).astype(np.float32)
+    got = np.asarray(loaded.predict(x))
+    fc = serving.Forecaster.from_city_checkpoint(path, gpath)
+    want = np.asarray(fc.predict(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
