@@ -136,15 +136,19 @@ def main():
     scaler = StandardScaler(float(series.mean()), float(series.std()))
     std = scaler.transform(series)
 
-    if args.fuse2 == "on":
-        fused = [block_sparse.as_fused2(s)
-                 if isinstance(s, block_sparse.FlatBlockSparseSupport)
-                 else s for s in sup]
+    if args.fuse2 == "off":
+        # A/B: downgrade the (auto-fused) flat supports to the chain
+        sup = [block_sparse.as_unfused(s)
+               if isinstance(s, block_sparse.FlatBlockSparseSupport)
+               else s for s in sup]
+    else:
+        sup = [block_sparse.as_fused2(s)
+               if isinstance(s, block_sparse.FlatBlockSparseSupport)
+               else s for s in sup]
         n_fused = sum(isinstance(s, block_sparse.Fused2FlatSupport)
-                      for s in fused)
+                      for s in sup)
         print(f"fused order-2 hop chain: {n_fused}/{len(sup)} supports "
               "qualify", flush=True)
-        sup = fused
 
     if args.addaptadj:
         from graph_wavenet_tpu.ops.adaptive_block import mask_from_supports

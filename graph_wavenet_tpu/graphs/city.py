@@ -145,6 +145,11 @@ def build_city_supports(src, dst, weight, n_nodes: int, *, pos=None,
         "n_blocks": stats["n_blocks"],
         "blocks_per_row_mean": stats["blocks_per_row_mean"],
         "blocks_per_row_max": stats["blocks_per_row_max"],
+        # fused order-2 kernel engaged (banded layout)? informational —
+        # rebuild sites get it for free from doubletransition_block_
+        # supports; chained vs fused results are bit-identical
+        "fused2": any(type(s).__name__ == "Fused2FlatSupport"
+                      for s in supports),
     }
     return supports, mask, layout
 

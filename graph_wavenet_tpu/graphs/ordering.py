@@ -231,21 +231,62 @@ def hilbert_order_points(pos: np.ndarray, order: int = 16) -> np.ndarray:
 
 def best_block_ordering(src: np.ndarray, dst: np.ndarray, n_nodes: int,
                         pos: np.ndarray | None = None,
-                        block_size: int = 128
+                        block_size: int = 128,
+                        fuse2_discount: float = 0.8
                         ) -> tuple[np.ndarray, str, dict]:
-    """Pick the ordering with the fewest LIVE nonzero blocks (what the
-    flat block-sparse kernels' compute is proportional to): RCM from the
-    edge list, plus Hilbert when coordinates are available. Returns
-    ``(perm, name, stats)``."""
+    """Pick the best ordering for the flat block-sparse kernels: RCM
+    from the edge list, plus Hilbert when coordinates are available.
+
+    The score is the LIVE nonzero block count (what the kernels' compute
+    is proportional to), discounted by ``fuse2_discount`` when the
+    layout's band qualifies for the fused order-2 hop-chain kernel
+    (``ops.pallas.block_diffusion.fused2_schedule``). Measured at 41k
+    nodes (120-step runs, BENCH_NOTES round 3): RCM-fused (2425 blocks)
+    runs 309 ms/step with the lowest run-to-run variance, statistically
+    tied with Hilbert-unfused (2076 blocks, 302-330 ms — Hilbert's
+    occasional curve jumps blow the ring width past fusability) and ~4%
+    ahead of RCM-unfused; the discount prefers the fusable layout for
+    its consistency. Pass ``fuse2_discount=1.0`` to score purely by
+    block count. Returns ``(perm, name, stats)``; stats carries
+    ``fusable``."""
     candidates = {"rcm": rcm_order_edges(src, dst, n_nodes)}
     if pos is not None:
         candidates["hilbert"] = hilbert_order_points(np.asarray(pos))
     best = None
     for name, perm in candidates.items():
         stats = block_locality_stats(src, dst, n_nodes, perm, block_size)
-        if best is None or stats["n_blocks"] < best[2]["n_blocks"]:
-            best = (perm, name, stats)
-    return best
+        stats["fusable"] = _fusable(src, dst, n_nodes, perm, block_size)
+        score = stats["n_blocks"] * (fuse2_discount if stats["fusable"]
+                                     else 1.0)
+        if best is None or score < best[3]:
+            best = (perm, name, stats, score)
+    return best[:3]
+
+
+def _fusable(src, dst, n_nodes, perm, block_size) -> bool:
+    """Would a flat support built under ``perm`` qualify for the fused
+    order-2 kernel? Checked on the block-pair band (both transition
+    directions — the doubletransition pair shares the symmetric
+    pattern's transpose)."""
+    from graph_wavenet_tpu.ops.pallas.block_diffusion import fused2_schedule
+
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    if perm is not None:
+        perm = np.asarray(perm, np.int64)
+        src, dst = perm[src], perm[dst]
+    nb = -(-n_nodes // block_size)
+    for s, d in ((src, dst), (dst, src)):
+        pair = np.unique((d // block_size) * nb + (s // block_size))
+        row, sb = pair // nb, pair % nb
+        # dummy entries for empty rows, like from_edges_flat
+        empty = np.setdiff1d(np.arange(nb), row)
+        row = np.concatenate([row, empty])
+        sb = np.concatenate([sb, empty])
+        order = np.argsort(row, kind="stable")
+        if fused2_schedule(row[order], sb[order], nb) is None:
+            return False
+    return True
 
 
 def block_locality_stats(src: np.ndarray, dst: np.ndarray, n_nodes: int,

@@ -94,9 +94,13 @@ def doubletransition_block_supports(src: np.ndarray, dst: np.ndarray,
         wt = transition_edge_weights(s, d, w, n)
         if form == "flat":
             # build the live-block form directly — the padded
-            # intermediate costs ~25x the host build time at 82k nodes
-            sup.append(block_sparse.from_edges_flat(
-                s, d, wt, n, block_size, block_size, perm=perm))
+            # intermediate costs ~25x the host build time at 82k nodes.
+            # as_fused2 upgrades banded layouts (RCM) to the fused
+            # order-2 hop-chain kernel (bit-exact; no-op otherwise) —
+            # measured ~4% step win over the chain at 41k nodes and the
+            # most run-to-run-consistent config (BENCH_NOTES round 3)
+            sup.append(block_sparse.as_fused2(block_sparse.from_edges_flat(
+                s, d, wt, n, block_size, block_size, perm=perm)))
         elif form == "flat-rect":
             sup.append(block_sparse.from_edges_flat(
                 s, d, wt, n, block_size, 4 * block_size, perm=perm))

@@ -688,6 +688,16 @@ class Fused2FlatSupport(FlatBlockSparseSupport):
                                 self.src_t, self.slot_t, self.inv_slot)
 
 
+def as_unfused(sp: FlatBlockSparseSupport) -> FlatBlockSparseSupport:
+    """Downgrade a fused support to the plain two-call chain (A/B
+    tooling; bit-identical results either way)."""
+    if not isinstance(sp, Fused2FlatSupport):
+        return sp
+    return FlatBlockSparseSupport(sp.blocks_flat, sp.row_tbl, sp.src_tbl,
+                                  sp.slot_tbl, sp.row_t, sp.src_t,
+                                  sp.slot_t, sp.inv_slot)
+
+
 def as_fused2(sp: FlatBlockSparseSupport,
               max_ring: int = 16) -> FlatBlockSparseSupport:
     """Upgrade a flat support to the fused order-2 kernel when its layout

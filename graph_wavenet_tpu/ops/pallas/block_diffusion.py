@@ -492,10 +492,14 @@ def gathered_block_mix_flat2(blocks_flat: jnp.ndarray,
     if pad_r:
         x_pad = jnp.pad(x_pad, ((0, 0), (0, 0), (0, pad_r)))
     rp = r + pad_r
-    # ring_w fp32-equivalent tiles must fit VMEM next to the accumulators
-    # and the streaming tiles; cap the column tile accordingly
-    cap = max(512, (6 * 1024 * 1024 // (bs * 4)) // (ring_w + 2) // 128
-              * 128)
+    # the ring (x dtype) + two fp32 accumulators + streamed tiles must fit
+    # VMEM; shrinking rt multiplies grid steps (per-step overhead is what
+    # dominates at these tile sizes), so budget generously (~12 MB) and
+    # only then shrink
+    itemsize = x_pad.dtype.itemsize
+    budget = 12 * 1024 * 1024
+    cap = max(512, budget // (bs * (ring_w * itemsize + 2 * 4 + 3
+                                    * itemsize)) // 128 * 128)
     rt = min(_pick_rt(rp), cap)
     while rp % rt:
         rt -= 128
