@@ -121,10 +121,13 @@ def main():
     print("rolling out the diffusion process on device ...", flush=True)
 
     @jax.jit
-    def rollout(key):
+    def rollout(key, sup0):
+        # sup0 rides as an ARGUMENT: a closed-over support's blocks would
+        # embed as program constants, and above ~64k nodes the serialized
+        # program exceeds remote-compile transport limits (HTTP 413)
         def step(x, k):
             mixed = block_sparse.nconv_block_sparse(
-                x[None, None, :, None], sup[0])[0, 0, :, 0]
+                x[None, None, :, None], sup0)[0, 0, :, 0]
             nxt = 0.7 * mixed + 0.25 * x + 0.1 * jax.random.normal(k, (n,))
             return nxt, nxt
         keys = jax.random.split(key, T_total + 1)
@@ -132,7 +135,7 @@ def main():
         _, xs = jax.lax.scan(step, x0, keys[1:])   # noise keys independent
         return xs                                   # (T_total, N)
 
-    series = np.asarray(rollout(jax.random.key(7)))
+    series = np.asarray(rollout(jax.random.key(7), sup[0]))
     scaler = StandardScaler(float(series.mean()), float(series.std()))
     std = scaler.transform(series)
 

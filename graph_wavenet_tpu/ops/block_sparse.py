@@ -699,7 +699,7 @@ def as_unfused(sp: FlatBlockSparseSupport) -> FlatBlockSparseSupport:
 
 
 def as_fused2(sp: FlatBlockSparseSupport,
-              max_ring: int = 16) -> FlatBlockSparseSupport:
+              max_ring: int = 24) -> FlatBlockSparseSupport:
     """Upgrade a flat support to the fused order-2 kernel when its layout
     qualifies (banded under the node ordering; square blocks); returns
     the support unchanged otherwise — callers need no fallback logic."""

@@ -392,7 +392,7 @@ def gathered_block_outer(x_pad: jnp.ndarray, g_blocks: jnp.ndarray,
 
 
 def fused2_schedule(row_tbl, src_tbl, n_rows: int,
-                    max_ring: int = 16) -> tuple[int, int] | None:
+                    max_ring: int = 24) -> tuple[int, int] | None:
     """(delay D, ring width W) for the fused order-2 kernel, or None when
     the layout's band is too wide to ring-buffer (unordered graphs).
 
