@@ -81,9 +81,11 @@ class BlockAdaptiveMask:
     bs_dst: int = field(metadata=dict(static=True))
     n_src_blocks: int = field(metadata=dict(static=True))
     n_dst_blocks: int = field(metadata=dict(static=True))
-    # (delay, ring_w) when the pattern qualifies for the fused order-2
-    # hop-chain kernel (ops.block_sparse.Fused2FlatSupport) — banded
-    # layouts under RCM/Hilbert orderings; None = plain chained hops
+    # (delay, ring_w, delay_t, ring_w_t) when the pattern qualifies for
+    # the fused order-2 hop-chain kernel (ops.block_sparse.
+    # Fused2FlatSupport; the _t pair covers the fused backward transpose
+    # chain, 0 = bwd falls back) — banded layouts under RCM orderings;
+    # None = plain chained hops
     fuse2: tuple | None = field(metadata=dict(static=True), default=None)
 
     @property
@@ -109,8 +111,9 @@ class BlockAdaptiveMask:
         tables = (blocks_flat, self.row_tbl, self.src_tbl, self.slot_tbl,
                   self.row_t, self.src_t, self.slot_t, self.inv_slot)
         if self.fuse2 is not None:
-            d, w = self.fuse2
-            return Fused2FlatSupport(*tables, delay=d, ring_w=w)
+            d, w, dt, wt = self.fuse2
+            return Fused2FlatSupport(*tables, delay=d, ring_w=w,
+                                     delay_t=dt, ring_w_t=wt)
         return FlatBlockSparseSupport(*tables)
 
 
@@ -231,6 +234,10 @@ def mask_from_pairs(dst_block: np.ndarray, src_block: np.ndarray,
 
     fuse2 = fused2_schedule(np.asarray(tmpl.row_tbl),
                             np.asarray(tmpl.src_tbl), n_blocks)
+    if fuse2 is not None:
+        sched_t = fused2_schedule(np.asarray(tmpl.row_t),
+                                  np.asarray(tmpl.src_t), n_blocks)
+        fuse2 = fuse2 + (sched_t if sched_t is not None else (0, 0))
     return BlockAdaptiveMask(
         row_tbl=tmpl.row_tbl, src_tbl=tmpl.src_tbl, slot_tbl=tmpl.slot_tbl,
         row_t=tmpl.row_t, src_t=tmpl.src_t, slot_t=tmpl.slot_t,

@@ -590,9 +590,10 @@ _block_mix_flat.defvjp(_block_mix_flat_fwd, _block_mix_flat_bwd)
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _block_mix_flat2(delay, ring_w, x2, blocks_flat, row_tbl, src_tbl,
-                     slot_tbl, row_t, src_t, slot_t, inv_slot):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _block_mix_flat2(delay, ring_w, delay_t, ring_w_t, x2, blocks_flat,
+                     row_tbl, src_tbl, slot_tbl, row_t, src_t, slot_t,
+                     inv_slot):
     """(N, R) -> ((N, R), (N, R)): hop and hop-of-hop through the flat
     block structure in ONE kernel pass (``ops.pallas.block_diffusion.
     gathered_block_mix_flat2`` — hop 2 reads the intermediate from a VMEM
@@ -612,24 +613,31 @@ def _block_mix_flat2(delay, ring_w, x2, blocks_flat, row_tbl, src_tbl,
     return o1.reshape(n, r), o2.reshape(n, r)
 
 
-def _block_mix_flat2_fwd(delay, ring_w, x2, blocks_flat, row_tbl, src_tbl,
-                         slot_tbl, row_t, src_t, slot_t, inv_slot):
-    out = _block_mix_flat2(delay, ring_w, x2, blocks_flat, row_tbl,
-                           src_tbl, slot_tbl, row_t, src_t, slot_t,
-                           inv_slot)
+def _block_mix_flat2_fwd(delay, ring_w, delay_t, ring_w_t, x2,
+                         blocks_flat, row_tbl, src_tbl, slot_tbl, row_t,
+                         src_t, slot_t, inv_slot):
+    out = _block_mix_flat2(delay, ring_w, delay_t, ring_w_t, x2,
+                           blocks_flat, row_tbl, src_tbl, slot_tbl,
+                           row_t, src_t, slot_t, inv_slot)
     return out, (x2, out[0], blocks_flat, row_tbl, src_tbl, slot_tbl,
                  row_t, src_t, slot_t, inv_slot)
 
 
-def _block_mix_flat2_bwd(delay, ring_w, res, g):
-    """Chain-rule of the two hops with the existing per-hop kernels
-    (the backward still reads the saved x1 = out1 from HBM — it is a
-    forward OUTPUT the gcn projection consumes anyway):
+def _block_mix_flat2_bwd(delay, ring_w, delay_t, ring_w_t, res, g):
+    """Chain-rule of the two hops:
     g1_eff = g1 + A-mixT(g2); dx = A-mixT(g1_eff);
     dA[l] = x[src[l]] (x) g1_eff[row[l]]  +  x1[src[l]] (x) g2[row[l]].
-    """
+
+    The transpose chain is itself an order-2 hop chain over the
+    transpose tables, so when the transpose band qualifies
+    (``delay_t > 0``) it runs the SAME fused kernel with ``g1`` as the
+    additive hop-1 epilogue — one pass yields (g1_eff, dx). The
+    per-entry weight cotangents keep the two outer kernels (x and the
+    saved x1 = out1 are forward values the gcn projection consumes
+    anyway)."""
     from graph_wavenet_tpu.ops.pallas.block_diffusion import (
         gathered_block_mix_flat,
+        gathered_block_mix_flat2,
         gathered_block_outer_flat,
     )
 
@@ -645,13 +653,21 @@ def _block_mix_flat2_bwd(delay, ring_w, res, g):
     g2 = g2.astype(dt)
     bf = blocks_flat.astype(dt)
 
-    def mixT(gb):
-        return gathered_block_mix_flat(
-            bf, slot_t, gb.reshape(nb, bs, r), src_t, row_t, nb=nb,
-            transpose_lhs=False, interpret=interp).reshape(n, r)
+    if delay_t > 0:
+        ge, dxb = gathered_block_mix_flat2(
+            bf, slot_t, g2.reshape(nb, bs, r), src_t, row_t, nb=nb,
+            delay=delay_t, ring_w=ring_w_t, transpose_lhs=False,
+            add=g1.reshape(nb, bs, r), interpret=interp)
+        g1_eff = ge.reshape(n, r)
+        dx = dxb.reshape(n, r)
+    else:
+        def mixT(gb):
+            return gathered_block_mix_flat(
+                bf, slot_t, gb.reshape(nb, bs, r), src_t, row_t, nb=nb,
+                transpose_lhs=False, interpret=interp).reshape(n, r)
 
-    g1_eff = g1 + mixT(g2)
-    dx = mixT(g1_eff)
+        g1_eff = g1 + mixT(g2)
+        dx = mixT(g1_eff)
     acc = accum_dtype(dt)
     dflat = gathered_block_outer_flat(
         x2.reshape(nb, bs, r), g1_eff.reshape(nb, bs, r), src_tbl,
@@ -680,9 +696,14 @@ class Fused2FlatSupport(FlatBlockSparseSupport):
 
     delay: int = field(metadata=dict(static=True), default=1)
     ring_w: int = field(metadata=dict(static=True), default=1)
+    # transpose-table schedule for the fused BACKWARD chain; 0 = the
+    # transpose band does not qualify, bwd falls back to chained hops
+    delay_t: int = field(metadata=dict(static=True), default=0)
+    ring_w_t: int = field(metadata=dict(static=True), default=0)
 
     def mix2_2d(self, x2: jnp.ndarray):
-        return _block_mix_flat2(self.delay, self.ring_w, x2,
+        return _block_mix_flat2(self.delay, self.ring_w, self.delay_t,
+                                self.ring_w_t, x2,
                                 self.blocks_flat, self.row_tbl,
                                 self.src_tbl, self.slot_tbl, self.row_t,
                                 self.src_t, self.slot_t, self.inv_slot)
@@ -715,6 +736,10 @@ def as_fused2(sp: FlatBlockSparseSupport,
     if sched is None:
         return sp
     d, w = sched
+    sched_t = fused2_schedule(np.asarray(sp.row_t), np.asarray(sp.src_t),
+                              nb, max_ring=max_ring)
+    dt, wt = sched_t if sched_t is not None else (0, 0)
     return Fused2FlatSupport(sp.blocks_flat, sp.row_tbl, sp.src_tbl,
                              sp.slot_tbl, sp.row_t, sp.src_t, sp.slot_t,
-                             sp.inv_slot, delay=d, ring_w=w)
+                             sp.inv_slot, delay=d, ring_w=w,
+                             delay_t=dt, ring_w_t=wt)

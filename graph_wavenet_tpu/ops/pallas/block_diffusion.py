@@ -418,9 +418,15 @@ def fused2_schedule(row_tbl, src_tbl, n_rows: int,
 
 
 def _mix_flat2_kernel(row_ref, slot_ref, src_ref, blocks1_ref, x_ref,
-                      blocks2_ref, o1_ref, o2_ref, acc1_ref, acc2_ref,
-                      ring_ref, *, n_live: int, delay: int, ring_w: int,
-                      transpose_lhs: bool):
+                      blocks2_ref, *refs, n_live: int, delay: int,
+                      ring_w: int, transpose_lhs: bool, with_add: bool):
+    if with_add:
+        # additive hop-1 epilogue (the backward transpose chain's
+        # ``g1 + mixT(g2)``): one extra streamed input tile per hop-1 row
+        add_ref, o1_ref, o2_ref, acc1_ref, acc2_ref, ring_ref = refs
+    else:
+        add_ref = None
+        o1_ref, o2_ref, acc1_ref, acc2_ref, ring_ref = refs
     l = pl.program_id(1)
     dims = ((((0,), (0,)) if transpose_lhs else ((1,), (0,))), ((), ()))
 
@@ -441,8 +447,12 @@ def _mix_flat2_kernel(row_ref, slot_ref, src_ref, blocks1_ref, x_ref,
                  | (row != row_ref[jnp.minimum(l + 1, n_live - 1)]))
         def _():
             # cast at row completion = the two-call chain's inter-hop
-            # cast (mix_2d returns the activation dtype) — bit-identical
+            # cast (mix_2d returns the activation dtype) — bit-identical;
+            # the additive term lands AFTER the cast, matching the
+            # chain's dtype-space ``g1 + mixT(g2)`` elementwise add
             val = acc1_ref[...].astype(o1_ref.dtype)
+            if with_add:
+                val = val + add_ref[0]
             o1_ref[0] = val
             ring_ref[row % ring_w] = val
 
@@ -473,12 +483,18 @@ def gathered_block_mix_flat2(blocks_flat: jnp.ndarray,
                              src_tbl: jnp.ndarray, row_tbl: jnp.ndarray,
                              *, nb: int, delay: int, ring_w: int,
                              transpose_lhs: bool,
+                             add: jnp.ndarray | None = None,
                              interpret: bool = False):
     """Both order-2 hops in one pass: returns ``(out1, out2)``, each
     (nb, BS, R), with ``out1`` = the single-hop mix and ``out2`` the hop
     over ``out1`` — numerically identical to two ``gathered_block_mix_
     flat`` calls (same accumulation order, same inter-hop cast). Square
-    blocks only; ``delay``/``ring_w`` from :func:`fused2_schedule`."""
+    blocks only; ``delay``/``ring_w`` from :func:`fused2_schedule`.
+
+    ``add`` (nb, BS, R, optional): added to out1 AFTER the inter-hop
+    cast, so out1 = mix(x) + add and out2 = mix(out1) — the backward
+    transpose chain ``g1_eff = g1 + mixT(g2); dx = mixT(g1_eff)`` as one
+    call, identical to the chained form's dtype-space elementwise add."""
     assert blocks_flat.shape[1] == blocks_flat.shape[2], (
         "fused order-2 chain needs square blocks")
     n_live = slot_tbl.shape[0]
@@ -505,20 +521,31 @@ def gathered_block_mix_flat2(blocks_flat: jnp.ndarray,
         rt -= 128
     rt = max(rt, 128)
 
+    with_add = add is not None
+    in_specs = [
+        pl.BlockSpec((1, bs, bs),
+                     lambda j, l, row, slot, src:
+                     (slot[jnp.minimum(l, n_live - 1)], 0, 0)),
+        pl.BlockSpec((1, bs, rt),
+                     lambda j, l, row, slot, src:
+                     (src[jnp.minimum(l, n_live - 1)], 0, j)),
+        pl.BlockSpec((1, bs, bs),
+                     lambda j, l, row, slot, src:
+                     (slot[jnp.maximum(l - delay, 0)], 0, 0)),
+    ]
+    inputs = [blocks_flat, x_pad, blocks_flat]
+    if with_add:
+        if pad_r:
+            add = jnp.pad(add, ((0, 0), (0, 0), (0, pad_r)))
+        in_specs.append(
+            pl.BlockSpec((1, bs, rt),
+                         lambda j, l, row, slot, src:
+                         (row[jnp.minimum(l, n_live - 1)], 0, j)))
+        inputs.append(add.astype(x_pad.dtype))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(rp // rt, n_live + delay),
-        in_specs=[
-            pl.BlockSpec((1, bs, bs),
-                         lambda j, l, row, slot, src:
-                         (slot[jnp.minimum(l, n_live - 1)], 0, 0)),
-            pl.BlockSpec((1, bs, rt),
-                         lambda j, l, row, slot, src:
-                         (src[jnp.minimum(l, n_live - 1)], 0, j)),
-            pl.BlockSpec((1, bs, bs),
-                         lambda j, l, row, slot, src:
-                         (slot[jnp.maximum(l - delay, 0)], 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, bs, rt),
                          lambda j, l, row, slot, src:
@@ -535,7 +562,8 @@ def gathered_block_mix_flat2(blocks_flat: jnp.ndarray,
     )
     out1, out2 = pl.pallas_call(
         functools.partial(_mix_flat2_kernel, n_live=n_live, delay=delay,
-                          ring_w=ring_w, transpose_lhs=transpose_lhs),
+                          ring_w=ring_w, transpose_lhs=transpose_lhs,
+                          with_add=with_add),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((nb, bs, rp), x_pad.dtype),
                    jax.ShapeDtypeStruct((nb, bs, rp), x_pad.dtype)],
@@ -544,10 +572,11 @@ def gathered_block_mix_flat2(blocks_flat: jnp.ndarray,
         cost_estimate=pl.CostEstimate(
             flops=4 * n_live * bs * bs * rp,
             bytes_accessed=(n_live * (2 * bs * bs + bs * rt)
-                            + 2 * nb * bs * rp) * x_pad.dtype.itemsize,
+                            + (2 + with_add) * nb * bs * rp)
+            * x_pad.dtype.itemsize,
             transcendentals=0),
         interpret=interpret,
-    )(row_tbl, slot_tbl, src_tbl, blocks_flat, x_pad, blocks_flat)
+    )(row_tbl, slot_tbl, src_tbl, *inputs)
     if pad_r:
         return out1[..., :r], out2[..., :r]
     return out1, out2
