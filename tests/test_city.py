@@ -191,3 +191,29 @@ def test_cli_city_train_node_tp_mesh(tmp_path, city_fixture):
         "--save", str(tmp_path / "garage_tp")])
     result = out["result"]
     assert np.isfinite(result.test_metrics["mae"])
+
+
+def test_block_space_heatmap(rng):
+    """The city-scale heatmap: per-live-block mass of the learned masked
+    adjacency; dead blocks stay zero, live mass matches the materialized
+    support."""
+    import jax.numpy as jnp
+
+    from graph_wavenet_tpu.cli.test import block_space_heatmap
+
+    src, dst, w, pos, n = _graph(rng)
+    sups, _, layout = city.build_city_supports(
+        src, dst, w, n, pos=pos, ordering="rcm", form="flat",
+        block_size=8)
+    n_pad = layout["n_pad"]
+    nv1 = jnp.asarray(rng.normal(size=(n_pad, 4)), jnp.float32)
+    nv2 = jnp.asarray(rng.normal(size=(4, n_pad)), jnp.float32)
+    grid, amask = block_space_heatmap(list(sups), nv1, nv2)
+    assert grid.shape == (n_pad // 8, n_pad // 8)
+    live = np.zeros_like(grid, bool)
+    live[np.asarray(amask.live_src), np.asarray(amask.live_dst)] = True
+    assert (grid[~live] == 0).all()
+    # each live source row's mass sums to ~bs (rows softmax to 1)
+    row_mass = grid.sum(1)
+    covered = np.unique(np.asarray(amask.live_src))
+    np.testing.assert_allclose(row_mass[covered], 8.0, atol=1e-3)
