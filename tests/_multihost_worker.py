@@ -104,11 +104,43 @@ def main(port: int, pid: int, nprocs: int, out_path: str) -> None:
     gy = multihost.global_batch(sy[pid * rows:(pid + 1) * rows], bs2)
     _, sm = seng.train_step(sstate, gx, gy, [ssup])
 
+    # --- TRAINABLE sharded support weights across the process boundary:
+    # the global blocks gradient (exact dest-copy cotangents scattered
+    # through the derived-view gathers) must agree across processes and
+    # with the single-chip flat gradient the test computes.
+    import dataclasses
+
+    tsup = shard_flat_support(block_sparse.as_flat_pallas(sp), mesh2,
+                              trainable=True)
+    assert tsup.halo
+
+    def place(a, spec):
+        return jax.device_put(np.asarray(a), NamedSharding(mesh2, spec))
+
+    tables = ("glob_f", "row_f", "src_f", "slot_f", "inv_f",
+              "glob_b", "row_b", "src_b", "slot_b")
+    tsup = dataclasses.replace(
+        tsup, blocks=place(tsup.blocks, P()),
+        **{f: place(getattr(tsup, f),
+                    P(M.MODEL, *[None] * (getattr(tsup, f).ndim - 1)))
+           for f in tables})
+    r3 = np.random.default_rng(4)
+    x2_host = r3.normal(size=(sx.shape[2], 8)).astype(np.float32)
+    gx2 = place(x2_host, P(M.MODEL, None))
+
+    def wloss(blocks):
+        s2 = dataclasses.replace(tsup, blocks=blocks)
+        return jnp.sum(jnp.sin(s2.mix_2d(gx2)))
+
+    dblocks = jax.jit(jax.grad(wloss))(tsup.blocks)
+    dblocks = np.asarray(jax.device_get(dblocks))
+
     # params are replicated -> every process holds full copies locally
     leaves = jax.tree_util.tree_leaves(jax.device_get(state.params))
     np.savez(out_path, *[np.asarray(l) for l in leaves],
              loss=np.float64(m["loss"]),
-             sparse_loss=np.float64(sm["loss"]))
+             sparse_loss=np.float64(sm["loss"]),
+             trainable_dblocks=dblocks)
     print(f"worker {pid} done", flush=True)
 
 

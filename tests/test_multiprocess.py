@@ -91,7 +91,8 @@ def test_two_process_dp_matches_single_process(tmp_path):
                                      sup)
     leaves = jax.tree_util.tree_leaves(jax.device_get(state.params))
     dist_leaves = [a[k] for k in a.files
-                   if k not in ("loss", "sparse_loss")]
+                   if k not in ("loss", "sparse_loss",
+                                "trainable_dblocks")]
     assert len(leaves) == len(dist_leaves)
     for ours, theirs in zip(leaves, dist_leaves):
         np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-5)
@@ -115,3 +116,22 @@ def test_two_process_dp_matches_single_process(tmp_path):
                             [block_sparse.as_flat_pallas(sp)])
     np.testing.assert_allclose(float(sm["loss"]), float(a["sparse_loss"]),
                                rtol=1e-4)
+
+    # TRAINABLE sharded support weights across the process boundary: the
+    # workers' global blocks gradient equals the single-chip flat
+    # gradient (VERDICT r2 #5, now also pinned cross-process)
+    import dataclasses
+
+    flat = block_sparse.as_flat_pallas(sp)
+    r3 = np.random.default_rng(4)
+    x2 = jnp.asarray(r3.normal(size=(sx.shape[2], 8)), jnp.float32)
+
+    def ref_loss(blocks):
+        s2 = dataclasses.replace(flat, blocks_flat=blocks)
+        return jnp.sum(jnp.sin(s2.mix_2d(x2)))
+
+    ref_g = np.asarray(jax.grad(ref_loss)(flat.blocks_flat))
+    for path in outs:
+        with np.load(path) as z:
+            np.testing.assert_allclose(z["trainable_dblocks"], ref_g,
+                                       rtol=1e-4, atol=1e-6)
