@@ -329,3 +329,44 @@ def test_halo_traffic_pinned_in_hlo(rng, mesh):
     gather_recv = (s - 1) * (n // s) * r * 4
     halo_recv = 2 * (n // s) * r * 4
     assert gather_recv / halo_recv == (s - 1) / 2
+
+
+def test_dp_mesh_with_fused_sparse_and_mask(rng):
+    """Pure-DP mesh + UNSHARDED fused flat supports + adaptive mask (the
+    CLI's --mesh_dp city case): GSPMD shards the batch around the Pallas
+    custom calls; result equals the single-device step."""
+    from graph_wavenet_tpu.config import MeshConfig, ModelConfig, TrainConfig
+    from graph_wavenet_tpu.data.scaler import StandardScaler
+    from graph_wavenet_tpu.graphs.spatial import (
+        doubletransition_block_supports,
+    )
+    from graph_wavenet_tpu.ops.adaptive_block import mask_from_supports
+    from graph_wavenet_tpu.parallel import mesh as M
+    from graph_wavenet_tpu.train.engine import Engine
+
+    n = 64
+    src = rng.integers(0, n, 200)
+    dst = np.clip(src + rng.integers(-8, 9, 200), 0, n - 1)
+    w = rng.random(200).astype(np.float32) + 0.1
+    sup = doubletransition_block_supports(src, dst, w, n, form="flat",
+                                          block_size=16)
+    assert all(isinstance(s, B.Fused2FlatSupport) for s in sup)
+    supports = list(sup) + [mask_from_supports(sup)]
+    cfg = ModelConfig(num_nodes=n, in_dim=2, out_dim=4,
+                      residual_channels=4, dilation_channels=4,
+                      skip_channels=8, end_channels=16, blocks=2,
+                      layers=2, dropout=0.0, gcn_bool=True,
+                      addaptadj=True, n_supports=2)
+    mcfg = MeshConfig()
+    dmesh = M.make_mesh(mcfg)
+    eng = Engine(cfg, TrainConfig(), StandardScaler(0.0, 1.0))
+    state = M.shard_state(dmesh, eng.state)
+    x = rng.normal(size=(16, 12, n, 2)).astype(np.float32)
+    y = (rng.normal(size=(16, 4, n, 2)) + 3).astype(np.float32)
+    xb, yb = M.shard_batch(dmesh, mcfg, x, y)
+    _, m = eng.train_step(state, xb, yb, supports)
+    eng2 = Engine(cfg, TrainConfig(), StandardScaler(0.0, 1.0))
+    _, m2 = eng2.train_step(eng2.state, jnp.asarray(x), jnp.asarray(y),
+                            supports)
+    np.testing.assert_allclose(float(m["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
