@@ -65,7 +65,12 @@ def graph_fingerprint(src, dst, weight, n_nodes: int) -> str:
     supports, ordering, and node meaning would all be wrong)."""
     h = hashlib.sha256()
     h.update(np.int64(n_nodes).tobytes())
-    order = np.lexsort((np.asarray(dst, np.int64),
+    # weight participates in the sort key so duplicate (src, dst) edges
+    # hash order-invariantly too (ADVICE r3: without it two npz files
+    # encoding the same multigraph could fingerprint differently — a
+    # spurious refusal); unique-edge graphs digest identically either way
+    order = np.lexsort((np.asarray(weight, np.float32),
+                        np.asarray(dst, np.int64),
                         np.asarray(src, np.int64)))
     h.update(np.asarray(src, np.int64)[order].tobytes())
     h.update(np.asarray(dst, np.int64)[order].tobytes())

@@ -160,6 +160,14 @@ def apply_gwnet(cfg: ModelConfig, params: Params, state: State,
         fixed = [s for s in supports
                  if not getattr(s, "adaptive_mask", False)]
         if masks:
+            if len(masks) > 1:
+                # silently materializing only masks[0] would surface much
+                # later as a confusing gcn weight-shape assert (ADVICE r3)
+                raise ValueError(
+                    f"supports contain {len(masks)} BlockAdaptiveMasks; "
+                    "the model materializes exactly one learned adjacency "
+                    "— pass a single mask (union the patterns upstream if "
+                    "needed)")
             # block-masked adaptive adjacency: materialize a flat
             # block-sparse support on the mask's live pattern — the full
             # reference model (learned graph included) at city scale,
@@ -167,18 +175,18 @@ def apply_gwnet(cfg: ModelConfig, params: Params, state: State,
             adp = masks[0].materialize(params["nodevec1"],
                                        params["nodevec2"])
         else:
-            if (any(hasattr(s, "mix_2d") for s in fixed)
-                    and cfg.num_nodes >= 16384):
-                # mixing sparse fixed supports with the dense adp is fine
-                # at small N (the reference semantics); at city scale the
-                # O(N^2) materialization (>= 1 GB fp32) is always a
-                # mistake — demand the masked form instead
+            if cfg.num_nodes >= 16384:
+                # at city scale the O(N^2) dense materialization (>= 1 GB
+                # fp32) is always a mistake whatever the fixed supports
+                # (sparse, dense, or none/aptonly — ADVICE r3) — demand
+                # the masked form instead
                 raise ValueError(
-                    "addaptadj with sparse fixed supports at "
-                    f"num_nodes={cfg.num_nodes} needs a BlockAdaptiveMask "
-                    "in the supports list (ops.adaptive_block."
-                    "mask_from_supports(fixed)); the dense adaptive "
-                    "adjacency would materialize O(N^2)")
+                    "addaptadj without a BlockAdaptiveMask at "
+                    f"num_nodes={cfg.num_nodes} would materialize the "
+                    "dense O(N^2) adaptive adjacency; put a mask in the "
+                    "supports list (ops.adaptive_block."
+                    "mask_from_supports(fixed), or mask_from_pairs with a "
+                    "chosen pattern for aptonly)")
             adp = adaptive_adjacency(params["nodevec1"],
                                      params["nodevec2"])
         new_supports = fixed + [adp]

@@ -195,8 +195,38 @@ def test_sparse_fixed_without_mask_raises_at_scale():
         def mix_2d(self, x2):
             return x2
 
-    with pytest.raises(ValueError, match="needs a BlockAdaptiveMask"):
+    with pytest.raises(ValueError,
+                       match="would materialize the dense O"):
         apply_gwnet(cfg, params, {"bn": []}, x, [_FakeSparse()])
+
+
+def test_aptonly_without_mask_raises_at_scale():
+    """ADVICE r3: the guard must also fire for an aptonly city-scale
+    config (addaptadj, empty supports, no mask) — previously only sparse
+    FIXED supports tripped it and aptonly silently went dense O(N^2)."""
+    from graph_wavenet_tpu.ops.linear import linear_init
+
+    big = 16384
+    cfg = _cfg(num_nodes=big, n_supports=0)
+    params = {"start_conv": linear_init(jax.random.key(0), 2, 4),
+              "nodevec1": jnp.zeros((big, RANK)),
+              "nodevec2": jnp.zeros((RANK, big))}
+    x = jnp.zeros((1, 13, big, 2), jnp.float32)
+    with pytest.raises(ValueError, match="dense O"):
+        apply_gwnet(cfg, params, {"bn": []}, x, [])
+
+
+def test_multiple_masks_raise(rng):
+    """ADVICE r3: >1 BlockAdaptiveMask in the supports must raise (the
+    model materializes exactly one learned adjacency; silently dropping
+    extras would only surface later as a gcn weight-shape assert)."""
+    cfg = _cfg()
+    params, state = init_gwnet(jax.random.key(0), cfg)
+    x = jnp.zeros((1, 13, N, 2), jnp.float32)
+    sups = _make_supports(np.random.default_rng(1), "flat")
+    mask = adaptive_block.mask_from_supports(sups)
+    with pytest.raises(ValueError, match="exactly one learned adjacency"):
+        apply_gwnet(cfg, params, state, x, list(sups) + [mask, mask])
 
 
 def test_train_step_learns_masked_adaptive(rng):

@@ -49,6 +49,22 @@ def test_fingerprint_sensitivity(rng):
     assert fp != city.graph_fingerprint(src, dst, w, n + 1)
 
 
+def test_fingerprint_duplicate_edges_order_invariant():
+    """ADVICE r3: a multigraph with duplicate (src, dst) edges carrying
+    different weights must fingerprint identically whatever the file
+    order of the duplicates (weight is part of the sort key)."""
+    src = np.array([3, 3, 1], np.int64)
+    dst = np.array([5, 5, 2], np.int64)
+    w = np.array([0.25, 0.75, 1.0], np.float32)
+    fp = city.graph_fingerprint(src, dst, w, 8)
+    # swap the two duplicate edges' positions
+    order = np.array([1, 0, 2])
+    assert fp == city.graph_fingerprint(src[order], dst[order], w[order], 8)
+    # but a genuinely different duplicate weight still changes the digest
+    w3 = np.array([0.25, 0.5, 1.0], np.float32)
+    assert fp != city.graph_fingerprint(src, dst, w3, 8)
+
+
 def test_build_city_supports_matches_dense(rng):
     """Block supports under the persisted permutation equal the dense
     doubletransition pair permuted the same way."""
