@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "layout)")
     p.add_argument("--aptonly", action="store_true",
                    help="no fixed supports (adaptive adjacency only)")
+    p.add_argument("--graph_bank", type=str, default=None,
+                   help="deployment graph bank for a diff-G checkpoint "
+                        "(serving.save_graph_bank .npz): the artifact "
+                        "bakes weights AND bank supports; its call "
+                        "signature becomes (x, adj_idx)")
     p.add_argument("--batch_size", type=int, default=64,
                    help="batch dimension baked into the artifact")
     p.add_argument("--seq_len", type=int, default=0,
@@ -58,6 +63,21 @@ def main(argv=None) -> dict:
 
     from graph_wavenet_tpu.graphs.normalize import load_adj
     from graph_wavenet_tpu.train import serving
+
+    if args.graph_bank:
+        # diff-G family: bank supports baked in, artifact takes
+        # (x, adj_idx) — see serving.export_diffg_forecaster
+        fc = serving.DiffGForecaster.from_checkpoint(args.checkpoint)
+        fc.bind_bank(serving.load_graph_bank(args.graph_bank),
+                     adjtype=args.adjtype)
+        path = serving.export_diffg_forecaster(
+            fc, args.out, batch_size=args.batch_size,
+            seq_len=args.seq_len or None, platforms=args.platforms)
+        loaded = serving.load_exported_forecaster(path)
+        print(f"exported {path}: inputs (x {loaded.in_shape}, adj_idx), "
+              f"platforms {list(loaded.platforms)}")
+        return {"path": path, "in_shape": tuple(loaded.in_shape),
+                "platforms": list(loaded.platforms)}
 
     if args.graph_npz:
         forecaster = serving.Forecaster.from_city_checkpoint(

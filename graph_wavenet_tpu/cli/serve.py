@@ -18,7 +18,13 @@ Endpoints (JSON):
 - ``GET  /healthz`` -> {"status": "ok", ...model info}
 - ``GET  /stats``   -> request/batch counters from the micro-batcher
 - ``POST /predict`` body {"x": <(K, N, F) or (B, K, N, F) nested lists>}
-  -> {"y": <(H, N) or (B, H, N)>}
+  -> {"y": <(H, N) or (B, H, N)>}; diff-G checkpoints (``--graph_bank``)
+  additionally require {"adj_idx": <int or per-row list>} naming each
+  sample's bank graph
+- ``POST /predict_modalities`` (diff-G with labels + F_t in the bank)
+  -> {"pred_F": ..., "pred_E": ...} pooled modality estimates — the
+  quantities the reference's diff-G eval plots
+  (`/root/reference/train.py:330-370`)
 """
 
 from __future__ import annotations
@@ -50,6 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "block-sparse supports rebuilt under the "
                         "persisted node layout; requests speak ORIGINAL "
                         "node ids")
+    p.add_argument("--graph_bank", type=str, default=None,
+                   help="deployment graph bank for a diff-G (per-sample-"
+                        "graph) checkpoint: an .npz of raw adjacencies "
+                        "(serving.save_graph_bank; optional community "
+                        "labels + F_t enable /predict_modalities). "
+                        "Requests then carry an 'adj_idx' naming each "
+                        "sample's graph")
     p.add_argument("--adjtype", type=str, default="doubletransition")
     p.add_argument("--aptonly", action="store_true",
                    help="adaptive-adjacency-only: no fixed supports")
@@ -70,7 +83,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _build_predictor(args):
-    """-> (predict_batch, scaler, info, fixed_batch)."""
+    """-> (predict_batch, scaler, info, fixed_batch, modalities_fn)."""
     from graph_wavenet_tpu.data.scaler import StandardScaler
     from graph_wavenet_tpu.train import serving
 
@@ -79,9 +92,39 @@ def _build_predictor(args):
         scaler = StandardScaler(args.scaler_mean or 0.0,
                                 args.scaler_std or 1.0)
         info = {"source": "artifact", "in_shape": list(fc.in_shape),
-                "platforms": list(fc.platforms)}
+                "platforms": list(fc.platforms),
+                # 2-input artifacts are diff-G (x, adj_idx) exports
+                "diff_g": fc.n_inputs == 2}
         # artifacts bake ONE batch size — the batcher must pad to exactly it
-        return fc.predict, scaler, info, int(fc.in_shape[0])
+        return fc.predict, scaler, info, int(fc.in_shape[0]), None
+
+    def _sidecar_diff_g():
+        from graph_wavenet_tpu.train import checkpoint as ckpt
+
+        meta = ckpt.load_metadata(args.checkpoint)
+        return bool((meta.get("extra") or {}).get("diff_g", False))
+
+    if args.graph_bank:
+        # diff-G family: per-deployment graph bank, requests name their
+        # graph by adj_idx (VERDICT r3 #3; reference eval surface
+        # /root/reference/train.py:330-370)
+        fc = serving.DiffGForecaster.from_checkpoint(args.checkpoint)
+        bank = serving.load_graph_bank(args.graph_bank)
+        fc.bind_bank(bank, adjtype=args.adjtype)
+        info = {"source": "checkpoint", "diff_g": True,
+                "num_nodes": fc.cfg.num_nodes, "in_dim": fc.cfg.in_dim,
+                "n_graphs": int(bank["W"].shape[0]),
+                "seq_length": fc.cfg.receptive_field - 1,
+                "modalities": fc.proj_stack is not None}
+        modalities = (fc.predict_modalities_indexed
+                      if fc.proj_stack is not None else None)
+        return fc.predict_indexed, fc.scaler, info, None, modalities
+
+    if _sidecar_diff_g():
+        raise SystemExit(
+            f"{args.checkpoint} is a diff-G (per-sample-graph) "
+            "checkpoint — pass --graph_bank <bank.npz> "
+            "(serving.save_graph_bank) so requests can name their graph")
 
     if args.graph_npz:
         fc = serving.Forecaster.from_city_checkpoint(
@@ -93,7 +136,7 @@ def _build_predictor(args):
                 "ordering": fc.node_layout["ordering"],
                 "in_dim": fc.cfg.in_dim, "horizon": fc.cfg.out_dim,
                 "receptive_field": fc.cfg.receptive_field}
-        return fc.predict, fc.scaler, info, None
+        return fc.predict, fc.scaler, info, None, None
     supports = None
     if args.aptonly:
         supports = []
@@ -105,22 +148,49 @@ def _build_predictor(args):
     info = {"source": "checkpoint", "num_nodes": fc.cfg.num_nodes,
             "in_dim": fc.cfg.in_dim, "horizon": fc.cfg.out_dim,
             "receptive_field": fc.cfg.receptive_field}
-    return fc.predict, fc.scaler, info, None
+    return fc.predict, fc.scaler, info, None, None
 
 
 def make_server(predict_batch, scaler, info: dict, host: str, port: int,
                 max_batch: int, window_ms: float,
-                fixed_batch: int | None = None):
+                fixed_batch: int | None = None, modalities_fn=None):
     """Build (ThreadingHTTPServer, MicroBatcher). Separated from main() so
-    tests drive it on an ephemeral port without a subprocess."""
+    tests drive it on an ephemeral port without a subprocess.
+
+    diff-G mode (``info["diff_g"]``): /predict requests carry ``adj_idx``
+    (one graph id, or one per batch row) naming each sample's bank graph;
+    instances submit as (x, adj_idx) tuples so concurrent requests for
+    DIFFERENT graphs still coalesce into one device call (the batched
+    model takes per-sample supports). ``modalities_fn`` additionally
+    exposes POST /predict_modalities -> pooled F/E estimates."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     import numpy as np
 
     from graph_wavenet_tpu.train.serving import MicroBatcher
 
+    diff_g = bool(info.get("diff_g"))
     batcher = MicroBatcher(predict_batch, max_batch=max_batch,
                            window_ms=window_ms, fixed_batch=fixed_batch)
+
+    def parse_adj_idx(req, batch: int) -> np.ndarray:
+        if "adj_idx" not in req:
+            raise ValueError(
+                "diff-G serving requires 'adj_idx' in the request (the "
+                "bank graph id per sample: an int, or a list of length "
+                "B)")
+        idx = np.asarray(req["adj_idx"], dtype=np.int32)
+        if idx.ndim == 0:
+            idx = np.full((batch,), int(idx), np.int32)
+        if idx.shape != (batch,):
+            raise ValueError(
+                f"adj_idx must be scalar or length {batch}, got shape "
+                f"{idx.shape}")
+        n_graphs = info.get("n_graphs")
+        if n_graphs and ((idx < 0).any() or (idx >= n_graphs).any()):
+            raise ValueError(
+                f"adj_idx out of range for a bank of {n_graphs} graphs")
+        return idx
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):          # quiet; /stats has the numbers
@@ -142,27 +212,58 @@ def make_server(predict_batch, scaler, info: dict, host: str, port: int,
             else:
                 self._json(404, {"error": f"no route {self.path}"})
 
+        def _read_x(self, req):
+            x = np.asarray(req["x"], dtype=np.float32)
+            if x.ndim == 3:                 # single (K, N, F) instance
+                squeeze = True
+                x = x[None]
+            elif x.ndim == 4:
+                squeeze = False
+            else:
+                raise ValueError(
+                    f"x must be (K, N, F) or (B, K, N, F), got shape "
+                    f"{x.shape}")
+            x[..., 0] = scaler.transform(x[..., 0])
+            return x, squeeze
+
         def do_POST(self):
+            if self.path == "/predict_modalities":
+                if modalities_fn is None:
+                    self._json(404, {
+                        "error": "modalities unavailable: serve a diff-G "
+                                 "checkpoint with community labels + F_t "
+                                 "in the graph bank"})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(length))
+                    x, squeeze = self._read_x(req)
+                    idx = parse_adj_idx(req, x.shape[0])
+                    f, e = modalities_fn(x, idx)
+                    f, e = np.asarray(f), np.asarray(e)
+                    if squeeze:
+                        f, e = f[0], e[0]
+                    self._json(200, {"pred_F": f.tolist(),
+                                     "pred_E": e.tolist()})
+                except Exception as err:
+                    self._json(400,
+                               {"error": f"{type(err).__name__}: {err}"})
+                return
             if self.path != "/predict":
                 self._json(404, {"error": f"no route {self.path}"})
                 return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length))
-                x = np.asarray(req["x"], dtype=np.float32)
-                if x.ndim == 3:             # single (K, N, F) instance
-                    squeeze = True
-                    x = x[None]
-                elif x.ndim == 4:
-                    squeeze = False
-                else:
-                    raise ValueError(
-                        f"x must be (K, N, F) or (B, K, N, F), got shape "
-                        f"{x.shape}")
-                x[..., 0] = scaler.transform(x[..., 0])
+                x, squeeze = self._read_x(req)
                 # instances go through the batcher individually so
                 # concurrent requests coalesce into shared device calls
-                ys = [batcher.submit(xi) for xi in x]
+                if diff_g:
+                    idx = parse_adj_idx(req, x.shape[0])
+                    ys = [batcher.submit((xi, ii))
+                          for xi, ii in zip(x, idx)]
+                else:
+                    ys = [batcher.submit(xi) for xi in x]
                 y = np.stack(ys)
                 self._json(200, {"y": (y[0] if squeeze else y).tolist()})
             except Exception as e:          # surface the cause to the client
@@ -178,10 +279,11 @@ def main(argv=None, serve_forever: bool = True):
         from graph_wavenet_tpu.utils.misc import enable_compilation_cache
 
         enable_compilation_cache(args.compile_cache)
-    predict, scaler, info, fixed_batch = _build_predictor(args)
+    predict, scaler, info, fixed_batch, modalities_fn = \
+        _build_predictor(args)
     server, batcher = make_server(
         predict, scaler, info, args.host, args.port, args.max_batch,
-        args.window_ms, fixed_batch)
+        args.window_ms, fixed_batch, modalities_fn=modalities_fn)
     print(f"gwt-serve: {info} on http://{args.host}:{server.server_port}",
           flush=True)
     if serve_forever:

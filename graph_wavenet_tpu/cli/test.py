@@ -46,15 +46,16 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def block_space_heatmap(fixed_supports, nodevec1, nodevec2):
+def block_space_heatmap(fixed_supports, nodevec1, nodevec2, hops=1):
     """(nb, nb) block-space mass of the learned masked adaptive
     adjacency: per live block, the summed learned weight. The city-scale
     stand-in for the reference's dense adaptive heatmap
     (`/root/reference/test.py:90-98`), whose (N, N) matrix cannot
-    materialize at 41k+ nodes. Returns ``(grid, mask)``."""
+    materialize at 41k+ nodes. ``hops`` must match the trained mask
+    (layout["adaptive_hops"]). Returns ``(grid, mask)``."""
     from graph_wavenet_tpu.ops.adaptive_block import mask_from_supports
 
-    amask = mask_from_supports(fixed_supports)
+    amask = mask_from_supports(fixed_supports, hops=hops)
     sp = amask.materialize(nodevec1, nodevec2)
     nb = amask.n_src_blocks
     grid = np.zeros((nb, nb), np.float32)
@@ -124,7 +125,8 @@ def main(argv=None) -> dict:
             from graph_wavenet_tpu.ops.adaptive_block import \
                 mask_from_supports
 
-            supports = list(supports) + [mask_from_supports(supports)]
+            supports = list(supports) + [mask_from_supports(
+                supports, hops=int(layout.get("adaptive_hops", 1)))]
         if args.aptonly:
             supports = supports[len(supports) - 1:] \
                 if model_cfg.addaptadj else []
@@ -163,7 +165,8 @@ def main(argv=None) -> dict:
                 [s for s in supports
                  if not getattr(s, "adaptive_mask", False)],
                 engine.state.params["nodevec1"],
-                engine.state.params["nodevec2"])
+                engine.state.params["nodevec2"],
+                hops=int((layout or {}).get("adaptive_hops", 1)))
             nb = amask.n_src_blocks
             out["adaptive_adjacency_blocks"] = grid
             import matplotlib

@@ -49,6 +49,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--block_size", type=int, default=128,
                    help="node block size for --graph_npz supports (TPU "
                         "Pallas kernels need multiples of 128)")
+    p.add_argument("--adaptive_hops", type=int, default=1,
+                   help="--graph_npz + --addaptadj: widen the learned-"
+                        "adjacency mask to the k-hop block closure of "
+                        "the supports' pattern (1 = the union mask; "
+                        "higher = closer to the reference's dense "
+                        "softmax, more live blocks). Persisted in the "
+                        "layout so gwt-test/serving rebuild the same "
+                        "pattern")
     p.add_argument("--gcn_bool", action="store_true")
     p.add_argument("--aptonly", action="store_true")
     p.add_argument("--addaptadj", action="store_true")
@@ -237,21 +245,23 @@ def _run(args) -> dict:
         grad_accum=args.grad_accum, early_stop_patience=args.early_stop)
 
     mesh = mesh_cfg = None
+    feed_sharding = None
     if args.mesh_dp or args.mesh_model > 1 or args.mesh_time > 1:
         from graph_wavenet_tpu.config import MeshConfig
         from graph_wavenet_tpu.parallel import mesh as M
 
-        if args.resident == "device" or args.scan_steps > 1:
-            raise SystemExit(
-                "--mesh_* requires --resident host and scan_steps=1 "
-                "(the device-resident fast paths are single-chip; "
-                "batches are GSPMD-sharded from the host feed)")
         mesh_cfg = MeshConfig(model_axis=args.mesh_model,
                               time_axis=args.mesh_time,
                               shard_nodes=args.mesh_model > 1,
                               shard_time=args.mesh_time > 1)
         mesh = M.make_mesh(mesh_cfg)
         print(f"mesh: {dict(mesh.shape)}", flush=True)
+        if args.resident == "device":
+            # device-resident multi-chip feed (VERDICT r3 #2): splits
+            # replicate over the mesh, batch gathers come out in the
+            # mesh layout, and scan_steps keeps working (the engine
+            # constrains each in-scan gather to the same layout)
+            feed_sharding = M.batch_sharding(mesh, mesh_cfg)
 
     t1 = time.time()
     if args.data == "syn":
@@ -267,7 +277,7 @@ def _run(args) -> dict:
             num_timestep=args.num_timestep)
         data, adjs, F_t, G = load_dataset_syn(
             data_cfg, args.batch_size, seed=args.seed,
-            resident=args.resident)
+            resident=args.resident, sharding=feed_sharding)
 
         spe = data["train_loader"].num_batch
         if args.same_g:
@@ -355,7 +365,8 @@ def _run(args) -> dict:
             batch_size=args.batch_size, records=records,
             adjtype=args.adjtype, fmri_time_res=fmri_res,
             eeg_time_res=eeg_res, K=K, seed=args.seed,
-            assignment=assignment, resident=args.resident)
+            assignment=assignment, resident=args.resident,
+            sharding=feed_sharding)
         import dataclasses
 
         cfg = dataclasses.replace(
@@ -374,14 +385,15 @@ def _run(args) -> dict:
         runner.test_syn(data, supports, G, F_t, data["n_communities"],
                         result)
     elif args.graph_npz:
-        result = _run_city(args, train_cfg, mesh, mesh_cfg)
+        result = _run_city(args, train_cfg, mesh, mesh_cfg, feed_sharding)
     else:
         from graph_wavenet_tpu.data.metr import load_dataset
         from graph_wavenet_tpu.graphs.normalize import load_adj
 
         _, _, adj = load_adj(args.adjdata, args.adjtype)
         data = load_dataset(args.data, args.batch_size, seed=args.seed,
-                            resident=args.resident)
+                            resident=args.resident,
+                            sharding=feed_sharding)
         horizon = int(data["y_train"].shape[1])
         if args.seq_length != horizon:
             # the reference inherits the same incompatible defaults
@@ -420,7 +432,7 @@ def _run(args) -> dict:
     return {"result": result}
 
 
-def _run_city(args, train_cfg, mesh, mesh_cfg):
+def _run_city(args, train_cfg, mesh, mesh_cfg, feed_sharding=None):
     """--graph_npz branch: ordered block-sparse supports from an
     edge-list graph, data permuted+padded into model node space, node
     layout persisted in every checkpoint sidecar (VERDICT r2 #2)."""
@@ -435,7 +447,8 @@ def _run_city(args, train_cfg, mesh, mesh_cfg):
     supports, mask, layout = city.build_city_supports(
         g["src"], g["dst"], g["weight"], g["n_nodes"], pos=g["pos"],
         ordering=args.ordering, form=args.sparse,
-        block_size=args.block_size, addaptadj=args.addaptadj)
+        block_size=args.block_size, addaptadj=args.addaptadj,
+        adaptive_hops=args.adaptive_hops)
     print(f"graph: {g['n_nodes']} nodes (+{layout['n_pad'] - g['n_nodes']}"
           f" pad), ordering={layout['ordering']}, form={layout['form']}, "
           f"{layout['n_blocks']} live blocks "
@@ -443,7 +456,8 @@ def _run_city(args, train_cfg, mesh, mesh_cfg):
           f"{layout['blocks_per_row_max']} max per row)", flush=True)
 
     data = load_dataset(args.data, args.batch_size, seed=args.seed,
-                        resident=args.resident, node_layout=layout)
+                        resident=args.resident, node_layout=layout,
+                        sharding=feed_sharding)
     horizon = int(data["y_train"].shape[1])
     if args.seq_length != horizon:
         raise SystemExit(

@@ -34,7 +34,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from graph_wavenet_tpu.data.loader import loader_cls
+from graph_wavenet_tpu.data.loader import loader_cls, resident_sharding_kw
 from graph_wavenet_tpu.data.scaler import StandardScaler, apply_feature0_scaling
 from graph_wavenet_tpu.data.windows import sliding_windows
 from graph_wavenet_tpu.graphs.generate import Graph
@@ -250,7 +250,8 @@ def load_dataset_crash(batch_size: int, records: list[CrashRecord] | None
                        K: int | None = None, train_frac: float = 0.7,
                        val_frac: float = 0.15, seed: int = 0,
                        assignment: dict[int, list[int]] | None = None,
-                       resident: str = "host"):
+                       resident: str = "host",
+                       sharding=None):
     """Full pipeline -> (data dict, supports_by_split, F_t_int, G_by_split).
 
     Output contract matches the per-sample-graph synthetic task so the diff-G
@@ -395,10 +396,11 @@ def load_dataset_crash(batch_size: int, records: list[CrashRecord] | None
     scaler = StandardScaler.fit(data["x_train"][..., 0])
     apply_feature0_scaling(data, scaler)
     cls = loader_cls(resident)
+    kw = resident_sharding_kw(resident, sharding)
     for name in names:
         data[name + "_loader"] = cls(
             data["x_" + name], data["y_" + name], batch_size,
-            adj_idx=data[name + "_adj_idx"], rng=rng)
+            adj_idx=data[name + "_adj_idx"], rng=rng, **kw)
     data["scaler"] = scaler
     data["n_communities"] = n_communities
     data["K"] = K

@@ -90,6 +90,22 @@ def loader_cls(resident: str):
     return DataLoader
 
 
+def resident_sharding_kw(resident: str, sharding) -> dict:
+    """Constructor kwargs forwarding a batch ``NamedSharding`` to the
+    device-resident loaders (mesh-replicated data + sharded gathers —
+    the multi-chip fast feed). Host loaders take no sharding: batches
+    are laid out by the Runner/GSPMD instead, so a sharding with
+    ``resident="host"`` is a caller error worth naming."""
+    if sharding is None:
+        return {}
+    if resident != "device":
+        raise ValueError(
+            "a batch sharding only applies to resident='device' loaders "
+            f"(got resident={resident!r}); host batches are laid out by "
+            "the Runner")
+    return {"sharding": sharding}
+
+
 def sharded_iterator(loader: DataLoader, sharding):
     """Wrap batches as global device arrays laid out per ``sharding`` (a
     ``jax.sharding.NamedSharding`` over the batch axis) — the multi-host

@@ -22,7 +22,7 @@ import os
 
 import numpy as np
 
-from graph_wavenet_tpu.data.loader import loader_cls
+from graph_wavenet_tpu.data.loader import loader_cls, resident_sharding_kw
 from graph_wavenet_tpu.data.scaler import StandardScaler, apply_feature0_scaling
 
 
@@ -31,7 +31,8 @@ def load_dataset(dataset_dir: str, batch_size: int,
                  test_batch_size: int | None = None,
                  seed: int = 0, resident: str = "host",
                  scaler: StandardScaler | None = None,
-                 node_layout: dict | None = None) -> dict:
+                 node_layout: dict | None = None,
+                 sharding=None) -> dict:
     """``scaler``: standardize feature 0 with THIS scaler instead of fitting
     one on this directory's x_train — evaluation of a checkpoint must use
     the training-time statistics (cli/test.py passes the sidecar scaler), or
@@ -40,7 +41,12 @@ def load_dataset(dataset_dir: str, batch_size: int,
     ``node_layout``: city-scale node layout (``graphs.city``) — the node
     axis of every split is permuted into model order and zero-padded to
     the block multiple AFTER the scaler fit (pad zeros must not bias the
-    statistics) and before the loaders are built."""
+    statistics) and before the loaders are built.
+
+    ``sharding``: with ``resident="device"`` on a device mesh, a batch
+    ``NamedSharding`` (``parallel.mesh.batch_sharding``) — the resident
+    splits are replicated over the mesh and every batch gather comes out
+    laid out for the pjit/fused train steps (the multi-chip fast feed)."""
     valid_batch_size = valid_batch_size or batch_size
     test_batch_size = test_batch_size or batch_size
     rng = np.random.default_rng(seed)
@@ -57,12 +63,13 @@ def load_dataset(dataset_dir: str, batch_size: int,
 
         apply_layout_to_data(data, node_layout)
     cls = loader_cls(resident)
+    kw = resident_sharding_kw(resident, sharding)
     data["train_loader"] = cls(data["x_train"], data["y_train"],
-                               batch_size, rng=rng)
+                               batch_size, rng=rng, **kw)
     data["val_loader"] = cls(data["x_val"], data["y_val"],
-                             valid_batch_size, rng=rng)
+                             valid_batch_size, rng=rng, **kw)
     data["test_loader"] = cls(data["x_test"], data["y_test"],
-                              test_batch_size, rng=rng)
+                              test_batch_size, rng=rng, **kw)
     data["scaler"] = scaler
     return data
 
@@ -95,7 +102,8 @@ def load_dataset_streaming(values: np.ndarray, index=None,
                            seq_length_y: int = 12, y_start: int = 1,
                            add_time_in_day: bool = True,
                            add_day_in_week: bool = False,
-                           seed: int = 0, resident: str = "host") -> dict:
+                           seed: int = 0, resident: str = "host",
+                           sharding=None) -> dict:
     """Raw (T, N) readings -> streaming loaders with reference-identical
     samples, splits (chronological 70/10/20 over anchors) and scaler.
 
@@ -147,10 +155,11 @@ def load_dataset_streaming(values: np.ndarray, index=None,
                          f"got {resident!r}")
 
     data: dict = {"scaler": scaler}
+    kw = resident_sharding_kw(resident, sharding)
     for name, a in splits.items():
         data[name + "_loader"] = window_cls(
             x_series, seq_length_x, seq_length_y, batch_size,
-            y_start=y_start, anchors=a, y_series=series, rng=rng)
+            y_start=y_start, anchors=a, y_series=series, rng=rng, **kw)
     # materialize only the test targets (the per-horizon test loop needs
     # them, `train.py:379-380`); everything else stays windows-on-demand.
     # y length follows the reference y_offsets = arange(y_start, Ly+1)

@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from graph_wavenet_tpu.config import DataConfig
-from graph_wavenet_tpu.data.loader import loader_cls
+from graph_wavenet_tpu.data.loader import loader_cls, resident_sharding_kw
 from graph_wavenet_tpu.data.scaler import StandardScaler, apply_feature0_scaling
 from graph_wavenet_tpu.data.windows import sliding_windows
 from graph_wavenet_tpu.graphs.generate import Graph, compute_gft
@@ -247,9 +247,13 @@ class MultiModalityPrediction:
 def load_dataset_syn(cfg: DataConfig, batch_size: int,
                      valid_batch_size: int | None = None,
                      test_batch_size: int | None = None,
-                     seed: int = 0, resident: str = "host"):
+                     seed: int = 0, resident: str = "host",
+                     sharding=None):
     """Build the synthetic dataset + loaders (`/root/reference/Utils/
     util.py:219-324`).
+
+    ``sharding``: batch NamedSharding for device-resident loaders on a
+    mesh (see ``data.metr.load_dataset``).
 
     Returns ``(data, adjs, F_t, G)``:
     - same_g: ``adjs`` = list of normalized supports of the single graph,
@@ -287,12 +291,13 @@ def load_dataset_syn(cfg: DataConfig, batch_size: int,
         scaler = StandardScaler.fit(data["x_train"][..., 0])
         apply_feature0_scaling(data, scaler)
         cls = loader_cls(resident)
+        kw = resident_sharding_kw(resident, sharding)
         data["train_loader"] = cls(data["x_train"], data["y_train"],
-                                   batch_size, rng=rng)
+                                   batch_size, rng=rng, **kw)
         data["val_loader"] = cls(data["x_val"], data["y_val"],
-                                 valid_batch_size, rng=rng)
+                                 valid_batch_size, rng=rng, **kw)
         data["test_loader"] = cls(data["x_test"], data["y_test"],
-                                  test_batch_size, rng=rng)
+                                  test_batch_size, rng=rng, **kw)
         data["scaler"] = scaler
         return data, mod_adj(G.W, cfg.adjtype), F_t, G
 
@@ -335,15 +340,16 @@ def load_dataset_syn(cfg: DataConfig, batch_size: int,
     scaler = StandardScaler.fit(data["x_train"][..., 0])
     apply_feature0_scaling(data, scaler)
     cls = loader_cls(resident)
+    kw = resident_sharding_kw(resident, sharding)
     data["train_loader"] = cls(data["x_train"], data["y_train"],
                                batch_size, adj_idx=adj_idx["train"],
-                               rng=rng)
+                               rng=rng, **kw)
     data["val_loader"] = cls(data["x_val"], data["y_val"],
                              valid_batch_size,
-                             adj_idx=adj_idx["val"], rng=rng)
+                             adj_idx=adj_idx["val"], rng=rng, **kw)
     data["test_loader"] = cls(data["x_test"], data["y_test"],
                               test_batch_size,
-                              adj_idx=adj_idx["test"], rng=rng)
+                              adj_idx=adj_idx["test"], rng=rng, **kw)
     data["scaler"] = scaler
     return data, adjs, F_t, G
 

@@ -89,7 +89,8 @@ def _full_perm(perm_raw, n_raw: int, n_pad: int) -> np.ndarray:
 
 def build_city_supports(src, dst, weight, n_nodes: int, *, pos=None,
                         ordering: str = "best", form: str = "auto",
-                        block_size: int = 128, addaptadj: bool = False):
+                        block_size: int = 128, addaptadj: bool = False,
+                        adaptive_hops: int = 1):
     """Edge list -> (supports, adaptive_mask_or_None, layout).
 
     ordering: "best" (fewest live blocks among RCM/Hilbert),
@@ -98,7 +99,11 @@ def build_city_supports(src, dst, weight, n_nodes: int, *, pos=None,
     "block" (padded XLA — runs everywhere), "pallas" (padded Pallas), or
     "auto" = flat on TPU else block.
     addaptadj: also build the block-masked adaptive mask on the union of
-    the supports' patterns (``ops.adaptive_block.mask_from_supports``).
+    the supports' patterns (``ops.adaptive_block.mask_from_supports``);
+    ``adaptive_hops`` widens it to the k-hop block closure (the
+    fidelity dial toward the reference's unconstrained dense softmax —
+    recorded in the layout so every rebuild site reproduces the trained
+    pattern).
 
     layout: JSON-serializable node-layout record — see
     :func:`apply_node_layout` / :func:`invert_node_layout`.
@@ -138,8 +143,9 @@ def build_city_supports(src, dst, weight, n_nodes: int, *, pos=None,
     if addaptadj:
         from graph_wavenet_tpu.ops.adaptive_block import mask_from_supports
 
-        mask = mask_from_supports(supports)
+        mask = mask_from_supports(supports, hops=adaptive_hops)
     layout = {
+        **({"adaptive_hops": int(adaptive_hops)} if addaptadj else {}),
         "perm": perm.tolist(),
         "ordering": chosen,
         "n_raw": n_raw,

@@ -173,8 +173,29 @@ def _live_pairs(sp) -> tuple[np.ndarray, np.ndarray, int, int, int, int]:
         "or padded block-sparse supports")
 
 
-def mask_from_supports(supports: list,
-                       add_diagonal: bool = True) -> BlockAdaptiveMask:
+def widen_block_pairs(dst_block, src_block, n_blocks: int,
+                      hops: int) -> tuple[np.ndarray, np.ndarray]:
+    """K-hop closure of a block pattern: pair (d, s) is live iff a path
+    of <= ``hops`` pattern edges connects source block s to destination
+    block d. Host-side boolean matrix powers — n_blocks is N/128, so even
+    163k nodes is a (1280, 1280) bool product."""
+    if hops <= 1:
+        return np.asarray(dst_block, np.int64), np.asarray(src_block,
+                                                           np.int64)
+    P = np.zeros((n_blocks, n_blocks), np.bool_)
+    P[np.asarray(dst_block, np.int64), np.asarray(src_block, np.int64)] \
+        = True
+    acc, cur = P.copy(), P
+    for _ in range(hops - 1):
+        # (P_cur @ P)[d, s] = exists m: d <- m and m <- s
+        cur = (cur.astype(np.uint8) @ P.astype(np.uint8)) > 0
+        acc |= cur
+    d, s = np.nonzero(acc)
+    return d.astype(np.int64), s.astype(np.int64)
+
+
+def mask_from_supports(supports: list, add_diagonal: bool = True,
+                       hops: int = 1) -> BlockAdaptiveMask:
     """Build the adaptive mask as the UNION of the given block-sparse
     supports' live patterns (host-side).
 
@@ -187,6 +208,14 @@ def mask_from_supports(supports: list,
     add_diagonal: also include every (d, d) diagonal block — self-edges
     are the one structurally-load-bearing pattern a transition-matrix
     union can miss, and the learned graph plausibly wants them.
+
+    hops: mask-widening knob (the fidelity dial between the union mask
+    and the reference's unconstrained dense softmax): hops=k makes every
+    block pair reachable within k pattern edges live, so the learned
+    graph can place weight on k-hop-neighborhood edges the fixed
+    supports never carry directly. Cost grows with the widened pattern's
+    live-block count (reported by ``mask.n_live``); measured at city
+    scale in BENCH_NOTES.md round-4.
     """
     assert supports, "mask_from_supports needs at least one support"
     geom = None
@@ -213,6 +242,7 @@ def mask_from_supports(supports: list,
         all_src.append(diag)
     dst = np.concatenate(all_dst)
     src = np.concatenate(all_src)
+    dst, src = widen_block_pairs(dst, src, max(nbs, nbd), hops)
     return mask_from_pairs(dst, src, bs_s, nbs)
 
 

@@ -110,6 +110,22 @@ def gather_window_rows(src: jnp.ndarray, starts: jnp.ndarray,
     return jnp.take(src, idx, axis=0)
 
 
+def _constrain(a, sharding):
+    """Pin a batch gathered from mesh-replicated resident data to the
+    mesh's batch layout (fused multi-chip feed): without the constraint
+    GSPMD keeps the gather output replicated and every device computes
+    the FULL batch. Rank-adapts the spec like ``loader.sharded_iterator``
+    (a (B, N, N) per-sample support under a 4-D batch spec takes the
+    leading prefix). No-op without a sharding (single-chip paths)."""
+    if sharding is None:
+        return a
+    spec = sharding.spec
+    if a.ndim < len(spec):
+        from jax.sharding import NamedSharding, PartitionSpec
+        sharding = NamedSharding(sharding.mesh, PartitionSpec(*spec[:a.ndim]))
+    return jax.lax.with_sharding_constraint(a, sharding)
+
+
 def horizon_target(y: jnp.ndarray) -> jnp.ndarray:
     """y (B, H, N, F) -> (B, 1, N, H) speed-channel target, the layout the
     reference compares against (`engine.py:46-48`)."""
@@ -317,9 +333,10 @@ class Engine:
         new_state = self._update(state, grads, new_ms)
         return new_state, jax.tree_util.tree_map(jnp.mean, metrics)
 
-    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1,
+                       static_argnames=("batch_sharding",))
     def train_steps_resident(self, state: TrainState, xs, ys, idx,
-                             supports):
+                             supports, *, batch_sharding=None):
         """S optimizer steps in ONE dispatch: gather each step's batch from
         the device-resident sample arrays and run the step inside a
         ``lax.scan``. Amortizes per-dispatch overhead (which dominates the
@@ -330,59 +347,76 @@ class Engine:
         each metric of shape (S,). Identical math to S ``train_step`` calls
         on the gathered batches — the per-step dropout stream is
         ``fold_in(rng, step)`` either way.
+
+        ``batch_sharding``: mesh layout for the gathered batches (a
+        ``NamedSharding``, static) — the multi-chip fused feed: resident
+        arrays stay mesh-replicated, each scanned step's batch is
+        constrained to the DP/TP/SP layout so the step computes sharded
+        exactly like the per-step mesh path.
         """
         def body(st, sel):
-            x = jnp.take(xs, sel, axis=0)
-            y = jnp.take(ys, sel, axis=0)
+            x = _constrain(jnp.take(xs, sel, axis=0), batch_sharding)
+            y = _constrain(jnp.take(ys, sel, axis=0), batch_sharding)
             return self._train_step_core(st, x, y, supports)
 
         return jax.lax.scan(body, state, idx)
 
     @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6),
-                       donate_argnums=1)
+                       donate_argnums=1,
+                       static_argnames=("batch_sharding",))
     def train_steps_windows(self, state: TrainState, series, anchors,
                             window: int, horizon: int, y_start: int,
-                            supports, y_series=None):
+                            supports, y_series=None, *,
+                            batch_sharding=None):
         """Windows-on-demand variant of :meth:`train_steps_resident`: the
         scan body gathers each step's x/y windows from the resident raw
         series (x from ``series`` — standardized — and y from ``y_series``,
         raw units). anchors: (S, B) int32 last-observed-step indices.
         ``horizon`` is the LAST y offset, so y windows have length
         horizon - y_start + 1 (the reference y_offsets convention; ==
-        horizon for the canonical y_start=1)."""
+        horizon for the canonical y_start=1). ``batch_sharding``: see
+        :meth:`train_steps_resident`."""
         ys_src = series if y_series is None else y_series
 
         def body(st, a):
-            x = gather_window_rows(series, a - (window - 1), window)
-            y = gather_window_rows(ys_src, a + y_start,
-                                   horizon - y_start + 1)
+            x = _constrain(gather_window_rows(series, a - (window - 1),
+                                              window), batch_sharding)
+            y = _constrain(gather_window_rows(ys_src, a + y_start,
+                                              horizon - y_start + 1),
+                           batch_sharding)
             return self._train_step_core(st, x, y, supports)
 
         return jax.lax.scan(body, state, anchors)
 
-    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5, 6),
+                       static_argnames=("batch_sharding",))
     def eval_steps_windows(self, state: TrainState, series, anchors,
                            window: int, horizon: int, y_start: int,
-                           supports, y_series=None):
+                           supports, y_series=None, *,
+                           batch_sharding=None):
         """Whole-eval-set scan: anchors (C, B) -> metrics dicts of (C,).
         Windows gathered on device per chunk (see train_steps_windows)."""
         ys_src = series if y_series is None else y_series
 
         def body(_, a):
-            x = gather_window_rows(series, a - (window - 1), window)
-            y = gather_window_rows(ys_src, a + y_start,
-                                   horizon - y_start + 1)
+            x = _constrain(gather_window_rows(series, a - (window - 1),
+                                              window), batch_sharding)
+            y = _constrain(gather_window_rows(ys_src, a + y_start,
+                                              horizon - y_start + 1),
+                           batch_sharding)
             return None, self._eval_metrics(state, x, y, supports)
 
         _, ms = jax.lax.scan(body, None, anchors)
         return ms
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def eval_steps_resident(self, state: TrainState, xs, ys, idx, supports):
+    @functools.partial(jax.jit, static_argnums=0,
+                       static_argnames=("batch_sharding",))
+    def eval_steps_resident(self, state: TrainState, xs, ys, idx, supports,
+                            *, batch_sharding=None):
         """Whole-eval-set scan over resident sample arrays: idx (C, B)."""
         def body(_, sel):
-            x = jnp.take(xs, sel, axis=0)
-            y = jnp.take(ys, sel, axis=0)
+            x = _constrain(jnp.take(xs, sel, axis=0), batch_sharding)
+            y = _constrain(jnp.take(ys, sel, axis=0), batch_sharding)
             return None, self._eval_metrics(state, x, y, supports)
 
         _, ms = jax.lax.scan(body, None, idx)
@@ -499,10 +533,13 @@ class Engine:
         new_state = self._update(state, grads, new_ms)
         return new_state, jax.tree_util.tree_map(jnp.mean, metrics)
 
-    @functools.partial(jax.jit, static_argnums=(0, 8), donate_argnums=1)
+    @functools.partial(jax.jit, static_argnums=(0, 8), donate_argnums=1,
+                       static_argnames=("batch_sharding",
+                                        "batched_sharding"))
     def train_steps_syn_resident(self, state: TrainState, xs, ys, idx,
                                  adj_of_sample, sup_stack, proj_stack,
-                                 F_t: int):
+                                 F_t: int, *, batch_sharding=None,
+                                 batched_sharding=None):
         """Fused diff-G training: S steps per dispatch. The scan body
         gathers each step's samples AND their per-sample supports/cluster
         projectors from resident stacks.
@@ -511,13 +548,21 @@ class Engine:
         adj_of_sample: (n_samples,) graph index per sample; sup_stack: list
         of (n_graphs, N, N); proj_stack: (n_graphs, N, N) cluster-mean
         projectors (see :func:`cluster_mean_projector`).
+
+        ``batch_sharding``/``batched_sharding``: mesh layouts for the
+        gathered (B, T, N, C) batches and the (B, N, N) per-sample
+        support/projector gathers respectively (static NamedShardings;
+        see :meth:`train_steps_resident` and
+        ``parallel.mesh.support_sharding(batched=True)``).
         """
         def body(st, sel):
-            x = jnp.take(xs, sel, axis=0)
-            y = jnp.take(ys, sel, axis=0)
+            x = _constrain(jnp.take(xs, sel, axis=0), batch_sharding)
+            y = _constrain(jnp.take(ys, sel, axis=0), batch_sharding)
             gids = jnp.take(adj_of_sample, sel)
-            sup = [jnp.take(s, gids, axis=0) for s in sup_stack]
-            proj = jnp.take(proj_stack, gids, axis=0)
+            sup = [_constrain(jnp.take(s, gids, axis=0), batched_sharding)
+                   for s in sup_stack]
+            proj = _constrain(jnp.take(proj_stack, gids, axis=0),
+                              batched_sharding)
             return self._train_step_syn_core(st, x, y, sup, proj, F_t)
 
         return jax.lax.scan(body, state, idx)

@@ -139,9 +139,13 @@ class Runner:
         supports with ``support_sharding``, and GSPMD partitions the jitted
         steps (DP / node-TP / time-SP per the MeshConfig). Multi-chip runs
         get the full production loop (watchdog, checkpoints, history.jsonl,
-        early stopping) unchanged. Not compatible with the device-resident
-        fast paths (``scan_steps>1`` / ``prefetch``), which assume a single
-        device's HBM."""
+        early stopping) unchanged — including the device-resident fused
+        feed: with ``scan_steps>1`` and a device-resident loader built
+        with ``sharding=parallel.mesh.batch_sharding(mesh, mesh_cfg)``,
+        the resident data is mesh-replicated and each scanned step's
+        batch gather is constrained to the mesh layout (VERDICT r3 #2).
+        The one remaining exclusion is ``prefetch``, whose host-side
+        pipeline device_puts to a single device."""
         self.engine = engine
         self.cfg = train_cfg
         self.log = log_fn
@@ -150,12 +154,13 @@ class Runner:
             from graph_wavenet_tpu.config import MeshConfig
             from graph_wavenet_tpu.parallel import mesh as M
             self.mesh_cfg = mesh_cfg or MeshConfig()
-            if train_cfg.scan_steps > 1 or train_cfg.prefetch > 0:
+            if train_cfg.prefetch > 0:
                 raise ValueError(
-                    "Runner(mesh=...) does not compose with scan_steps>1 "
-                    "or prefetch>0 — the device-resident/prefetch feeds "
-                    "assume a single device; feed plain batches and let "
-                    "GSPMD shard them")
+                    "Runner(mesh=...) does not compose with prefetch>0 — "
+                    "the prefetch pipeline device_puts to a single "
+                    "device; use a device-resident loader built with "
+                    "sharding=parallel.mesh.batch_sharding(mesh, cfg) "
+                    "instead")
             self._batched_sharding = M.support_sharding(
                 mesh, self.mesh_cfg, batched=True)
             # emulated (CPU-device) meshes need step serialization; see
@@ -223,20 +228,47 @@ class Runner:
                                       size=self.cfg.prefetch)
         return loader.get_iterator()
 
+    def _fused_mesh_args(self, resident_array):
+        """(batch_sharding, put_sel) for the fused scan paths: without a
+        mesh the index matrices go up with a plain jnp.asarray; with one
+        they are replicated over the mesh and the engine constrains each
+        scanned gather to the batch layout. Verifies the loader's
+        resident arrays actually live on the mesh (they must be built
+        with ``sharding=parallel.mesh.batch_sharding(mesh, mesh_cfg)``) —
+        the raw jit error for the mismatch is opaque."""
+        if self.mesh is None:
+            return None, jnp.asarray
+        from graph_wavenet_tpu.parallel import mesh as M
+        if set(resident_array.devices()) != set(self.mesh.devices.flat):
+            raise ValueError(
+                "scan_steps>1 under a mesh needs the device-resident "
+                "loader's arrays mesh-replicated — build the loader (or "
+                "dataset) with sharding=parallel.mesh.batch_sharding("
+                "mesh, mesh_cfg); its resident arrays live on "
+                f"{len(resident_array.devices())} device(s), the mesh "
+                f"has {self.mesh.devices.size}")
+        rep = M.replicated(self.mesh)
+        bsh = M.batch_sharding(self.mesh, self.mesh_cfg)
+        return bsh, lambda a: jax.device_put(np.asarray(a), rep)
+
     def _eval_split(self, engine, state, loader, supports) -> list[dict]:
         """Eval metrics over a split; with scan fusion + a device-resident
         loader the WHOLE split runs in one dispatch."""
         if self.cfg.scan_steps > 1 and hasattr(loader, "resident_series"):
             sx, sy = loader.resident_series()
+            bsh, put_sel = self._fused_mesh_args(sx)
             sel = next(loader.superbatches(loader.num_batch))
-            return [engine.eval_steps_windows(
-                state, sx, jnp.asarray(sel), loader.window, loader.horizon,
-                loader.y_start, supports, y_series=sy)]
+            return [self._throttle(engine.eval_steps_windows(
+                state, sx, put_sel(sel), loader.window, loader.horizon,
+                loader.y_start, supports, y_series=sy,
+                batch_sharding=bsh))]
         if self.cfg.scan_steps > 1 and hasattr(loader, "resident_arrays"):
             xs, ys = loader.resident_arrays()
+            bsh, put_sel = self._fused_mesh_args(xs)
             sel = next(loader.superbatches(loader.num_batch))
-            return [engine.eval_steps_resident(state, xs, ys,
-                                               jnp.asarray(sel), supports)]
+            return [self._throttle(engine.eval_steps_resident(
+                state, xs, ys, put_sel(sel), supports,
+                batch_sharding=bsh))]
         return [self._throttle(
             engine.eval_step(state, *self._shard_xy(x, y), supports))
                 for x, y in self._feed(loader)]
@@ -279,25 +311,28 @@ class Runner:
                     if scan > 1 and hasattr(loader, "resident_series"):
                         # fused path, windows-on-demand: gather inside the scan
                         sx, sy = loader.resident_series()
+                        bsh, put_sel = self._fused_mesh_args(sx)
                         for sel in loader.superbatches(scan):
                             state, m = engine.train_steps_windows(
-                                state, sx, jnp.asarray(sel), loader.window,
+                                state, sx, put_sel(sel), loader.window,
                                 loader.horizon, loader.y_start, supports,
-                                y_series=sy)
-                            steps.append(m)
+                                y_series=sy, batch_sharding=bsh)
+                            steps.append(self._throttle(m))
                         for x, y in loader.remainder_batches(scan):
                             state, m = engine.train_step(state, x, y, supports)
-                            steps.append(m)
+                            steps.append(self._throttle(m))
                     elif scan > 1 and hasattr(loader, "superbatches"):
                         # fused path: scan_steps optimizer steps per dispatch
                         xs, ys = loader.resident_arrays()
+                        bsh, put_sel = self._fused_mesh_args(xs)
                         for sel in loader.superbatches(scan):
                             state, m = engine.train_steps_resident(
-                                state, xs, ys, jnp.asarray(sel), supports)
-                            steps.append(m)
+                                state, xs, ys, put_sel(sel), supports,
+                                batch_sharding=bsh)
+                            steps.append(self._throttle(m))
                         for x, y in loader.remainder_batches(scan):
                             state, m = engine.train_step(state, x, y, supports)
-                            steps.append(m)
+                            steps.append(self._throttle(m))
                     else:
                         accum = self.cfg.grad_accum
                         for it, (x, y) in enumerate(self._feed(loader)):
@@ -529,12 +564,16 @@ class Runner:
             if scan > 1 and hasattr(loader, "resident_arrays"):
                 # fused diff-G path: supports/projectors gathered in-scan
                 xs, ys = loader.resident_arrays()
-                adj_arr = jnp.asarray(loader.adj_idx)
+                bsh, put_sel = self._fused_mesh_args(xs)
+                batched_sh = self._batched_sharding if bsh is not None \
+                    else None
+                adj_arr = put_sel(loader.adj_idx)
                 for sel in loader.superbatches(scan):
                     state, m = engine.train_steps_syn_resident(
-                        state, xs, ys, jnp.asarray(sel), adj_arr,
-                        sup["train"], proj["train"], F_t)
-                    steps.append(m)
+                        state, xs, ys, put_sel(sel), adj_arr,
+                        sup["train"], proj["train"], F_t,
+                        batch_sharding=bsh, batched_sharding=batched_sh)
+                    steps.append(self._throttle(m))
                 batches = loader.remainder_batches(scan)
             else:
                 batches = self._feed(loader)
@@ -702,6 +741,10 @@ class Runner:
         meta = dict(model_cfg=self.engine.model_cfg, train_cfg=self.cfg,
                     scaler=self.engine.scaler,
                     extra={"epoch": epoch, "val_loss": val_loss,
+                           # model-family marker: gwt-serve/gwt-export
+                           # auto-select the DiffGForecaster for
+                           # per-sample-graph checkpoints
+                           "diff_g": self.engine.diff_g,
                            **self.extra_meta})
         if self._ckpt_writer is not None:
             self._ckpt_writer.save(path, state, **meta)

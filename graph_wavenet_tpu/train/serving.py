@@ -108,7 +108,8 @@ class Forecaster:
                 mask_from_supports,
             )
 
-            supports = list(supports) + [mask_from_supports(supports)]
+            supports = list(supports) + [mask_from_supports(
+                supports, hops=int(layout.get("adaptive_hops", 1)))]
         if aptonly:
             supports = supports[-1:] if mcfg.addaptadj else []
         fc = cls.from_checkpoint(path, supports)
@@ -211,9 +212,15 @@ class DiffGForecaster:
     def _forward(self, x, supports):
         from graph_wavenet_tpu.models.gwnet_diff_g import apply_gwnet_diff_g
 
+        # fresh_nodevec checkpoints (reference quirk #2 replica) draw the
+        # adaptive embeddings inside every forward; serving uses a fixed
+        # key — deterministic per deployment, like the quirk's untrained
+        # draws are per process
+        rng = (jax.random.key(0)
+               if getattr(self.cfg, "fresh_nodevec", False) else None)
         out, _ = apply_gwnet_diff_g(self.cfg, self.params,
                                     self.model_state, x, supports,
-                                    train=False)
+                                    train=False, rng=rng)
         return out * self.scaler.std + self.scaler.mean   # (B, 1, N, K)
 
     def predict(self, x: jnp.ndarray,
@@ -258,6 +265,148 @@ class DiffGForecaster:
 
         return self._jit(("modalities", has_sup, len(supports or []), F_t),
                          build)(x, supports, projector)
+
+    # -- graph-bank serving (the gwt-serve/gwt-export surface) ---------
+
+    def bind_bank(self, bank: dict,
+                  adjtype: str = "doubletransition") -> "DiffGForecaster":
+        """Attach a deployment graph bank (:func:`load_graph_bank`):
+        normalizes every graph's adjacency into the model's support list
+        (``mod_adj`` semantics, `/root/reference/Utils/util.py:178-194`)
+        and stacks them device-resident, so requests carry only an
+        ``adj_idx`` — the per-deployment-bank serving contract of
+        VERDICT r3 #3. With community ``labels`` in the bank the pooled
+        F/E modality estimates (:meth:`predict_modalities_indexed`) are
+        also available."""
+        from graph_wavenet_tpu.graphs.normalize import mod_adj
+        from graph_wavenet_tpu.train.engine import cluster_mean_projector
+
+        W = np.asarray(bank["W"], np.float32)
+        per_graph = [mod_adj(w, adjtype) for w in W]
+        n_sup = len(per_graph[0])
+        if n_sup != self.cfg.n_supports:
+            raise ValueError(
+                f"bank graphs normalize to {n_sup} supports under "
+                f"adjtype={adjtype!r} but the checkpoint was trained "
+                f"with n_supports={self.cfg.n_supports}")
+        self.sup_stack = [
+            jnp.asarray(np.stack([g[j] for g in per_graph]))
+            for j in range(n_sup)]                       # each (G, N, N)
+        self.proj_stack = None
+        self.F_t = int(bank["F_t"]) if bank.get("F_t") else None
+        if bank.get("labels") is not None:
+            labels = np.asarray(bank["labels"])
+            n_comm = int(labels.max()) + 1
+            self.proj_stack = jnp.asarray(np.stack(
+                [cluster_mean_projector(l, n_comm) for l in labels]))
+        return self
+
+    def _require_bank(self):
+        if getattr(self, "sup_stack", None) is None:
+            raise ValueError(
+                "no graph bank bound — call bind_bank(load_graph_bank("
+                "path)) (gwt-serve --graph_bank) before indexed "
+                "prediction")
+
+    def _predict_indexed_impl(self, x, adj_idx):
+        """(B, K, N, F) standardized + (B,) graph ids -> (B, K, N) raw
+        units. The jax.export target for diff-G artifacts (bank baked
+        in)."""
+        sup = [jnp.take(s, adj_idx, axis=0) for s in self.sup_stack]
+        out = self._forward(x, sup)
+        return jnp.transpose(out[:, -1], (0, 2, 1))
+
+    def predict_indexed(self, x: jnp.ndarray,
+                        adj_idx: jnp.ndarray) -> jnp.ndarray:
+        """Fine-signal forecast against bank graph ``adj_idx[i]`` per
+        sample (the per-request supports contract: requests name their
+        graph, the bank supplies the supports)."""
+        self._require_bank()
+        return self._jit(("predict_indexed",),
+                         lambda: self._predict_indexed_impl)(
+            x, jnp.asarray(adj_idx, jnp.int32))
+
+    def predict_modalities_indexed(self, x: jnp.ndarray,
+                                   adj_idx: jnp.ndarray):
+        """Pooled (pred_F, pred_E) against bank graphs — the quantities
+        the reference's diff-G eval loop plots
+        (`/root/reference/train.py:330-370`). Needs ``labels`` and
+        ``F_t`` in the bank."""
+        from graph_wavenet_tpu.train.engine import pool_E, pool_F
+
+        self._require_bank()
+        if getattr(self, "proj_stack", None) is None or self.F_t is None:
+            raise ValueError(
+                "modality prediction needs community labels and F_t in "
+                "the graph bank (save_graph_bank(..., labels=, F_t=))")
+        F_t = self.F_t
+
+        def build():
+            def run(x, adj_idx):
+                sup = [jnp.take(s, adj_idx, axis=0)
+                       for s in self.sup_stack]
+                proj = jnp.take(self.proj_stack, adj_idx, axis=0)
+                out = self._forward(x, sup)
+                f_hat = pool_F(out, F_t)
+                e_hat = pool_E(out, proj)
+                squeeze = lambda p: jnp.transpose(p[:, -1], (0, 2, 1))
+                return squeeze(f_hat), squeeze(e_hat)
+            return run
+
+        return self._jit(("modalities_indexed", F_t), build)(
+            x, jnp.asarray(adj_idx, jnp.int32))
+
+
+def save_graph_bank(path: str, W: np.ndarray, labels=None,
+                    F_t: int | None = None) -> None:
+    """Write a deployment graph bank: ``W`` (G, N, N) RAW adjacencies
+    (normalization happens at bind time so one bank serves any adjtype),
+    optional ``labels`` (G, N) int community labels and ``F_t`` for the
+    modality-pooled outputs."""
+    W = np.asarray(W, np.float32)
+    assert W.ndim == 3 and W.shape[1] == W.shape[2], (
+        f"W must be (G, N, N), got {W.shape}")
+    arrays = dict(W=W)
+    if labels is not None:
+        labels = np.asarray(labels, np.int32)
+        assert labels.shape == W.shape[:2], (
+            f"labels must be (G, N) = {W.shape[:2]}, got {labels.shape}")
+        arrays["labels"] = labels
+    if F_t is not None:
+        arrays["F_t"] = np.int64(F_t)
+    np.savez(path, **arrays)
+
+
+def load_graph_bank(path: str) -> dict:
+    with np.load(path) as z:
+        bank = {"W": z["W"].astype(np.float32),
+                "labels": (z["labels"].astype(np.int32)
+                           if "labels" in z else None),
+                "F_t": int(z["F_t"]) if "F_t" in z else None}
+    return bank
+
+
+def export_diffg_forecaster(forecaster: DiffGForecaster, path: str,
+                            batch_size: int, seq_len: int | None = None,
+                            platforms: list[str] | None = None) -> str:
+    """AOT artifact for a diff-G checkpoint: weights AND the bound graph
+    bank baked in; the artifact's call signature is ``(x, adj_idx)``
+    ((B, K, N, F) float32 + (B,) int32). Loads via
+    :func:`load_exported_forecaster` like the shared-graph artifacts."""
+    from jax import export as jexport
+
+    forecaster._require_bank()
+    cfg = forecaster.cfg
+    if seq_len is None:
+        seq_len = cfg.receptive_field - 1   # the trained K (rf == K+1)
+    spec_x = jax.ShapeDtypeStruct(
+        (batch_size, seq_len, cfg.num_nodes, cfg.in_dim), jnp.float32)
+    spec_i = jax.ShapeDtypeStruct((batch_size,), jnp.int32)
+    exp = jexport.export(jax.jit(forecaster._predict_indexed_impl),
+                         platforms=platforms)(spec_x, spec_i)
+    with open(path, "wb") as f:
+        f.write(bytes(exp.serialize()))
+    return path
 
 
 def rolling_forecast(forecaster: Forecaster, history: jnp.ndarray,
@@ -390,15 +539,23 @@ def load_exported_forecaster(path: str):
     class _ExportedForecaster:
         in_shape = exp.in_avals[0].shape
         platforms = exp.platforms
+        # diff-G artifacts (export_diffg_forecaster) take (x, adj_idx);
+        # shared-graph ones take x alone
+        n_inputs = len(exp.in_avals)
 
         @staticmethod
-        def predict(x: jnp.ndarray) -> jnp.ndarray:
+        def predict(x: jnp.ndarray, *rest) -> jnp.ndarray:
+            if len(rest) + 1 != _ExportedForecaster.n_inputs:
+                raise TypeError(
+                    f"artifact takes {_ExportedForecaster.n_inputs} "
+                    f"input(s) {[a.shape for a in exp.in_avals]}, got "
+                    f"{len(rest) + 1}")
             t = _ExportedForecaster.in_shape[1]
             if x.shape[1] < t:
                 pad = [(0, 0)] * x.ndim
                 pad[1] = (t - x.shape[1], 0)
                 x = jnp.pad(x, pad)
-            return exp.call(x)
+            return exp.call(x, *rest)
 
     return _ExportedForecaster
 
@@ -480,14 +637,26 @@ class MicroBatcher:
     def _flush(self, batch):
         import numpy as np
 
-        xs = np.stack([b[0] for b in batch])
         n = len(batch)
         bucket = self._bucket(n)
-        if n < bucket:
-            xs = np.concatenate(
-                [xs, np.repeat(xs[-1:], bucket - n, axis=0)])
+
+        def stack(parts):
+            xs = np.stack(parts)
+            if n < bucket:
+                xs = np.concatenate(
+                    [xs, np.repeat(xs[-1:], bucket - n, axis=0)])
+            return jnp.asarray(xs)
+
+        # tuple payloads (e.g. diff-G's (x, adj_idx)) batch component-wise
+        # and call the predictor with one stacked argument per component
+        first = batch[0][0]
+        if isinstance(first, tuple):
+            args = tuple(stack([b[0][i] for b in batch])
+                         for i in range(len(first)))
+        else:
+            args = (stack([b[0] for b in batch]),)
         try:
-            out = np.asarray(self._predict(jnp.asarray(xs)))
+            out = np.asarray(self._predict(*args))
         except Exception as e:              # deliver, don't kill the worker
             for _, fut in batch:
                 fut.set_exception(e)

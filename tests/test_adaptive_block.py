@@ -252,3 +252,71 @@ def test_train_step_learns_masked_adaptive(rng):
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0], losses
     assert np.abs(np.asarray(state.params["nodevec1"]) - nv0).max() > 1e-6
+
+
+def test_widen_block_pairs_closure():
+    """2-hop closure: a chain pattern 0<-1<-2 gains the composed pair
+    0<-2; 3-hop on a 4-chain gains 0<-3."""
+    # pairs (dst, src): 0<-1, 1<-2, 2<-3 plus diagonal
+    dst = np.array([0, 1, 2, 0, 1, 2, 3])
+    src = np.array([1, 2, 3, 0, 1, 2, 3])
+    d2, s2 = adaptive_block.widen_block_pairs(dst, src, 4, 2)
+    pairs2 = set(zip(d2.tolist(), s2.tolist()))
+    assert (0, 2) in pairs2 and (1, 3) in pairs2
+    assert (0, 3) not in pairs2
+    d3, s3 = adaptive_block.widen_block_pairs(dst, src, 4, 3)
+    assert (0, 3) in set(zip(d3.tolist(), s3.tolist()))
+    # hops=1 is the identity
+    d1, s1 = adaptive_block.widen_block_pairs(dst, src, 4, 1)
+    assert set(zip(d1.tolist(), s1.tolist())) == \
+        set(zip(dst.tolist(), src.tolist()))
+
+
+def test_mask_hops_widens_and_converges_to_dense(nodevecs, rng):
+    """hops=2 strictly widens a banded pattern; enough hops on a
+    connected pattern reach the full mask, whose materialization equals
+    the dense adaptive adjacency exactly."""
+    nv1, nv2 = nodevecs
+    sups = _make_supports(np.random.default_rng(1), "flat", banded=True)
+    m1 = adaptive_block.mask_from_supports(sups, hops=1)
+    m2 = adaptive_block.mask_from_supports(sups, hops=2)
+    p1 = set(zip(np.asarray(m1.live_dst).tolist(),
+                 np.asarray(m1.live_src).tolist()))
+    p2 = set(zip(np.asarray(m2.live_dst).tolist(),
+                 np.asarray(m2.live_src).tolist()))
+    assert p1 < p2, "hops=2 must strictly widen the banded pattern"
+
+    # a banded (connected) pattern saturates to all-live within nb hops
+    nb = m1.n_src_blocks
+    m_full = adaptive_block.mask_from_supports(sups, hops=nb)
+    assert m_full.n_live == nb * nb
+    rec = _to_dense(m_full, m_full.materialize(nv1, nv2))
+    dense = np.asarray(adaptive.adaptive_adjacency(nv1, nv2))
+    np.testing.assert_allclose(rec, dense, atol=1e-6)
+
+
+def test_city_layout_persists_adaptive_hops(rng):
+    """build_city_supports(adaptive_hops=2) records the knob in the
+    layout and builds the widened mask, so every rebuild site
+    (gwt-test, serving) reproduces the trained pattern."""
+    from graph_wavenet_tpu.graphs import city
+    from graph_wavenet_tpu.graphs.spatial import knn_graph_edges
+
+    n = 48
+    pos = rng.normal(size=(n, 2))
+    src, dst, w = knn_graph_edges(pos, 3)
+    sup1, mask1, lay1 = city.build_city_supports(
+        src, dst, w, n, pos=pos, ordering="rcm", form="block",
+        block_size=8, addaptadj=True, adaptive_hops=1)
+    sup2, mask2, lay2 = city.build_city_supports(
+        src, dst, w, n, pos=pos, ordering="rcm", form="block",
+        block_size=8, addaptadj=True, adaptive_hops=2)
+    assert lay1["adaptive_hops"] == 1 and lay2["adaptive_hops"] == 2
+    assert mask2.n_live > mask1.n_live
+    # rebuild from the persisted knob matches the built mask exactly
+    rebuilt = adaptive_block.mask_from_supports(
+        sup2, hops=int(lay2["adaptive_hops"]))
+    np.testing.assert_array_equal(np.asarray(rebuilt.live_dst),
+                                  np.asarray(mask2.live_dst))
+    np.testing.assert_array_equal(np.asarray(rebuilt.live_src),
+                                  np.asarray(mask2.live_src))

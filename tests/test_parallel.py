@@ -379,3 +379,221 @@ def test_syn_accum_under_time_sp_mesh_matches_single_device(rng):
         lambda p, q: np.testing.assert_allclose(
             np.asarray(p), np.asarray(q), atol=2e-5),
         jax.device_get(s1.params), jax.device_get(s2.params))
+
+
+# ----------------------------------------------------------------------
+# sharded device-resident feed (VERDICT r3 #2): the multi-chip fast feed
+# ----------------------------------------------------------------------
+
+def _feed_dataset(rng, n_samples=32, horizon=12):
+    x = rng.normal(size=(n_samples, 12, N, 2)).astype(np.float32)
+    y = (rng.normal(size=(n_samples, horizon, N, 2)) + 40).astype(np.float32)
+    a = rng.random((2, N, N)).astype(np.float32)
+    supports = [jnp.asarray(s / s.sum(-1, keepdims=True)) for s in a]
+    return x, y, supports
+
+
+def _fit_cfgs(scan_steps=1, tmp=None):
+    cfg = ModelConfig(num_nodes=N, out_dim=12, residual_channels=4,
+                      dilation_channels=4, skip_channels=8, end_channels=16,
+                      blocks=2, layers=2, dropout=0.0, n_supports=2)
+    tcfg = TrainConfig(learning_rate=1e-3, epochs=2, print_every=100,
+                      scan_steps=scan_steps,
+                      save_dir=str(tmp) if tmp else "/tmp/gwt_feed_test")
+    return cfg, tcfg
+
+
+def _build_data(x, y, loader_cls_or_fn, batch, seed):
+    data = {"x_train": x, "y_train": y, "x_val": x[:8], "y_val": y[:8],
+            "x_test": x[:8], "y_test": y[:8],
+            "scaler": StandardScaler(40.0, 4.0)}
+    for split, (xs, ys) in (("train", (x, y)), ("val", (x[:8], y[:8])),
+                            ("test", (x[:8], y[:8]))):
+        data[split + "_loader"] = loader_cls_or_fn(
+            xs, ys, batch, rng=np.random.default_rng(seed))
+    return data
+
+
+def _history_losses(res):
+    return [(h.train["loss"], h.valid["loss"]) for h in res.history]
+
+
+def test_device_resident_feed_under_dp_mesh_full_fit(rng, tmp_path):
+    """The VERDICT r3 #2 exactness triangle: a full Runner.fit with
+    (a) single device + host feed, (b) DP mesh + host feed, and (c) DP
+    mesh + sharded device-resident feed must produce the same epoch
+    losses and final params — the CLI restriction forcing --resident
+    host under --mesh_* is gone."""
+    import functools
+    from graph_wavenet_tpu.data.device_loader import DeviceArrayLoader
+    from graph_wavenet_tpu.data.loader import DataLoader
+    from graph_wavenet_tpu.train.runner import Runner
+
+    x, y, supports = _feed_dataset(rng)
+    mesh = M.make_mesh(MeshConfig())
+    mcfg = MeshConfig()
+    sh = M.batch_sharding(mesh, mcfg)
+
+    def run(loader_fn, use_mesh, sub):
+        cfg, tcfg = _fit_cfgs(tmp=tmp_path / sub)
+        engine = Engine(cfg, tcfg, StandardScaler(40.0, 4.0), seed=0)
+        runner = Runner(engine, tcfg,
+                        mesh=mesh if use_mesh else None,
+                        mesh_cfg=mcfg if use_mesh else None)
+        data = _build_data(x, y, loader_fn, 16, seed=7)
+        res = runner.fit(data, supports)
+        return res, engine
+
+    res_a, e_a = run(DataLoader, False, "a")
+    res_b, e_b = run(DataLoader, True, "b")
+    res_c, e_c = run(
+        functools.partial(DeviceArrayLoader, sharding=sh), True, "c")
+
+    la, lb, lc = map(_history_losses, (res_a, res_b, res_c))
+    np.testing.assert_allclose(la, lb, rtol=1e-5)
+    np.testing.assert_allclose(la, lc, rtol=1e-5)
+    for other in (e_b, e_c):
+        jax.tree_util.tree_map(
+            lambda p, q: np.testing.assert_allclose(
+                np.asarray(p), np.asarray(q), atol=2e-5),
+            jax.device_get(e_a.state.params),
+            jax.device_get(other.state.params))
+
+
+def test_fused_scan_under_dp_mesh_matches_single_device(rng, tmp_path):
+    """scan_steps>1 now composes with the mesh: the fused multi-step scan
+    over a mesh-replicated resident dataset (batch gathers constrained to
+    the DP layout) reproduces the single-device fused run exactly."""
+    import functools
+    from graph_wavenet_tpu.data.device_loader import DeviceArrayLoader
+    from graph_wavenet_tpu.train.runner import Runner
+
+    x, y, supports = _feed_dataset(rng)
+    mesh = M.make_mesh(MeshConfig())
+    mcfg = MeshConfig()
+    sh = M.batch_sharding(mesh, mcfg)
+
+    def run(loader_fn, use_mesh, sub):
+        cfg, tcfg = _fit_cfgs(scan_steps=2, tmp=tmp_path / sub)
+        engine = Engine(cfg, tcfg, StandardScaler(40.0, 4.0), seed=0)
+        runner = Runner(engine, tcfg,
+                        mesh=mesh if use_mesh else None,
+                        mesh_cfg=mcfg if use_mesh else None)
+        data = _build_data(x, y, loader_fn, 8, seed=5)
+        res = runner.fit(data, supports)
+        return res, engine
+
+    res_1, e_1 = run(DeviceArrayLoader, False, "single")
+    res_m, e_m = run(
+        functools.partial(DeviceArrayLoader, sharding=sh), True, "mesh")
+
+    np.testing.assert_allclose(_history_losses(res_1),
+                               _history_losses(res_m), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda p, q: np.testing.assert_allclose(
+            np.asarray(p), np.asarray(q), atol=2e-5),
+        jax.device_get(e_1.state.params), jax.device_get(e_m.state.params))
+
+
+def test_fused_scan_mesh_requires_mesh_resident_loader(rng, tmp_path):
+    """A device-resident loader built WITHOUT the mesh sharding fails the
+    fused mesh path with a named error (not an opaque jit device error)."""
+    from graph_wavenet_tpu.data.device_loader import DeviceArrayLoader
+    from graph_wavenet_tpu.train.runner import Runner
+
+    x, y, supports = _feed_dataset(rng)
+    mesh = M.make_mesh(MeshConfig())
+    cfg, tcfg = _fit_cfgs(scan_steps=2, tmp=tmp_path)
+    engine = Engine(cfg, tcfg, StandardScaler(40.0, 4.0), seed=0)
+    runner = Runner(engine, tcfg, mesh=mesh, mesh_cfg=MeshConfig())
+    data = _build_data(x, y, DeviceArrayLoader, 8, seed=5)
+    with pytest.raises(ValueError, match="mesh-replicated"):
+        runner.fit(data, supports)
+
+
+def test_fused_window_scan_under_dp_mesh_matches_single(rng, tmp_path):
+    """Windows-on-demand fused scan (DeviceWindowLoader) under the mesh ==
+    single device: the streaming METR-LA feed keeps scan fusion on
+    multi-chip runs too."""
+    import functools
+    from graph_wavenet_tpu.data.device_loader import DeviceWindowLoader
+    from graph_wavenet_tpu.train.runner import Runner
+
+    series = rng.normal(size=(160, N, 2)).astype(np.float32)
+    a = rng.random((2, N, N)).astype(np.float32)
+    supports = [jnp.asarray(s / s.sum(-1, keepdims=True)) for s in a]
+    mesh = M.make_mesh(MeshConfig())
+    mcfg = MeshConfig()
+    sh = M.batch_sharding(mesh, mcfg)
+
+    def run(sharding, use_mesh, sub):
+        cfg, tcfg = _fit_cfgs(scan_steps=2, tmp=tmp_path / sub)
+        engine = Engine(cfg, tcfg, StandardScaler(0.0, 1.0), seed=0)
+        runner = Runner(engine, tcfg,
+                        mesh=mesh if use_mesh else None,
+                        mesh_cfg=mcfg if use_mesh else None)
+        kw = {"sharding": sharding} if sharding is not None else {}
+        data = {"scaler": StandardScaler(0.0, 1.0)}
+        for split, seed in (("train", 3), ("val", 4)):
+            data[split + "_loader"] = DeviceWindowLoader(
+                series, 12, 12, 8, rng=np.random.default_rng(seed), **kw)
+        res = runner.fit(data, supports)
+        return res, engine
+
+    res_1, e_1 = run(None, False, "single")
+    res_m, e_m = run(sh, True, "mesh")
+    np.testing.assert_allclose(_history_losses(res_1),
+                               _history_losses(res_m), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda p, q: np.testing.assert_allclose(
+            np.asarray(p), np.asarray(q), atol=2e-5),
+        jax.device_get(e_1.state.params), jax.device_get(e_m.state.params))
+
+
+def test_fused_syn_resident_scan_under_mesh_matches_single(rng):
+    """The fused diff-G scan (per-sample supports/projectors gathered
+    in-scan) under a DP mesh with batch + batched-support constraints ==
+    the unsharded fused scan."""
+    K, B, S = 12, 4, 2
+    cfg = ModelConfig(num_nodes=N, in_dim=1, out_dim=K,
+                      residual_channels=4, dilation_channels=4,
+                      skip_channels=8, end_channels=16, blocks=4,
+                      layers=2, start_dilation=1, dropout=0.0,
+                      gcn_bool=True, addaptadj=False, n_supports=1)
+    assert cfg.receptive_field == K + 1
+    tcfg = TrainConfig(learning_rate=1e-3)
+    n_samples, n_graphs = 8, 3
+    xs = rng.normal(size=(n_samples, K, N, 1)).astype(np.float32)
+    ys = (rng.normal(size=(n_samples, K, N, 2)) + 3.0).astype(np.float32)
+    sup = rng.random((n_graphs, N, N)).astype(np.float32)
+    sup = sup / sup.sum(-1, keepdims=True)
+    labels = rng.integers(0, 4, size=(n_graphs, N))
+    from graph_wavenet_tpu.train.engine import cluster_mean_projector
+    proj = np.stack([cluster_mean_projector(l, 4) for l in labels])
+    adj = rng.integers(0, n_graphs, size=n_samples).astype(np.int32)
+    idx = rng.integers(0, n_samples, size=(S, B)).astype(np.int32)
+    F_t = 4
+
+    e1 = Engine(cfg, tcfg, StandardScaler(0.0, 1.0), diff_g=True)
+    s1, m1 = e1.train_steps_syn_resident(
+        e1.state, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(idx),
+        jnp.asarray(adj), [jnp.asarray(sup)], jnp.asarray(proj), F_t)
+
+    mcfg = MeshConfig()
+    mesh = M.make_mesh(mcfg)
+    rep = M.replicated(mesh)
+    e2 = Engine(cfg, tcfg, StandardScaler(0.0, 1.0), diff_g=True)
+    state = M.shard_state(mesh, e2.state)
+    put = lambda a: jax.device_put(jnp.asarray(a), rep)
+    s2, m2 = e2.train_steps_syn_resident(
+        state, put(xs), put(ys), put(idx), put(adj), [put(sup)],
+        put(proj), F_t,
+        batch_sharding=M.batch_sharding(mesh, mcfg),
+        batched_sharding=M.support_sharding(mesh, mcfg, batched=True))
+
+    np.testing.assert_allclose(np.asarray(m1["loss"]),
+                               np.asarray(m2["loss"]), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda p, q: np.testing.assert_allclose(
+            np.asarray(p), np.asarray(q), atol=2e-5),
+        jax.device_get(s1.params), jax.device_get(s2.params))

@@ -272,7 +272,10 @@ def test_fit_on_mesh_matches_single_device(tmp_path, dataset):
                                    h_ref.valid["loss"], rtol=1e-5)
 
 
-def test_runner_mesh_rejects_resident_fast_paths(tmp_path):
+def test_runner_mesh_accepts_scan_rejects_prefetch(tmp_path):
+    """r4 contract: scan_steps>1 composes with the mesh (sharded
+    device-resident fused feed, tests/test_parallel.py pins exactness);
+    only the single-device prefetch pipeline is still refused."""
     from graph_wavenet_tpu.config import MeshConfig
     from graph_wavenet_tpu.parallel import mesh as M
 
@@ -281,8 +284,12 @@ def test_runner_mesh_rejects_resident_fast_paths(tmp_path):
                       end_channels=32, blocks=2, layers=2, n_supports=2)
     tcfg = TrainConfig(scan_steps=4, save_dir=str(tmp_path))
     engine = Engine(cfg, tcfg, StandardScaler(0.0, 1.0))
-    with pytest.raises(ValueError, match="scan_steps"):
-        Runner(engine, tcfg, mesh=M.make_mesh(MeshConfig()))
+    Runner(engine, tcfg, mesh=M.make_mesh(MeshConfig()))   # no raise
+
+    tcfg2 = TrainConfig(prefetch=2, save_dir=str(tmp_path))
+    engine2 = Engine(cfg, tcfg2, StandardScaler(0.0, 1.0))
+    with pytest.raises(ValueError, match="prefetch"):
+        Runner(engine2, tcfg2, mesh=M.make_mesh(MeshConfig()))
 
 
 def _syn_runner(tmp_path, same_g, mesh=None, mesh_cfg=None, seed=3):

@@ -347,3 +347,98 @@ def test_export_city_checkpoint_roundtrip(tmp_path, rng):
     fc = serving.Forecaster.from_city_checkpoint(path, gpath)
     want = np.asarray(fc.predict(jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_diffg_bank_indexed_matches_direct(tmp_path, rng):
+    """bind_bank + predict_indexed == predict with hand-gathered supports;
+    same for the pooled modalities (VERDICT r3 #3 library surface)."""
+    from graph_wavenet_tpu.graphs.normalize import mod_adj
+    from graph_wavenet_tpu.train import checkpoint as ckpt
+    from graph_wavenet_tpu.train.engine import Engine, cluster_mean_projector
+
+    n, k, b, G = 12, 6, 4, 3
+    cfg = ModelConfig(num_nodes=n, in_dim=2, out_dim=k,
+                      residual_channels=4, dilation_channels=4,
+                      skip_channels=8, end_channels=16, blocks=2, layers=2,
+                      dropout=0.0, n_supports=2, start_dilation=1)
+    scaler = StandardScaler(1.5, 0.5)
+    engine = Engine(cfg, TrainConfig(), scaler, diff_g=True, seed=0)
+    path = str(tmp_path / "diffg.msgpack")
+    ckpt.save_checkpoint(path, engine.state, model_cfg=cfg,
+                         train_cfg=TrainConfig(), scaler=scaler,
+                         extra={"diff_g": True})
+
+    W = rng.random((G, n, n)).astype(np.float32)
+    labels = rng.integers(0, 3, size=(G, n)).astype(np.int32)
+    bank_path = str(tmp_path / "bank.npz")
+    serving.save_graph_bank(bank_path, W, labels=labels, F_t=2)
+
+    fc = serving.DiffGForecaster.from_checkpoint(path)
+    with pytest.raises(ValueError, match="no graph bank"):
+        fc.predict_indexed(jnp.zeros((1, k, n, 2)), np.zeros(1, np.int32))
+    fc.bind_bank(serving.load_graph_bank(bank_path))
+
+    x = jnp.asarray(rng.normal(size=(b, k, n, 2)), jnp.float32)
+    idx = np.array([0, 2, 1, 2], np.int32)
+    got = np.asarray(fc.predict_indexed(x, idx))
+
+    # direct path: gather each sample's supports by hand
+    per_graph = [mod_adj(w, "doubletransition") for w in W]
+    sup = [jnp.asarray(np.stack([per_graph[g][j] for g in idx]))
+           for j in range(2)]
+    want = np.asarray(fc.predict(x, sup))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    f_got, e_got = fc.predict_modalities_indexed(x, idx)
+    proj = jnp.asarray(np.stack(
+        [cluster_mean_projector(labels[g], 3) for g in idx]))
+    f_want, e_want = fc.predict_modalities(x, sup, proj, F_t=2)
+    np.testing.assert_allclose(np.asarray(f_got), np.asarray(f_want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(e_got), np.asarray(e_want),
+                               rtol=1e-5, atol=1e-5)
+
+    # wrong adjtype vs checkpoint support count is a named error
+    fc2 = serving.DiffGForecaster.from_checkpoint(path)
+    with pytest.raises(ValueError, match="n_supports"):
+        fc2.bind_bank(serving.load_graph_bank(bank_path),
+                      adjtype="transition")
+
+
+def test_export_diffg_roundtrip(tmp_path, rng):
+    """export_diffg_forecaster bakes weights + bank; the loaded artifact's
+    (x, adj_idx) call equals the live indexed predictor (VERDICT r3 #3
+    export surface)."""
+    from graph_wavenet_tpu.train import checkpoint as ckpt
+    from graph_wavenet_tpu.train.engine import Engine
+
+    n, k, G = 10, 6, 3
+    cfg = ModelConfig(num_nodes=n, in_dim=2, out_dim=k,
+                      residual_channels=4, dilation_channels=4,
+                      skip_channels=8, end_channels=16, blocks=2, layers=2,
+                      dropout=0.0, n_supports=1, start_dilation=1)
+    scaler = StandardScaler(0.0, 1.0)
+    engine = Engine(cfg, TrainConfig(), scaler, diff_g=True, seed=0)
+    path = str(tmp_path / "diffg.msgpack")
+    ckpt.save_checkpoint(path, engine.state, model_cfg=cfg,
+                         train_cfg=TrainConfig(), scaler=scaler,
+                         extra={"diff_g": True})
+    W = rng.random((G, n, n)).astype(np.float32)
+    bank_path = str(tmp_path / "bank.npz")
+    serving.save_graph_bank(bank_path, W)
+
+    fc = serving.DiffGForecaster.from_checkpoint(path).bind_bank(
+        serving.load_graph_bank(bank_path), adjtype="transition")
+    art = str(tmp_path / "diffg.jaxexp")
+    serving.export_diffg_forecaster(fc, art, batch_size=2, seq_len=k)
+
+    loaded = serving.load_exported_forecaster(art)
+    assert loaded.n_inputs == 2
+    x = jnp.asarray(rng.normal(size=(2, k, n, 2)), jnp.float32)
+    idx = jnp.asarray(np.array([2, 0], np.int32))
+    got = np.asarray(loaded.predict(x, idx))
+    want = np.asarray(fc.predict_indexed(x, idx))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # arity mismatch is a named error, not a cryptic XLA one
+    with pytest.raises(TypeError, match="input"):
+        loaded.predict(x)
