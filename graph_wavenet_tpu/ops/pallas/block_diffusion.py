@@ -504,6 +504,29 @@ def gathered_block_mix_flat2(blocks_flat: jnp.ndarray,
     src_tbl = src_tbl.astype(jnp.int32)
     row_tbl = row_tbl.astype(jnp.int32)
 
+    # XLA:TPU places small custom-call outputs in scoped VMEM (S(1));
+    # with this kernel's TWO full outputs (plus the optional add operand)
+    # co-resident next to the streamed tiles + ring + accumulators, that
+    # overflows the 16 MB scoped budget on small graphs (observed: nb=2,
+    # rp=6144 fp32 -> "scoped allocation 18.00M, limit 16.00M"). The
+    # fused pass exists to cut HBM round-trips on LARGE intermediates, so
+    # below clearly-HBM scale just chain the single-hop kernel — bit-
+    # identical by construction (same accumulation order, same inter-hop
+    # cast, add applied after the cast). Interpret mode keeps the fused
+    # path so CPU tests exercise the kernel logic at any size.
+    out_bytes = nb * bs * (r + (-r) % 128) * x_pad.dtype.itemsize
+    if not interpret and (2 + (add is not None)) * out_bytes \
+            <= 64 * 1024 * 1024:
+        o1 = gathered_block_mix_flat(
+            blocks_flat, slot_tbl, x_pad, src_tbl, row_tbl, nb=nb,
+            transpose_lhs=transpose_lhs, interpret=interpret)
+        if add is not None:
+            o1 = o1 + add.astype(o1.dtype)
+        o2 = gathered_block_mix_flat(
+            blocks_flat, slot_tbl, o1, src_tbl, row_tbl, nb=nb,
+            transpose_lhs=transpose_lhs, interpret=interpret)
+        return o1, o2
+
     pad_r = (-r) % 128
     if pad_r:
         x_pad = jnp.pad(x_pad, ((0, 0), (0, 0), (0, pad_r)))
