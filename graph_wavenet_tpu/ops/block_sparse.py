@@ -668,7 +668,9 @@ def _block_mix_flat2_bwd(delay, ring_w, delay_t, ring_w_t, res, g):
 
         g1_eff = g1 + mixT(g2)
         dx = mixT(g1_eff)
-    acc = accum_dtype(dt)
+    # accum_dtype returns None for bf16-on-CPU ("accumulate in the input
+    # dtype"); here it names a concrete output dtype, so fall back to dt
+    acc = accum_dtype(dt) or dt
     dflat = gathered_block_outer_flat(
         x2.reshape(nb, bs, r), g1_eff.reshape(nb, bs, r), src_tbl,
         row_tbl, out_dtype=acc, interpret=interp)
