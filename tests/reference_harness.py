@@ -227,12 +227,14 @@ def engine_from_state_dict(sd: dict, cfg, tcfg, scaler):
 
 
 def build_ref_trainer_syn(ref, cfg, scaler, supports_by_split,
-                          seed=0, lr=1e-3, wd=1e-4):
+                          seed=0, lr=1e-3, wd=1e-4, addaptadj=False):
     """The reference ``trainer`` with DICT supports -> ``gwnet_diff_G``
     (`engine.py:14-25`). supports_by_split: our ``stack_support_splits``
-    output (numpy (n, N, N) stacks per split). addaptadj stays False — the
-    reference diff-G's adaptive path draws unseedable fresh nodevecs per
-    forward (quirk #2 SURVEY.md §7.4), so it cannot be A/B'd."""
+    output (numpy (n, N, N) stacks per split). addaptadj=False for
+    matched-init A/Bs — the reference diff-G's adaptive path draws
+    unseedable fresh nodevecs per forward (quirk #2 SURVEY.md §7.4), so
+    it cannot be matched pointwise; pass addaptadj=True only for
+    DISTRIBUTIONAL comparisons (garage/diffg_fresh_ensemble.py)."""
     assert cfg.skip_channels == 8 * cfg.residual_channels
     assert cfg.end_channels == 16 * cfg.residual_channels
     torch.manual_seed(seed)
@@ -241,7 +243,7 @@ def build_ref_trainer_syn(ref, cfg, scaler, supports_by_split,
     t = ref.engine.trainer(
         ref.util.StandardScaler(scaler.mean, scaler.std), cfg.in_dim,
         cfg.out_dim, cfg.num_nodes, cfg.residual_channels, cfg.dropout,
-        lr, wd, "cpu", sup_dict, cfg.gcn_bool, False,
+        lr, wd, "cpu", sup_dict, cfg.gcn_bool, addaptadj,
         {split: None for split in sup_dict}, cfg.blocks, cfg.layers)
     assert type(t.model).__name__ == "gwnet_diff_G"
     return t
