@@ -83,6 +83,10 @@ def main():
                          "the supports' union pattern — the FULL "
                          "reference model (learned graph included) at "
                          "city scale (ops/adaptive_block.py)")
+    ap.add_argument("--adaptive_hops", type=int, default=1,
+                    help="widen the adaptive mask to the k-hop block "
+                         "closure (the dense-fidelity dial; cost scales "
+                         "with the widened live-block count)")
     args = ap.parse_args()
 
     import jax
@@ -156,9 +160,10 @@ def main():
     if args.addaptadj:
         from graph_wavenet_tpu.ops.adaptive_block import mask_from_supports
 
-        mask = mask_from_supports(sup)
+        mask = mask_from_supports(sup, hops=args.adaptive_hops)
         print(f"adaptive mask: {mask.n_live} live blocks "
-              f"(union of supports + diagonal)", flush=True)
+              f"(union of supports + diagonal, hops={args.adaptive_hops})",
+              flush=True)
         sup = list(sup) + [mask]
 
     K, H = 12, 12
@@ -204,6 +209,16 @@ def main():
           f"({wall / done * 1e3:.0f} ms/step incl. host feed, "
           f"{args.batch * n * K / (wall / done) / 1e6:.1f}M "
           f"node-ts/s); loss {first:.4f} -> {last:.4f}", flush=True)
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        gib = 1024 ** 3
+        if "peak_bytes_in_use" in ms:
+            print(f"HBM: peak {ms['peak_bytes_in_use'] / gib:.2f} GiB, "
+                  f"in use {ms.get('bytes_in_use', 0) / gib:.2f} GiB, "
+                  f"limit {ms.get('bytes_limit', 0) / gib:.2f} GiB",
+                  flush=True)
+    except Exception as e:   # memory_stats is optional on some backends
+        print(f"HBM stats unavailable: {e}", flush=True)
 
 
 if __name__ == "__main__":
