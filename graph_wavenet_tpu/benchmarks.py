@@ -207,10 +207,17 @@ def bench_sharded_train_step(cfg: ModelConfig, mesh_cfg: MeshConfig,
         return time.perf_counter() - t0
 
     per_step = _differential_time(run_steps, max(steps // 3, 1), steps)
+    flops = None
+    try:
+        _, flops = _compile_step(engine.train_step, engine, state, xj, yj,
+                                 sup)
+    except Exception:
+        pass   # mesh lowerings on emulated backends may lack cost info
     return {
         "devices": mesh.devices.size,
         "steps_per_s": 1.0 / per_step,
         "node_timesteps_per_s": batch * cfg.num_nodes * seq / per_step,
+        **_rate_fields(per_step, flops),
     }
 
 
