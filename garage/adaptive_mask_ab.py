@@ -15,12 +15,21 @@ three arms on the same synthetic spatial-traffic dataset:
   mask-h2  — the 2-hop block closure of that mask (the widening knob,
              `ops/adaptive_block.py:widen_block_pairs`).
 
-Arms share the dataset, node ordering (identity — no permutation, so
-parameter seeds align node-for-node), seeds, and hyperparameters; dense
-vs mask-h* differ ONLY in the learned graph's support set (fixed supports
-are the same matrices in dense vs flat block-sparse form, pinned equal by
-the parity suite). Multiple seeds per arm turn "within noise" into a
-measured statement: the seed spread IS the noise floor.
+The node layout is permuted ONCE up front (``best_block_ordering`` on
+the spatial graph) and every arm — including dense — trains the SAME
+permuted dataset in identity order. A permutation leaves the dense arm's
+semantics untouched, but it is what makes the union mask genuinely
+SPARSE (under a random layout a k-NN graph touches every 128x128 block
+pair and the "masked" arm degenerates to all-live: measured in round 4,
+where that degenerate run doubled as a full-training-run proof that the
+all-live masked path == the dense path, test MAE within 3e-4). Arms
+share seeds and hyperparameters, so with node ids aligned the inits are
+matched parameter-for-parameter; the dense-arm seed spread is the noise
+floor.
+
+Each (arm, seed) trains in its OWN SUBPROCESS: one in-process sweep
+accumulates host mirrors of device state across runs and OOMs a 128 GB
+host (round-4 lesson).
 
 Writes fig/adaptive_mask_ab.json + .png and prints a PARITY.md table.
 
@@ -32,7 +41,9 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import pathlib
+import subprocess
 import sys
 import tempfile
 import time
@@ -44,13 +55,77 @@ sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 
 
-def run_arm(name, cfg, tcfg_kw, data, supports, seed):
-    from graph_wavenet_tpu.config import TrainConfig
+def build_workdir(args) -> dict:
+    """Dataset + permuted graph, shared by every arm subprocess."""
+    from reference_harness import load_flagship_demo
+
+    from graph_wavenet_tpu.data.traffic_etl import generate_train_val_test
+    from graph_wavenet_tpu.graphs import ordering as O
+
+    wd = args.workdir
+    fd = load_flagship_demo()
+    rng = np.random.default_rng(7)
+    n = args.num_nodes
+    adj, pos = fd.make_sensor_graph(n, rng)
+    values = fd.synth_traffic(n, args.timesteps, adj, rng)
+    # permute the LAYOUT once: spatially-close nodes land in the same
+    # 128-block, so the union mask is sparse; dense semantics unchanged
+    src, dst = np.nonzero(adj)
+    perm, chosen, _ = O.best_block_ordering(src, dst, n, pos=pos)
+    inv = np.argsort(perm)
+    values = values[:, inv]                    # column i <- old node inv[i]
+    adj = adj[np.ix_(inv, inv)]
+    index = (np.datetime64("2012-03-01T00:00")
+             + np.arange(args.timesteps) * np.timedelta64(5, "m"))
+    generate_train_val_test(values, wd, index=index)
+    np.save(os.path.join(wd, "adj_perm.npy"), adj)
+    stats = O.block_locality_stats(*np.nonzero(adj), n, None, 128)
+    print(f"layout: {chosen}; {stats['n_blocks']} live blocks, "
+          f"{stats['blocks_per_row_mean']:.1f} mean per block-row",
+          flush=True)
+    return {"ordering": chosen}
+
+
+def run_worker(args) -> None:
+    """One (arm, seed) training run; writes <workdir>/<arm>_s<seed>.json."""
+    import jax
+
+    from graph_wavenet_tpu.config import ModelConfig, TrainConfig
+    from graph_wavenet_tpu.data import metr
+    from graph_wavenet_tpu.graphs.city import build_city_supports
+    from graph_wavenet_tpu.graphs.normalize import mod_adj
     from graph_wavenet_tpu.train.engine import Engine
     from graph_wavenet_tpu.train.runner import Runner
 
-    tcfg = TrainConfig(seed=seed, save_dir=tempfile.mkdtemp(
-        prefix=f"ab_{name}_s{seed}_"), **tcfg_kw)
+    wd, arm, seed = args.workdir, args.arm, args.seed
+    adj = np.load(os.path.join(wd, "adj_perm.npy"))
+    n = adj.shape[0]
+    nb = n // 128
+    if arm == "dense":
+        supports = [np.asarray(a) for a in mod_adj(adj, "doubletransition")]
+        coverage = 1.0
+    else:
+        hops = int(arm.split("-h")[1])
+        src, dst = np.nonzero(adj)
+        w = adj[src, dst].astype(np.float32)
+        form = "flat" if jax.default_backend() == "tpu" else "block"
+        sups, mask, _ = build_city_supports(
+            src, dst, w, n, ordering="identity", form=form,
+            addaptadj=True, adaptive_hops=hops)
+        coverage = mask.n_live / (nb * nb)
+        supports = list(sups) + [mask]
+
+    nhid = args.nhid
+    cfg = ModelConfig(num_nodes=n, in_dim=2, out_dim=12,
+                      residual_channels=nhid, dilation_channels=nhid,
+                      skip_channels=nhid * 8, end_channels=nhid * 16,
+                      blocks=4, layers=2, dropout=args.dropout,
+                      gcn_bool=True, addaptadj=True, n_supports=2)
+    tcfg = TrainConfig(seed=seed, epochs=args.epochs,
+                       batch_size=args.batch_size, print_every=10 ** 9,
+                       keep_checkpoints=1,
+                       save_dir=tempfile.mkdtemp(prefix=f"ab_{arm}_"))
+    data = metr.load_dataset(wd, args.batch_size, seed=seed)
     engine = Engine(cfg, tcfg, data["scaler"], seed=seed)
     runner = Runner(engine, tcfg)
     t0 = time.time()
@@ -58,8 +133,7 @@ def run_arm(name, cfg, tcfg_kw, data, supports, seed):
     wall = time.time() - t0
     result = runner.test(data, supports, result)
     rec = {
-        "seed": seed,
-        "wall_s": wall,
+        "arm": arm, "seed": seed, "coverage": coverage, "wall_s": wall,
         "history": [{"epoch": e.epoch, "train_loss": e.train["loss"],
                      "valid_loss": e.valid["loss"]} for e in result.history],
         "best_val": result.best_val_loss,
@@ -68,10 +142,11 @@ def run_arm(name, cfg, tcfg_kw, data, supports, seed):
         "test_mape": result.test_metrics["mape"],
         "per_horizon": [list(map(float, m)) for m in result.per_horizon],
     }
-    print(f"  {name} seed={seed}: best_val {rec['best_val']:.4f}  "
-          f"test MAE {rec['test_mae']:.4f}  RMSE {rec['test_rmse']:.4f}  "
-          f"({wall:.0f}s)", flush=True)
-    return rec
+    with open(os.path.join(wd, f"{arm}_s{seed}.json"), "w") as f:
+        json.dump(rec, f)
+    print(f"  {arm} seed={seed}: cover {coverage:.1%}  best_val "
+          f"{rec['best_val']:.4f}  test MAE {rec['test_mae']:.4f}  "
+          f"RMSE {rec['test_rmse']:.4f}  ({wall:.0f}s)", flush=True)
 
 
 def main():
@@ -86,76 +161,60 @@ def main():
     ap.add_argument("--h2_seeds", type=int, nargs="+", default=[0],
                     help="seeds for the mask-h2 arm (widening datapoint)")
     ap.add_argument("--out", default=None)
+    # worker-mode internals
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--arm", default=None)
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
-    assert args.num_nodes % 128 == 0, "identity ordering needs N % 128 == 0"
+    assert args.num_nodes % 128 == 0, "block layout needs N % 128 == 0"
+
+    if args.worker:
+        run_worker(args)
+        return
 
     import jax
 
-    from reference_harness import make_ab_dataset
+    print(f"backend: {jax.default_backend()} ({jax.devices()})", flush=True)
+    args.workdir = args.workdir or tempfile.mkdtemp(prefix="ab_mask_")
+    print(f"workdir: {args.workdir}", flush=True)
+    build_workdir(args)
 
-    from graph_wavenet_tpu.config import ModelConfig
-    from graph_wavenet_tpu.data import metr
-    from graph_wavenet_tpu.graphs.city import build_city_supports
-    from graph_wavenet_tpu.graphs.normalize import mod_adj
-
-    backend = jax.default_backend()
-    print(f"backend: {backend} ({jax.devices()})", flush=True)
-
-    data_dir = tempfile.mkdtemp(prefix="ab_mask_data_")
-    print(f"dataset: N={args.num_nodes} T={args.timesteps}", flush=True)
-    adj = make_ab_dataset(data_dir, args.num_nodes, args.timesteps, seed=7)
-
-    # dense fixed supports (reference path)
-    dense_supports = [np.asarray(a) for a in mod_adj(adj, "doubletransition")]
-
-    # flat block-sparse fixed supports + union mask (production city path);
-    # identity ordering keeps node ids (and therefore seeded params and the
-    # dataset) aligned with the dense arm
-    src, dst = np.nonzero(adj)
-    w = adj[src, dst].astype(np.float32)
-    form = "flat" if backend == "tpu" else "block"
-    sparse_arms = {}
-    nb = args.num_nodes // 128
-    for hops, label in ((1, "mask-h1"), (2, "mask-h2")):
-        supports, mask, layout = build_city_supports(
-            src, dst, w, args.num_nodes, ordering="identity", form=form,
-            addaptadj=True, adaptive_hops=hops)
-        cov = mask.n_live / (nb * nb)
-        sparse_arms[label] = (supports + [mask], cov)
-        print(f"{label}: {mask.n_live}/{nb * nb} live blocks "
-              f"({cov:.1%} of dense)", flush=True)
-
-    nhid = args.nhid
-    cfg = ModelConfig(num_nodes=args.num_nodes, in_dim=2, out_dim=12,
-                      residual_channels=nhid, dilation_channels=nhid,
-                      skip_channels=nhid * 8, end_channels=nhid * 16,
-                      blocks=4, layers=2, dropout=args.dropout,
-                      gcn_bool=True, addaptadj=True, n_supports=2)
-    tcfg_kw = dict(epochs=args.epochs, batch_size=args.batch_size,
-                   print_every=10 ** 9, keep_checkpoints=1)
+    jobs = [("dense", s) for s in args.seeds] \
+        + [("mask-h1", s) for s in args.seeds] \
+        + [("mask-h2", s) for s in args.h2_seeds]
+    for arm, seed in jobs:
+        res_path = os.path.join(args.workdir, f"{arm}_s{seed}.json")
+        if os.path.exists(res_path):
+            print(f"  {arm} seed={seed}: cached", flush=True)
+            continue
+        cmd = [sys.executable, __file__, "--worker",
+               "--workdir", args.workdir, "--arm", arm,
+               "--seed", str(seed)]
+        for k in ("num_nodes", "timesteps", "epochs", "batch_size",
+                  "nhid"):
+            cmd += [f"--{k}", str(getattr(args, k))]
+        cmd += ["--dropout", str(args.dropout)]
+        r = subprocess.run(cmd)
+        if r.returncode:
+            raise SystemExit(f"worker {arm} s{seed} failed "
+                             f"(rc {r.returncode})")
 
     arms = {}
-    for label, sup, seeds in (
-            ("dense", dense_supports, args.seeds),
-            ("mask-h1", sparse_arms["mask-h1"][0], args.seeds),
-            ("mask-h2", sparse_arms["mask-h2"][0], args.h2_seeds)):
-        print(f"== arm {label} ==", flush=True)
-        runs = []
-        for s in seeds:
-            data = metr.load_dataset(data_dir, args.batch_size, seed=s)
-            runs.append(run_arm(label, cfg, tcfg_kw, data, sup, s))
-        arms[label] = runs
+    for arm, seed in jobs:
+        with open(os.path.join(args.workdir, f"{arm}_s{seed}.json")) as f:
+            arms.setdefault(arm, []).append(json.load(f))
 
     def stat(label, key):
         v = [r[key] for r in arms[label]]
         return float(np.mean(v)), float(np.min(v)), float(np.max(v))
 
-    print("\n| arm | live blocks | test MAE (mean [min..max]) | "
+    print("\n| arm | mask coverage | test MAE (mean [min..max]) | "
           "test RMSE | best val |")
     print("|---|---|---|---|---|")
     summary = {}
     for label in ("dense", "mask-h1", "mask-h2"):
-        cov = 1.0 if label == "dense" else sparse_arms[label][1]
+        cov = arms[label][0]["coverage"]
         mae = stat(label, "test_mae")
         rmse = stat(label, "test_rmse")
         bv = stat(label, "best_val")
@@ -172,7 +231,9 @@ def main():
     print(f"\nmask-h1 minus dense test-MAE gap: {gap:+.4f} "
           f"(dense seed spread {spread:.4f})")
 
-    out = {"config": vars(args), "backend": backend,
+    out = {"config": {k: v for k, v in vars(args).items()
+                      if k not in ("worker", "arm", "seed")},
+           "backend": jax.default_backend(),
            "arms": arms, "summary": summary,
            "gap_mask_h1_vs_dense": gap, "dense_seed_spread": spread}
     fig_dir = REPO / "fig"
