@@ -30,6 +30,31 @@ FLOPS_RTOL = 0.02
 pytestmark = pytest.mark.slow
 
 
+def check_band(row: dict, best_step_ms: float, flops: float | None):
+    """Raise AssertionError if the measurement regressed past the band
+    vs the recorded row (pure logic — unit-tested on every backend;
+    the TPU test feeds it real measurements)."""
+    assert best_step_ms <= row["step_ms"] * STEP_MS_BAND, (
+        f"flagship train step regressed: {best_step_ms:.2f} ms vs "
+        f"recorded {row['step_ms']:.2f} ms (band x{STEP_MS_BAND}); if "
+        "this is an intentional trade, re-record fig/perf_table.json")
+    if row.get("flops_per_step") and flops:
+        assert abs(flops - row["flops_per_step"]) \
+            <= FLOPS_RTOL * row["flops_per_step"], (
+            "compiled-program FLOP count drifted — the train-step "
+            "compute graph changed; re-record fig/perf_table.json if "
+            "intended")
+
+
+def test_band_trips_on_deliberate_regression():
+    row = {"step_ms": 10.0, "flops_per_step": 1e9}
+    check_band(row, 10.5, 1e9)            # inside the band
+    with pytest.raises(AssertionError, match="regressed"):
+        check_band(row, 11.0, 1e9)        # the deliberate 10% slowdown
+    with pytest.raises(AssertionError, match="FLOP count drifted"):
+        check_band(row, 10.0, 1.05e9)     # compute-graph drift
+
+
 def test_rate_fields_contract():
     """Every benchmark row carries the MFU context fields; flops come
     from XLA's compiled-program cost model on any backend."""
@@ -61,15 +86,7 @@ def test_flagship_step_within_band():
                                         steps=rec.get("steps", 30))
             for _ in range(3)]
     best = min(m["step_ms"] for m in meas)
-    assert best <= row["step_ms"] * STEP_MS_BAND, (
-        f"flagship train step regressed: {best:.2f} ms vs recorded "
-        f"{row['step_ms']:.2f} ms (band x{STEP_MS_BAND}); if this is an "
-        "intentional trade, re-record fig/perf_table.json")
-    if row.get("flops_per_step") and meas[0]["flops_per_step"]:
-        assert abs(meas[0]["flops_per_step"] - row["flops_per_step"]) \
-            <= FLOPS_RTOL * row["flops_per_step"], (
-            "compiled-program FLOP count drifted — the train-step compute "
-            "graph changed; re-record fig/perf_table.json if intended")
+    check_band(row, best, meas[0]["flops_per_step"])
     if best < row["step_ms"] / STEP_MS_BAND:
         # faster is not a failure, but stale records hide regressions
         # relative to the new level — surface it
