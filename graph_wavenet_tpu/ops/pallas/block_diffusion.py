@@ -531,14 +531,19 @@ def gathered_block_mix_flat2(blocks_flat: jnp.ndarray,
     if pad_r:
         x_pad = jnp.pad(x_pad, ((0, 0), (0, 0), (0, pad_r)))
     rp = r + pad_r
-    # the ring (x dtype) + two fp32 accumulators + streamed tiles must fit
-    # VMEM; shrinking rt multiplies grid steps (per-step overhead is what
-    # dominates at these tile sizes), so budget generously (~12 MB) and
-    # only then shrink
+    # VMEM residency per rt-column of 128 rows: the x tile and both out
+    # tiles are DOUBLE-buffered by Mosaic (2x + 2*2x itemsize), the two
+    # fp32 accumulators are scratch (8 B), the ring holds ring_w x-dtype
+    # rows, and with_add streams one more double-buffered tile. Validated
+    # against a compiler-reported 16.50M overflow at rp=12288/fp32/
+    # ring_w=3 — the old formula ignored double-buffering and blew the
+    # 16 MB scoped limit. Budget 13.5 MB, leaving headroom for the
+    # (1, bs, bs) block tiles (~0.5 MB with buffering) and rounding.
     itemsize = x_pad.dtype.itemsize
-    budget = 12 * 1024 * 1024
-    cap = max(512, budget // (bs * (ring_w * itemsize + 2 * 4 + 3
-                                    * itemsize)) // 128 * 128)
+    with_add_tiles = 2 if add is not None else 0
+    unit = bs * (itemsize * (6 + with_add_tiles + ring_w) + 8)
+    budget = 13_500_000
+    cap = max(128, budget // unit // 128 * 128)
     rt = min(_pick_rt(rp), cap)
     while rp % rt:
         rt -= 128
