@@ -217,6 +217,10 @@ def main():
                   f"in use {ms.get('bytes_in_use', 0) / gib:.2f} GiB, "
                   f"limit {ms.get('bytes_limit', 0) / gib:.2f} GiB",
                   flush=True)
+        else:
+            # the tunneled axon transport reports no memory stats; the
+            # analytic budget lives in BENCH_NOTES' scale-probe sections
+            print("HBM stats: not reported by this backend", flush=True)
     except Exception as e:   # memory_stats is optional on some backends
         print(f"HBM stats unavailable: {e}", flush=True)
 
