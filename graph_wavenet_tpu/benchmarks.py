@@ -425,6 +425,56 @@ def bench_sparse_train_step(n_nodes: int = 40960, batch: int = 4,
     }
 
 
+# a deliberate 10% regression must trip; min-of-3 differential timing on
+# the warm compiled executable keeps run-to-run spread well inside this
+STEP_MS_BAND = 1.08
+FLOPS_RTOL = 0.02
+
+
+def check_band(row: dict, best_step_ms: float, flops: float | None):
+    """Raise AssertionError if a measurement regressed past the band vs
+    the recorded ``fig/perf_table.json`` row. Pure logic — unit-tested in
+    tests/test_perf_regression.py; ``python -m graph_wavenet_tpu.
+    benchmarks --band_check`` feeds it fresh on-hardware measurements
+    (the pytest conftest pins the suite to the virtual CPU mesh, so the
+    hardware check is a CLI, not a test)."""
+    assert best_step_ms <= row["step_ms"] * STEP_MS_BAND, (
+        f"flagship train step regressed: {best_step_ms:.2f} ms vs "
+        f"recorded {row['step_ms']:.2f} ms (band x{STEP_MS_BAND}); if "
+        "this is an intentional trade, re-record fig/perf_table.json")
+    if row.get("flops_per_step") and flops:
+        assert abs(flops - row["flops_per_step"]) \
+            <= FLOPS_RTOL * row["flops_per_step"], (
+            "compiled-program FLOP count drifted — the train-step "
+            "compute graph changed; re-record fig/perf_table.json if "
+            "intended")
+
+
+def band_check(artifact_path: str) -> None:
+    """Re-measure the flagship config (min of 3) on the current device
+    and assert it is inside the recorded band. Exits nonzero on
+    regression or device-kind mismatch."""
+    import json as _json
+
+    rec = _json.loads(open(artifact_path).read())
+    dev = jax.devices()[0].device_kind
+    if rec.get("device") != dev:
+        raise SystemExit(f"artifact recorded on {rec.get('device')!r}, "
+                         f"running on {dev!r} — bands not comparable")
+    row = rec["configs"]["metr-la-full"]
+    cfg = replace(FLAGSHIP, dtype=rec.get("dtype", "bfloat16"))
+    meas = [bench_train_step(cfg, batch=rec.get("batch", 64),
+                             steps=rec.get("steps", 30))
+            for _ in range(3)]
+    # median, not min: the first case in a fresh tunneled process can be
+    # false-FAST (BENCH_NOTES warmup artifacts cut both ways), and a
+    # false-fast min would silently pass a real regression
+    best = sorted(m["step_ms"] for m in meas)[1]
+    check_band(row, best, meas[0]["flops_per_step"])
+    print(f"band check OK: flagship median {best:.2f} ms vs recorded "
+          f"{row['step_ms']:.2f} ms (x{STEP_MS_BAND} band), FLOPs match")
+
+
 def run_all(batch: int = 64, steps: int = 30,
             dtype: str = "bfloat16",
             include_sparse: bool | None = None) -> dict:
@@ -479,7 +529,17 @@ if __name__ == "__main__":
     ap.add_argument("--save", default=None,
                     help="also write the record to this JSON path "
                          "(fig/perf_table.json is the canonical artifact)")
+    ap.add_argument("--band_check", action="store_true",
+                    help="instead of sweeping: re-measure the flagship "
+                         "and assert it is inside fig/perf_table.json's "
+                         "recorded band (exit 1 on regression)")
     a = ap.parse_args()
+    if a.band_check:
+        import pathlib
+
+        band_check(str(pathlib.Path(__file__).resolve().parent.parent
+                       / "fig" / "perf_table.json"))
+        raise SystemExit(0)
     rec = run_all(batch=a.batch, steps=a.steps, dtype=a.dtype)
     if a.save:
         with open(a.save, "w") as f:

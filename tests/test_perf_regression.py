@@ -22,28 +22,10 @@ from graph_wavenet_tpu import benchmarks
 ARTIFACT = pathlib.Path(__file__).resolve().parent.parent / "fig" / \
     "perf_table.json"
 
-# a deliberate 10% regression must trip; min-of-3 differential timing on
-# the warm compiled executable keeps run-to-run spread well inside this
-STEP_MS_BAND = 1.08
-FLOPS_RTOL = 0.02
+STEP_MS_BAND = benchmarks.STEP_MS_BAND
+check_band = benchmarks.check_band
 
 pytestmark = pytest.mark.slow
-
-
-def check_band(row: dict, best_step_ms: float, flops: float | None):
-    """Raise AssertionError if the measurement regressed past the band
-    vs the recorded row (pure logic — unit-tested on every backend;
-    the TPU test feeds it real measurements)."""
-    assert best_step_ms <= row["step_ms"] * STEP_MS_BAND, (
-        f"flagship train step regressed: {best_step_ms:.2f} ms vs "
-        f"recorded {row['step_ms']:.2f} ms (band x{STEP_MS_BAND}); if "
-        "this is an intentional trade, re-record fig/perf_table.json")
-    if row.get("flops_per_step") and flops:
-        assert abs(flops - row["flops_per_step"]) \
-            <= FLOPS_RTOL * row["flops_per_step"], (
-            "compiled-program FLOP count drifted — the train-step "
-            "compute graph changed; re-record fig/perf_table.json if "
-            "intended")
 
 
 def test_band_trips_on_deliberate_regression():
@@ -85,7 +67,8 @@ def test_flagship_step_within_band():
     meas = [benchmarks.bench_train_step(cfg, batch=rec.get("batch", 64),
                                         steps=rec.get("steps", 30))
             for _ in range(3)]
-    best = min(m["step_ms"] for m in meas)
+    best = sorted(m["step_ms"] for m in meas)[1]   # median: first-case
+    # timings in a fresh process can be false-fast (BENCH_NOTES)
     check_band(row, best, meas[0]["flops_per_step"])
     if best < row["step_ms"] / STEP_MS_BAND:
         # faster is not a failure, but stale records hide regressions
