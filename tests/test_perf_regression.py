@@ -37,6 +37,23 @@ def test_band_trips_on_deliberate_regression():
         check_band(row, 10.0, 1.05e9)     # compute-graph drift
 
 
+def test_readme_table_matches_artifact():
+    """README's perf block is generated from fig/perf_table.json
+    (docs/gen_perf_table.py); re-recording the artifact without
+    regenerating the README must fail here, so the two cannot drift."""
+    import runpy
+    import sys
+
+    gen = pathlib.Path(__file__).resolve().parent.parent / "docs" / \
+        "gen_perf_table.py"
+    argv = sys.argv
+    sys.argv = [str(gen), "--check"]
+    try:
+        runpy.run_path(str(gen), run_name="__main__")
+    finally:
+        sys.argv = argv
+
+
 def test_rate_fields_contract():
     """Every benchmark row carries the MFU context fields; flops come
     from XLA's compiled-program cost model on any backend."""
