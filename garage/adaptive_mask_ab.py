@@ -158,8 +158,10 @@ def main():
     ap.add_argument("--nhid", type=int, default=32)
     ap.add_argument("--dropout", type=float, default=0.3)
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
-    ap.add_argument("--h2_seeds", type=int, nargs="+", default=[0],
-                    help="seeds for the mask-h2 arm (widening datapoint)")
+    ap.add_argument("--h2_seeds", type=int, nargs="+", default=None,
+                    help="seeds for the mask-h2 arm; defaults to --seeds "
+                         "so a default rerun reproduces the recorded "
+                         "3-seeds-per-arm experiment (VERDICT r4 #6)")
     ap.add_argument("--out", default=None)
     # worker-mode internals
     ap.add_argument("--worker", action="store_true")
@@ -167,6 +169,8 @@ def main():
     ap.add_argument("--arm", default=None)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
+    if args.h2_seeds is None:
+        args.h2_seeds = list(args.seeds)
     assert args.num_nodes % 128 == 0, "block layout needs N % 128 == 0"
 
     if args.worker:

@@ -266,6 +266,17 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _fused2_dispatch() -> str:
+    """Fused-vs-chained dispatch override for the order-2 kernel
+    ("auto" | "fused" | "chain") — read at TRACE time, so tests that flip
+    it must clear jit caches or use fresh shapes. Used by the TPU probe
+    (garage/fused2_dispatch_probe.py) and the CPU test of the chained
+    branch (tests/test_pallas_block_sparse.py)."""
+    import os
+
+    return os.environ.get("GWT_FUSED2_DISPATCH", "auto")
+
+
 @jax.custom_vjp
 def _block_mix_pallas(x2, blocks, block_idx, idx_t, perm_t):
     """Same contract as ``_block_mix``, but each hop is a Pallas gathered
@@ -609,7 +620,8 @@ def _block_mix_flat2(delay, ring_w, delay_t, ring_w_t, x2, blocks_flat,
     o1, o2 = gathered_block_mix_flat2(
         blocks_flat.astype(x2.dtype), slot_tbl,
         x2.reshape(nb, bs, r), src_tbl, row_tbl, nb=nb, delay=delay,
-        ring_w=ring_w, transpose_lhs=True, interpret=_interpret())
+        ring_w=ring_w, transpose_lhs=True, interpret=_interpret(),
+        dispatch=_fused2_dispatch())
     return o1.reshape(n, r), o2.reshape(n, r)
 
 
@@ -657,7 +669,8 @@ def _block_mix_flat2_bwd(delay, ring_w, delay_t, ring_w_t, res, g):
         ge, dxb = gathered_block_mix_flat2(
             bf, slot_t, g2.reshape(nb, bs, r), src_t, row_t, nb=nb,
             delay=delay_t, ring_w=ring_w_t, transpose_lhs=False,
-            add=g1.reshape(nb, bs, r), interpret=interp)
+            add=g1.reshape(nb, bs, r), interpret=interp,
+            dispatch=_fused2_dispatch())
         g1_eff = ge.reshape(n, r)
         dx = dxb.reshape(n, r)
     else:

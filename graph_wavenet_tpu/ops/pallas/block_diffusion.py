@@ -476,15 +476,32 @@ def _mix_flat2_kernel(row_ref, slot_ref, src_ref, blocks1_ref, x_ref,
             o2_ref[0] = acc2_ref[...].astype(o2_ref.dtype)
 
 
+# Chain-fallback boundary for the fused order-2 kernel, in TOTAL output
+# bytes (both outs + optional add operand). Probed on TPU v5e
+# (garage/fused2_dispatch_probe.py, fig/fused2_probe.json): after the
+# r4 rt-cap fix (Mosaic double-buffering accounted in the VMEM budget)
+# the fused path now COMPILES at every probed size 8-128 MiB, fwd and
+# bwd-with-add — including the historical "scoped allocation 18.00M,
+# limit 16.00M" shape — so the fallback is no longer compile-safety, it
+# is a measured perf choice: chaining is FASTER below ~16 MiB total
+# (fwd fused/chain 0.72-0.96x at 8-16 MiB; small grids can't amortize
+# the fused kernel's ring/delay overhead) while fused wins at >=24 MiB
+# (1.1-1.5x). The old 64 MiB guess (r4 advisor finding) un-fused the
+# 24-64 MiB range where fused measurably wins.
+_CHAIN_FALLBACK_BYTES = 16 * 1024 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("nb", "delay", "ring_w",
-                                             "transpose_lhs", "interpret"))
+                                             "transpose_lhs", "interpret",
+                                             "dispatch"))
 def gathered_block_mix_flat2(blocks_flat: jnp.ndarray,
                              slot_tbl: jnp.ndarray, x_pad: jnp.ndarray,
                              src_tbl: jnp.ndarray, row_tbl: jnp.ndarray,
                              *, nb: int, delay: int, ring_w: int,
                              transpose_lhs: bool,
                              add: jnp.ndarray | None = None,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             dispatch: str = "auto"):
     """Both order-2 hops in one pass: returns ``(out1, out2)``, each
     (nb, BS, R), with ``out1`` = the single-hop mix and ``out2`` the hop
     over ``out1`` — numerically identical to two ``gathered_block_mix_
@@ -504,19 +521,22 @@ def gathered_block_mix_flat2(blocks_flat: jnp.ndarray,
     src_tbl = src_tbl.astype(jnp.int32)
     row_tbl = row_tbl.astype(jnp.int32)
 
-    # XLA:TPU places small custom-call outputs in scoped VMEM (S(1));
-    # with this kernel's TWO full outputs (plus the optional add operand)
-    # co-resident next to the streamed tiles + ring + accumulators, that
-    # overflows the 16 MB scoped budget on small graphs (observed: nb=2,
-    # rp=6144 fp32 -> "scoped allocation 18.00M, limit 16.00M"). The
-    # fused pass exists to cut HBM round-trips on LARGE intermediates, so
-    # below clearly-HBM scale just chain the single-hop kernel — bit-
-    # identical by construction (same accumulation order, same inter-hop
-    # cast, add applied after the cast). Interpret mode keeps the fused
-    # path so CPU tests exercise the kernel logic at any size.
+    # Small-scale dispatch: below _CHAIN_FALLBACK_BYTES of total output
+    # just chain the single-hop kernel — bit-identical by construction
+    # (same accumulation order, same inter-hop cast, add applied after
+    # the cast) and MEASURED faster there (see the threshold note beside
+    # _CHAIN_FALLBACK_BYTES; the fused pass exists to cut HBM
+    # round-trips on LARGE intermediates). ``dispatch`` overrides for
+    # the probe and for tests: "chain"/"fused" force a branch (chain
+    # works in interpret mode too, so CPU tests cover the dispatch
+    # seam); "auto" = the size rule, where interpret mode keeps the
+    # fused path.
     out_bytes = nb * bs * (r + (-r) % 128) * x_pad.dtype.itemsize
-    if not interpret and (2 + (add is not None)) * out_bytes \
-            <= 64 * 1024 * 1024:
+    total_out = (2 + (add is not None)) * out_bytes
+    use_chain = (dispatch == "chain"
+                 or (dispatch == "auto" and not interpret
+                     and total_out <= _CHAIN_FALLBACK_BYTES))
+    if use_chain:
         o1 = gathered_block_mix_flat(
             blocks_flat, slot_tbl, x_pad, src_tbl, row_tbl, nb=nb,
             transpose_lhs=transpose_lhs, interpret=interpret)

@@ -403,3 +403,34 @@ def test_fused2_bf16(rng):
                                   np.asarray(x1, np.float32))
     np.testing.assert_array_equal(np.asarray(o2, np.float32),
                                   np.asarray(x2, np.float32))
+
+
+def test_fused2_chain_dispatch_branch(rng, monkeypatch):
+    """The small-size chain-fallback BRANCH of the fused2 dispatch
+    (r4 advisor: previously only reachable on real TPUs below the size
+    threshold, so no test covered the seam). ``GWT_FUSED2_DISPATCH=
+    chain`` forces it even in interpret mode; outputs and grads must be
+    bit-identical to the fused branch."""
+    import jax
+
+    flat = _banded_flat_support(rng)
+    fused = B.as_fused2(flat)
+    n = flat.n_nodes
+    x = jnp.asarray(rng.normal(size=(n, 24)), jnp.float32)
+
+    def loss(v):
+        a1, a2 = fused.mix2_2d(v)
+        return jnp.sum(jnp.sin(a1) + jnp.cos(a2))
+
+    o_fused = fused.mix2_2d(x)
+    g_fused = jax.grad(loss)(x)
+
+    monkeypatch.setenv("GWT_FUSED2_DISPATCH", "chain")
+    jax.clear_caches()   # dispatch is read at trace time
+    o_chain = fused.mix2_2d(x)
+    g_chain = jax.grad(loss)(x)
+
+    for a, b in zip(o_chain, o_fused):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(g_chain), np.asarray(g_fused),
+                               rtol=1e-6, atol=1e-6)

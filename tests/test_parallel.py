@@ -597,3 +597,48 @@ def test_fused_syn_resident_scan_under_mesh_matches_single(rng):
         lambda p, q: np.testing.assert_allclose(
             np.asarray(p), np.asarray(q), atol=2e-5),
         jax.device_get(s1.params), jax.device_get(s2.params))
+
+
+def test_tp_sp_nontoy_shape_matches_single_device(rng):
+    """TP x SP exactness at a NON-toy shape (VERDICT r4 #5): N=1024
+    nodes, K=512 input timesteps on the 2x2x2 (data, model, time) mesh
+    with node and time sharding both active — the multichip dryrun
+    exercises these axes only at N=16/K=12, which cannot catch
+    halo/gather bugs that need multiple 128-lane tiles per node shard or
+    a halo window smaller than the time shard. Full model incl. the
+    learned adaptive adjacency; receptive field 1 + 2*256*(2^1-1) = 513
+    = K+1 so the stack collapses time (engine +1 pad included), matching
+    the real-path out_dim=12 head. Must equal the single-device step."""
+    Nn, K, B = 1024, 512, 2
+    cfg = ModelConfig(num_nodes=Nn, out_dim=12, residual_channels=4,
+                      dilation_channels=4, skip_channels=8,
+                      end_channels=16, blocks=2, layers=1,
+                      start_dilation=256, dropout=0.0, gcn_bool=True,
+                      addaptadj=True, n_supports=2)
+    assert cfg.receptive_field == K + 1
+    tcfg = TrainConfig(learning_rate=1e-3)
+    x = rng.normal(size=(B, K, Nn, 2)).astype(np.float32)
+    y = (rng.normal(size=(B, 12, Nn, 2)) + 3.0).astype(np.float32)
+    a = rng.random((2, Nn, Nn)).astype(np.float32)
+    supports = [jnp.asarray(s / s.sum(-1, keepdims=True)) for s in a]
+
+    e1 = Engine(cfg, tcfg, StandardScaler(0.0, 1.0))
+    s1, m1 = e1.train_step(e1.state, jnp.asarray(x), jnp.asarray(y),
+                           supports)
+
+    mcfg = MeshConfig(model_axis=2, time_axis=2, shard_nodes=True,
+                      shard_time=True)
+    mesh = M.make_mesh(mcfg)
+    e2 = Engine(cfg, tcfg, StandardScaler(0.0, 1.0))
+    state = M.shard_state(mesh, e2.state)
+    xb, yb = M.shard_batch(mesh, mcfg, x, y)
+    sup = [jax.device_put(s, M.support_sharding(mesh, mcfg))
+           for s in supports]
+    s2, m2 = e2.train_step(state, xb, yb, sup)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda p, q: np.testing.assert_allclose(
+            np.asarray(p), np.asarray(q), atol=2e-5),
+        jax.device_get(s1.params), jax.device_get(s2.params))
