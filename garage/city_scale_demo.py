@@ -87,6 +87,11 @@ def main():
                     help="widen the adaptive mask to the k-hop block "
                          "closure (the dense-fidelity dial; cost scales "
                          "with the widened live-block count)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize WaveNet layers in the backward "
+                         "pass (ModelConfig.remat) — trades recompute "
+                         "for the temporal-conv activation memory that "
+                         "blocks large batches at 163k+ nodes")
     args = ap.parse_args()
 
     import jax
@@ -171,7 +176,7 @@ def main():
                       residual_channels=32, dilation_channels=32,
                       skip_channels=256, end_channels=512, blocks=4,
                       layers=2, gcn_bool=True, addaptadj=args.addaptadj,
-                      n_supports=2, dtype="bfloat16")
+                      n_supports=2, dtype="bfloat16", remat=args.remat)
     engine = Engine(cfg, TrainConfig(learning_rate=3e-3), scaler)
 
     # device-resident feed: the standardized series lives in HBM once;

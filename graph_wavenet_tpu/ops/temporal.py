@@ -34,6 +34,12 @@ def causal_conv_init(key, c_in: int, c_out: int, kernel_size: int,
     }
 
 
+# fp32-accumulator chunking threshold for the dilated conv (see the
+# comment inside causal_conv_apply); module-level so tests can force the
+# chunked branch at toy sizes
+_CONV_ACCUM_CHUNK_BYTES = 2 ** 30
+
+
 def causal_conv_apply(params: dict, x: jnp.ndarray,
                       dilation: int) -> jnp.ndarray:
     """Valid dilated causal conv over the time axis of ``(B, T, N, C)``.
@@ -46,13 +52,37 @@ def causal_conv_apply(params: dict, x: jnp.ndarray,
     w = params["w"].astype(x.dtype)
     k = w.shape[0]
     t_out = x.shape[1] - dilation * (k - 1)
-    out = jnp.einsum("btnc,cf->btnf", x[:, :t_out], w[0],
-                     preferred_element_type=accum_dtype(x.dtype))
-    for i in range(1, k):
-        out = out + jnp.einsum(
-            "btnc,cf->btnf", x[:, i * dilation:i * dilation + t_out], w[i],
-            preferred_element_type=accum_dtype(x.dtype))
-    return (out + params["b"]).astype(x.dtype)
+
+    def conv_rows(xs, rows):
+        out = jnp.einsum("btnc,cf->btnf", xs[:, :rows], w[0],
+                         preferred_element_type=accum_dtype(x.dtype))
+        for i in range(1, k):
+            out = out + jnp.einsum(
+                "btnc,cf->btnf", xs[:, i * dilation:i * dilation + rows],
+                w[i], preferred_element_type=accum_dtype(x.dtype))
+        return (out + params["b"]).astype(x.dtype)
+
+    # The fp32 accumulator materializes at (B, t_out, N, F) before the
+    # cast; at long-K x wide-N scale it is the model's largest single
+    # buffer (K=2912 x 40960 nodes x 2C=16 fp32 = 3.8 GiB) and multi-GiB
+    # buffers are implicated in hard TPU compile-helper crashes at that
+    # scale (r5, BENCH_NOTES "long-K x wide-N"). Chunk the OUTPUT time
+    # axis so each fp32 accumulator stays <= _CONV_ACCUM_CHUNK_BYTES —
+    # per-output-element math is unchanged (each chunk consumes its own
+    # x slice + dilation halo), so outputs are bitwise identical
+    # (pinned in tests/test_ops.py), and long-K peak memory drops too.
+    f_out = w.shape[-1]
+    acc_bytes = 4 * x.shape[0] * t_out * x.shape[2] * f_out
+    if acc_bytes <= _CONV_ACCUM_CHUNK_BYTES or t_out < 2:
+        return conv_rows(x, t_out)
+    n_chunks = -(-acc_bytes // _CONV_ACCUM_CHUNK_BYTES)
+    rows = -(-t_out // n_chunks)
+    halo = dilation * (k - 1)
+    pieces = []
+    for a in range(0, t_out, rows):
+        b = min(a + rows, t_out)
+        pieces.append(conv_rows(x[:, a:b + halo], b - a))
+    return jnp.concatenate(pieces, axis=1)
 
 
 def pack_gated_conv_params(filter_params: dict, gate_params: dict) -> dict:

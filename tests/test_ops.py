@@ -411,3 +411,30 @@ def test_masked_batch_norm_accepts_python_int_t_valid(rng):
                                np.asarray(out_traced), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(st_static["mean"]),
                                np.asarray(st_traced["mean"]), rtol=1e-6)
+
+
+def test_causal_conv_chunked_accum_bitwise_identical(rng, monkeypatch):
+    """The long-K fp32-accumulator chunking (r5: the unchunked
+    accumulator is the largest buffer at K=2912 x 40k nodes) must be
+    bitwise identical to the unchunked conv — each output element's
+    contraction is unchanged, chunks only bound the materialized fp32
+    accumulator. Forced at toy size via the module threshold."""
+    from graph_wavenet_tpu.ops import temporal
+
+    p = temporal.causal_conv_init(jax.random.key(5), 4, 6, 2)
+    for dilation in (1, 2, 4):
+        x = jnp.asarray(rng.normal(size=(2, 37, 5, 4)), jnp.float32)
+        want = np.asarray(temporal.causal_conv_apply(p, x, dilation))
+        monkeypatch.setattr(temporal, "_CONV_ACCUM_CHUNK_BYTES", 4096)
+        got = np.asarray(temporal.causal_conv_apply(p, x, dilation))
+        monkeypatch.setattr(temporal, "_CONV_ACCUM_CHUNK_BYTES", 2 ** 30)
+        np.testing.assert_array_equal(got, want)
+        # bf16 path too (the production dtype)
+        xb = x.astype(jnp.bfloat16)
+        want = np.asarray(temporal.causal_conv_apply(p, xb, dilation),
+                          np.float32)
+        monkeypatch.setattr(temporal, "_CONV_ACCUM_CHUNK_BYTES", 4096)
+        got = np.asarray(temporal.causal_conv_apply(p, xb, dilation),
+                         np.float32)
+        monkeypatch.setattr(temporal, "_CONV_ACCUM_CHUNK_BYTES", 2 ** 30)
+        np.testing.assert_array_equal(got, want)
