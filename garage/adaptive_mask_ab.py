@@ -63,6 +63,10 @@ def build_workdir(args) -> dict:
     from graph_wavenet_tpu.graphs import ordering as O
 
     wd = args.workdir
+    if all(os.path.exists(os.path.join(wd, f)) for f in
+           ("adj_perm.npy", "train.npz", "val.npz", "test.npz")):
+        print("workdir already built: reusing dataset + layout", flush=True)
+        return {"ordering": "cached"}
     fd = load_flagship_demo()
     rng = np.random.default_rng(7)
     n = args.num_nodes
@@ -120,12 +124,16 @@ def run_worker(args) -> None:
                       residual_channels=nhid, dilation_channels=nhid,
                       skip_channels=nhid * 8, end_channels=nhid * 16,
                       blocks=4, layers=2, dropout=args.dropout,
-                      gcn_bool=True, addaptadj=True, n_supports=2)
+                      gcn_bool=True, addaptadj=True, n_supports=2,
+                      remat=args.remat, dtype=args.dtype)
     tcfg = TrainConfig(seed=seed, epochs=args.epochs,
                        batch_size=args.batch_size, print_every=10 ** 9,
-                       keep_checkpoints=1,
+                       keep_checkpoints=1, scan_steps=args.scan_steps,
+                       rng_impl="rbg" if args.dtype == "bfloat16"
+                       else "threefry",
                        save_dir=tempfile.mkdtemp(prefix=f"ab_{arm}_"))
-    data = metr.load_dataset(wd, args.batch_size, seed=seed)
+    data = metr.load_dataset(wd, args.batch_size, seed=seed,
+                             resident=args.resident)
     engine = Engine(cfg, tcfg, data["scaler"], seed=seed)
     runner = Runner(engine, tcfg)
     t0 = time.time()
@@ -162,6 +170,23 @@ def main():
                     help="seeds for the mask-h2 arm; defaults to --seeds "
                          "so a default rerun reproduces the recorded "
                          "3-seeds-per-arm experiment (VERDICT r4 #6)")
+    ap.add_argument("--dtype", default="float32",
+                    help="activation dtype for EVERY arm (bfloat16 = the "
+                         "production mixed-precision setting; fp32 "
+                         "params/accum either way)")
+    ap.add_argument("--resident", default="host",
+                    choices=("host", "device"),
+                    help="feed: device = splits live in HBM, batches "
+                         "gathered on device (tunnel-feed cost gone)")
+    ap.add_argument("--scan_steps", type=int, default=1,
+                    help="fuse this many optimizer steps per dispatch "
+                         "(device-resident feed only)")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize layers in every arm (semantics-"
+                         "preserving; required at N=8192 where the dense "
+                         "arm's saved fp32 activations exceed HBM at "
+                         "batch 32 — applied to ALL arms so step math "
+                         "and memory treatment stay matched)")
     ap.add_argument("--out", default=None)
     # worker-mode internals
     ap.add_argument("--worker", action="store_true")
@@ -198,7 +223,11 @@ def main():
         for k in ("num_nodes", "timesteps", "epochs", "batch_size",
                   "nhid"):
             cmd += [f"--{k}", str(getattr(args, k))]
-        cmd += ["--dropout", str(args.dropout)]
+        cmd += ["--dropout", str(args.dropout), "--dtype", args.dtype,
+                "--resident", args.resident,
+                "--scan_steps", str(args.scan_steps)]
+        if args.remat:
+            cmd += ["--remat"]
         r = subprocess.run(cmd)
         if r.returncode:
             raise SystemExit(f"worker {arm} s{seed} failed "
