@@ -209,9 +209,15 @@ def main():
     print(f"workdir: {args.workdir}", flush=True)
     build_workdir(args)
 
-    jobs = [("dense", s) for s in args.seeds] \
-        + [("mask-h1", s) for s in args.seeds] \
-        + [("mask-h2", s) for s in args.h2_seeds]
+    # seed-major interleave: an interrupted sweep still yields an
+    # all-arms comparison at however many seeds completed
+    jobs = []
+    for i, s in enumerate(args.seeds):
+        jobs.append(("dense", s))
+        jobs.append(("mask-h1", s))
+        if i < len(args.h2_seeds):
+            jobs.append(("mask-h2", args.h2_seeds[i]))
+    jobs += [("mask-h2", s) for s in args.h2_seeds[len(args.seeds):]]
     for arm, seed in jobs:
         res_path = os.path.join(args.workdir, f"{arm}_s{seed}.json")
         if os.path.exists(res_path):
@@ -308,7 +314,7 @@ def main():
                      f"(N={args.num_nodes}, {args.epochs} epochs, "
                      f"{len(args.seeds)} seeds)")
         fig.tight_layout()
-        png = str(fig_dir / "adaptive_mask_ab.png")
+        png = os.path.splitext(out_json)[0] + ".png"
         fig.savefig(png, dpi=120)
         print(f"figure -> {png}")
     except Exception as e:
