@@ -87,6 +87,15 @@ def main():
                     help="widen the adaptive mask to the k-hop block "
                          "closure (the dense-fidelity dial; cost scales "
                          "with the widened live-block count)")
+    ap.add_argument("--support_dtype", choices=("float32", "bfloat16"),
+                    default="bfloat16",
+                    help="storage dtype of the fixed support blocks. The "
+                         "model casts blocks to its bf16 activation "
+                         "dtype per use either way, so bfloat16 storage "
+                         "is numerically identical while halving the "
+                         "supports' resident HBM and deleting the "
+                         "per-step cast copies (327k full-model "
+                         "enabler); float32 = the pre-r5 layout for A/B")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize WaveNet layers in the backward "
                          "pass (ModelConfig.remat) — trades recompute "
@@ -161,6 +170,13 @@ def main():
                       for s in sup)
         print(f"fused order-2 hop chain: {n_fused}/{len(sup)} supports "
               "qualify", flush=True)
+
+    if args.support_dtype != "float32":
+        # AFTER the rollout (data generation stays fp32), BEFORE the mask
+        # (pattern-only; the materialized learned support follows the
+        # model's activation dtype via gwnet's out_dtype exit-cast)
+        sup = [s.astype(args.support_dtype) for s in sup]
+        print(f"support blocks stored as {args.support_dtype}", flush=True)
 
     if args.addaptadj:
         from graph_wavenet_tpu.ops.adaptive_block import mask_from_supports

@@ -49,6 +49,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--block_size", type=int, default=128,
                    help="node block size for --graph_npz supports (TPU "
                         "Pallas kernels need multiples of 128)")
+    p.add_argument("--support_dtype", type=str, default="auto",
+                   choices=("auto", "float32", "bfloat16"),
+                   help="storage dtype of the --graph_npz support "
+                        "blocks (auto = follow --dtype). Blocks are "
+                        "cast to the activation dtype per use either "
+                        "way, so matching storage is numerically "
+                        "identical while halving the supports' "
+                        "resident HBM (BENCH_NOTES round 5)")
     p.add_argument("--adaptive_hops", type=int, default=1,
                    help="--graph_npz + --addaptadj: widen the learned-"
                         "adjacency mask to the k-hop block closure of "
@@ -449,6 +457,12 @@ def _run_city(args, train_cfg, mesh, mesh_cfg, feed_sharding=None):
         ordering=args.ordering, form=args.sparse,
         block_size=args.block_size, addaptadj=args.addaptadj,
         adaptive_hops=args.adaptive_hops)
+    sup_dtype = (args.dtype if args.support_dtype == "auto"
+                 else args.support_dtype)
+    if sup_dtype != "float32":
+        # numerically free when it matches --dtype (per-use cast moves to
+        # storage); applied BEFORE any node-TP sharding below
+        supports = [s.astype(sup_dtype) for s in supports]
     print(f"graph: {g['n_nodes']} nodes (+{layout['n_pad'] - g['n_nodes']}"
           f" pad), ordering={layout['ordering']}, form={layout['form']}, "
           f"{layout['n_blocks']} live blocks "

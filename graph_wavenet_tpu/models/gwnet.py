@@ -172,8 +172,15 @@ def apply_gwnet(cfg: ModelConfig, params: Params, state: State,
             # block-sparse support on the mask's live pattern — the full
             # reference model (learned graph included) at city scale,
             # where the dense (N, N) adp cannot exist
+            # materialize in the ACTIVATION dtype: the mix op would cast
+            # the blocks per use anyway, so the exit-cast is forward-
+            # bitwise-identical while the resident learned support halves
+            # under bf16 (1.07 -> 0.53 GiB at 327k — the full-model
+            # frontier enabler, BENCH_NOTES round 5); fp32 models are
+            # untouched (same-dtype astype is a no-op)
             adp = masks[0].materialize(params["nodevec1"],
-                                       params["nodevec2"])
+                                       params["nodevec2"],
+                                       out_dtype=jnp.dtype(cfg.dtype))
         else:
             if cfg.num_nodes >= 16384:
                 # at city scale the O(N^2) dense materialization (>= 1 GB

@@ -96,15 +96,24 @@ class BlockAdaptiveMask:
     def n_nodes(self) -> int:
         return self.n_src_blocks * self.bs_src
 
-    def materialize(self, nodevec1: jnp.ndarray,
-                    nodevec2: jnp.ndarray) -> FlatBlockSparseSupport:
+    def materialize(self, nodevec1: jnp.ndarray, nodevec2: jnp.ndarray,
+                    out_dtype=None) -> FlatBlockSparseSupport:
         """Adaptive support for the current embeddings; differentiable in
         both nodevecs. nodevec1 (N, r), nodevec2 (r, N). When the
         pattern qualifies (``fuse2``), the result runs the fused order-2
-        hop-chain kernel like the fixed supports."""
+        hop-chain kernel like the fixed supports.
+
+        ``out_dtype``: storage dtype of the materialized blocks. The
+        softmax always runs in the nodevec dtype (fp32 params) with fp32
+        accumulation; casting at the exit is exactly the cast the mix op
+        would apply per use, so under bf16 activations the forward is
+        bitwise unchanged while the resident support halves (gradients
+        round to bf16 one cast earlier — mixed-precision path only)."""
         from graph_wavenet_tpu.ops.block_sparse import Fused2FlatSupport
 
         blocks = adaptive_blocks(self, nodevec1, nodevec2)
+        if out_dtype is not None:
+            blocks = blocks.astype(out_dtype)
         blocks_flat = jnp.concatenate(
             [blocks, jnp.zeros((1, self.bs_src, self.bs_dst),
                                blocks.dtype)])

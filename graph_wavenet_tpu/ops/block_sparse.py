@@ -57,6 +57,17 @@ class BlockSparseSupport:
         return _block_mix(x2, self.blocks, self.block_idx, self.idx_t,
                           self.perm_t)
 
+    def astype(self, dtype) -> "BlockSparseSupport":
+        """Copy with block VALUES stored in ``dtype`` (tables untouched).
+        Under a matching activation dtype this is numerically free: every
+        mix op casts blocks to the activation dtype per use anyway, so
+        bf16 storage halves the support's resident HBM and deletes the
+        per-step fp32-read + bf16-write cast copy (the 327k full-model
+        enabler — BENCH_NOTES round 5)."""
+        import dataclasses
+        return dataclasses.replace(
+            self, blocks=jnp.asarray(self.blocks).astype(dtype))
+
     def to_dense(self) -> np.ndarray:
         nb, mb, bs, _ = self.blocks.shape
         n = nb * bs
@@ -406,6 +417,15 @@ class FlatBlockSparseSupport:
         return _block_mix_flat(x2, self.blocks_flat, self.row_tbl,
                                self.src_tbl, self.slot_tbl, self.row_t,
                                self.src_t, self.slot_t, self.inv_slot)
+
+    def astype(self, dtype):
+        """Copy with block values stored in ``dtype`` (tables untouched);
+        preserves the subclass (``Fused2FlatSupport`` keeps its schedule).
+        See :meth:`BlockSparseSupport.astype` for why this is numerically
+        free under a matching activation dtype."""
+        import dataclasses
+        return dataclasses.replace(
+            self, blocks_flat=jnp.asarray(self.blocks_flat).astype(dtype))
 
 
 def as_flat_pallas(sp: BlockSparseSupport) -> FlatBlockSparseSupport:

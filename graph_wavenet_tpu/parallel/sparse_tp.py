@@ -521,12 +521,15 @@ class ShardedBlockAdaptiveMask:
     def n_live(self):
         return self.inner.n_live
 
-    def materialize(self, nodevec1, nodevec2):
+    def materialize(self, nodevec1, nodevec2, out_dtype=None):
         import dataclasses
 
         from graph_wavenet_tpu.ops.adaptive_block import adaptive_blocks
 
         blocks = adaptive_blocks(self.inner, nodevec1, nodevec2)
+        if out_dtype is not None:
+            # exit-cast, same semantics as BlockAdaptiveMask.materialize
+            blocks = blocks.astype(out_dtype)
         blocks_flat = jnp.concatenate(
             [blocks, jnp.zeros((1, self.inner.bs_src, self.inner.bs_dst),
                                blocks.dtype)])

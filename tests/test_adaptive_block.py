@@ -320,3 +320,24 @@ def test_city_layout_persists_adaptive_hops(rng):
                                   np.asarray(mask2.live_dst))
     np.testing.assert_array_equal(np.asarray(rebuilt.live_src),
                                   np.asarray(mask2.live_src))
+
+
+def test_materialize_out_dtype_is_exit_cast(nodevecs, rng):
+    """materialize(out_dtype=bf16) == fp32 materialize then cast (the
+    softmax always runs fp32): forward through the mix is bitwise what
+    the per-use cast produced, and fp32 out_dtype is a no-op."""
+    nv1, nv2 = nodevecs
+    src, dst = np.array([0, 9, 17]), np.array([8, 2, 25])
+    w = np.ones(3, np.float32)
+    sups = [block_sparse.from_edges_flat(src, dst, w, N, BS, BS)]
+    mask = adaptive_block.mask_from_supports(sups)
+    ref = mask.materialize(nv1, nv2)
+    got = mask.materialize(nv1, nv2, out_dtype=jnp.bfloat16)
+    assert got.blocks_flat.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(ref.blocks_flat.astype(jnp.bfloat16).astype(
+            jnp.float32)),
+        np.asarray(got.blocks_flat.astype(jnp.float32)))
+    same = mask.materialize(nv1, nv2, out_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(ref.blocks_flat),
+                                  np.asarray(same.blocks_flat))

@@ -434,3 +434,35 @@ def test_fused2_chain_dispatch_branch(rng, monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_allclose(np.asarray(g_chain), np.asarray(g_fused),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_astype_bf16_storage_bitwise_identical(rng):
+    """bf16-STORED blocks == fp32-stored under bf16 activations: the mix
+    op casts blocks to the activation dtype per use, so moving the cast
+    to storage is numerically free (round-5 327k full-model enabler)."""
+    sp32 = B.as_flat_pallas(B.random_block_support(4, 2, 128, rng=rng))
+    sp16 = sp32.astype(jnp.bfloat16)
+    assert sp16.blocks_flat.dtype == jnp.bfloat16
+    assert sp16.row_tbl is sp32.row_tbl          # tables untouched
+    x2 = jnp.asarray(rng.normal(size=(sp32.n_nodes, 96)),
+                     jnp.float32).astype(jnp.bfloat16)
+    a = np.asarray(sp32.mix_2d(x2).astype(jnp.float32))
+    b = np.asarray(sp16.mix_2d(x2).astype(jnp.float32))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_astype_preserves_fused2_and_padded_form(rng):
+    sp = B.as_flat_pallas(B.random_block_support(4, 1, 128, rng=rng))
+    f2 = B.as_fused2(sp)
+    if isinstance(f2, B.Fused2FlatSupport):
+        cast = f2.astype(jnp.bfloat16)
+        assert isinstance(cast, B.Fused2FlatSupport)
+        assert (cast.delay, cast.ring_w) == (f2.delay, f2.ring_w)
+    padded = B.random_block_support(4, 2, 128, rng=rng)
+    c = padded.astype(jnp.bfloat16)
+    assert c.blocks.dtype == jnp.bfloat16
+    x2 = jnp.asarray(rng.normal(size=(padded.n_nodes, 64)),
+                     jnp.float32).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(padded.mix_2d(x2).astype(jnp.float32)),
+        np.asarray(c.mix_2d(x2).astype(jnp.float32)))
