@@ -117,11 +117,12 @@ class Forecaster:
         return fc
 
     def _jit(self, key: tuple, build):
-        """Per-instance jit cache: compiled executables (which embed the
-        weights as constants) live on the Forecaster and are GC'd with it.
-        A module/global jit cache keyed on a static self would pin every
-        Forecaster ever used — a leak for long-running servers that reload
-        checkpoints periodically."""
+        """Per-instance jit cache: compiled executables live on the
+        Forecaster and are GC'd with it. A module/global jit cache keyed
+        on a static self would pin every Forecaster ever used — a leak
+        for long-running servers that reload checkpoints periodically.
+        Weights/supports ride as call ARGUMENTS (see _predict_pure);
+        only export_forecaster bakes them in as constants."""
         cache = self.__dict__.setdefault("_jit_cache", {})
         if key not in cache:
             cache[key] = jax.jit(build())
@@ -146,18 +147,32 @@ class Forecaster:
         src_idx[perm[:n_raw]] = np.arange(n_raw)
         return src_idx, perm[:n_raw]
 
-    def _predict_impl(self, x: jnp.ndarray) -> jnp.ndarray:
-        sup = None
-        if self.supports is not None:
-            sup = [s if (hasattr(s, "mix_2d")
-                         or getattr(s, "adaptive_mask", False))
-                   else jnp.asarray(s) for s in self.supports]
+    def _sup_arg(self):
+        """Supports normalized for passing as JIT ARGUMENTS (cached)."""
+        if self.supports is None:
+            return None
+        if "_sup_cache" not in self.__dict__:
+            self.__dict__["_sup_cache"] = [
+                s if (hasattr(s, "mix_2d")
+                      or getattr(s, "adaptive_mask", False))
+                else jnp.asarray(s) for s in self.supports]
+        return self.__dict__["_sup_cache"]
+
+    def _predict_pure(self, params, model_state, sup,
+                      x: jnp.ndarray) -> jnp.ndarray:
+        """Predict with weights/supports as FUNCTION ARGUMENTS. The live
+        serving path must not close over them: closed-over arrays embed
+        as program constants, and at city scale the supports alone are
+        hundreds of MB — the serialized program then exceeds remote-
+        compile transport limits (HTTP 413 at 41k through the tunneled
+        backend; same lesson as the r3 training path). Only the layout
+        gather indices and scaler floats stay closure constants."""
         if self.node_layout is not None:
             src_idx, out_idx = self._layout_maps()
             xz = jnp.concatenate(
                 [x, jnp.zeros_like(x[:, :, :1])], axis=2)
             x = jnp.take(xz, jnp.asarray(src_idx), axis=2)
-        out, _ = apply_gwnet(self.cfg, self.params, self.model_state, x,
+        out, _ = apply_gwnet(self.cfg, params, model_state, x,
                              sup, train=False)
         # (B, 1, N, H) -> (B, H, N), inverse-standardized
         pred = jnp.transpose(out[:, -1], (0, 2, 1))
@@ -165,11 +180,20 @@ class Forecaster:
             pred = jnp.take(pred, jnp.asarray(out_idx), axis=2)
         return pred * self.scaler.std + self.scaler.mean
 
+    def _predict_impl(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Closure form — weights/supports baked as constants. ONLY for
+        :func:`export_forecaster`, where baking them into the artifact is
+        the point; the live path is :meth:`predict` via
+        :meth:`_predict_pure`."""
+        return self._predict_pure(self.params, self.model_state,
+                                  self._sup_arg(), x)
+
     def predict(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (B, K, N, F) standardized features -> (B, H, N) forecasts in
         raw units (horizon-major). N = :attr:`input_nodes` — original
         node order under a city layout."""
-        return self._jit(("predict",), lambda: self._predict_impl)(x)
+        return self._jit(("predict",), lambda: self._predict_pure)(
+            self.params, self.model_state, self._sup_arg(), x)
 
 
 @dataclass(eq=False)
@@ -420,20 +444,25 @@ def rolling_forecast(forecaster: Forecaster, history: jnp.ndarray,
     ``@jax.jit`` closure per invocation would retrace every time).
     """
     def build():
-        def run(history):
+        def run(params, model_state, sup, history):
             n_origins = history.shape[0] - window + 1
 
             def step(carry, start):
                 x = jax.lax.dynamic_slice_in_dim(history, start, window,
                                                  axis=0)
-                pred = forecaster._predict_impl(x[None])[0]     # (H, N)
+                # loop-invariant args, not closure constants (city-scale
+                # supports as constants overflow compile transports)
+                pred = forecaster._predict_pure(params, model_state, sup,
+                                                x[None])[0]     # (H, N)
                 return carry, pred
 
             _, preds = jax.lax.scan(step, None, jnp.arange(n_origins))
             return preds
         return run
 
-    return forecaster._jit(("rolling", window), build)(history)
+    return forecaster._jit(("rolling", window), build)(
+        forecaster.params, forecaster.model_state, forecaster._sup_arg(),
+        history)
 
 
 def autoregressive_forecast(forecaster: Forecaster, x: jnp.ndarray,
@@ -464,9 +493,10 @@ def autoregressive_forecast(forecaster: Forecaster, x: jnp.ndarray,
         chunks = None
 
     def build():
-        def run(x, chunks):
+        def run(params, model_state, sup, x, chunks):
             def step(x, aux_chunk):
-                pred_raw = forecaster._predict_impl(x)    # (B, H, N)
+                pred_raw = forecaster._predict_pure(
+                    params, model_state, sup, x)          # (B, H, N)
                 pred_std = (pred_raw - forecaster.scaler.mean
                             ) / forecaster.scaler.std
                 feats = [pred_std[..., None]]
@@ -484,8 +514,9 @@ def autoregressive_forecast(forecaster: Forecaster, x: jnp.ndarray,
                 x.shape[0], n_rounds * horizon, x.shape[2])
         return run
 
-    return forecaster._jit(("ar", n_rounds, chunks is not None),
-                           build)(x, chunks)
+    return forecaster._jit(("ar", n_rounds, chunks is not None), build)(
+        forecaster.params, forecaster.model_state, forecaster._sup_arg(),
+        x, chunks)
 
 
 def export_forecaster(forecaster: Forecaster, path: str, batch_size: int,
